@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analytics.Queries
 import graft.etl._
 import graft.reporting.Reports
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -111,6 +113,12 @@ object SparkEntry {
       .orderBy("report_month")
   }
 
+  /** #19 Tumbling-window event aggregation — the batch face of
+    * streaming.EventsStream.hourlyAgg (same plan fragment the streaming
+    * query runs). */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    EventsStream.hourlyAggBatch(Tables.events(s, dir))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,6 +131,17 @@ object SparkEntry {
     "etl_partitioned_sink"-> (etlPartitionedSink _),
     "ingest_batch"        -> (ingestBatch _),
     "report_consume"      -> (reportConsume _),
+    "agg_pricing_summary" -> (Queries.aggPricingSummary _),
+    "join_top_customers"  -> (Queries.joinTopCustomers _),
+    "join_revenue_nation" -> (Queries.joinRevenueNation _),
+    "join_semi_anti"      -> (Queries.joinSemiAnti _),
+    "window_running"      -> (Queries.windowRunning _),
+    "window_topk_group"   -> (Queries.windowTopkGroup _),
+    "window_sessionize"   -> (Queries.windowSessionize _),
+    "rollup_priority"     -> (Queries.rollupPriority _),
+    "distinct_count"      -> (Queries.distinctCount _),
+    "distinct_approx"     -> (Queries.distinctApprox _),
+    "stream_window_agg"   -> (streamWindowAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +208,111 @@ object SparkEntry {
          |FROM events
          |WHERE event_type = 'purchase' AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "join_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |     AND o_orderstatus = 'O')) AS n_with_open,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |     AND o_orderstatus = 'O')) AS n_without_open""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       row_number() OVER w AS rn,
+        |       round(sum(l_quantity) OVER
+        |         (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS UNBOUNDED PRECEDING), 2) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "window_topk_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, price_rank FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+        |  FROM part)
+        |WHERE price_rank <= 3
+        |ORDER BY p_brand, price_rank""".stripMargin,
+
+    "window_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rollup_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       n_orders, total_price
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS total_price
+        |  FROM orders
+        |  GROUP BY ROLLUP(o_orderstatus, o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
+
+    "distinct_count" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Queries
+import graft.streaming.EventsStream
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("pricing summary covers every (returnflag, linestatus) group") {
+    val got = Queries.aggPricingSummary(spark, sf)
+    val groups = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    assert(got.count() == groups)
+  }
+
+  test("top customers is sorted desc by revenue, capped at 10") {
+    val rows = Queries.joinTopCustomers(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("semi + anti partition the customer table") {
+    val r = Queries.joinSemiAnti(spark, sf).collect()(0)
+    val total = Tables.customer(spark, sf).count()
+    assert(r.getAs[Long]("n_with_open") + r.getAs[Long]("n_without_open") == total)
+  }
+
+  test("sessionize: session count bounded by event count, gaps respected") {
+    val s = Queries.windowSessionize(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(s.agg(sum("n_events")).collect()(0).getLong(0) == nEvents)
+    // every session spans <= its event range; starts never after ends
+    assert(s.filter(col("session_start") > col("session_end")).count() == 0)
+  }
+
+  test("rollup includes grand total row") {
+    val r = Queries.rollupPriority(spark, sf)
+    val grand = r.filter(col("o_orderstatus") === "ALL" && col("o_orderpriority") === "ALL")
+    assert(grand.count() == 1)
+    assert(grand.collect()(0).getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+  }
+
+  test("approx distinct within 5% of exact") {
+    val exact = Queries.distinctCount(spark, sf).collect()(0).getAs[Long]("n_parts")
+    val approx = Queries.distinctApprox(spark, sf).collect()(0).getAs[Long]("approx_parts")
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("streaming hourly agg matches the batch equivalent") {
+    // stage events into a directory so readStream can watch it
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+
+    val q = EventsStream.streamingHourlyAgg(spark, dir, staged.schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_hourly")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventsStream.hourlyAggBatch(events).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+}
