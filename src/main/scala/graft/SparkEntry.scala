@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Queries
+import graft.dedup.Dedup
 import graft.etl._
+import graft.multimodal.BinaryColumns
 import graft.reporting.Reports
+import graft.similarity.Cosine
 import graft.streaming.EventsStream
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -119,6 +123,75 @@ object SparkEntry {
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
     EventsStream.hourlyAggBatch(Tables.events(s, dir))
 
+  // ------------------------------------------- LLM-data-pipeline surface
+
+  /** #20 Exact dedup on normalized content. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+
+  /** #21 MinHash + LSH banding near-dup candidates (rows-only check:
+    * signature internals are engine-specific but fully deterministic). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, dir))
+
+  /** #22 SimHash hamming-band near-dup (rows-only). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(s, dir))
+
+  /** #23 Exact n-gram Jaccard verify over LSH candidates (rows-only). */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir))
+
+  /** #24 Embedding-cosine near-dup pairs (threshold 0.4). */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+
+  /** #25 Brute-force cosine top-10 for queries vec_id < 8. */
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame =
+    Cosine.bruteTopK(Tables.embeddings(s, dir), nQueries = 8, k = 10)
+
+  /** #26 LSH-bucketed ANN, same queries (rows-only: recall < 1 by
+    * design). */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Cosine.lshTopK(Tables.embeddings(s, dir), nQueries = 8, k = 10)
+
+  /** #27 Stopword-inventory language ID. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.documents(s, dir))
+      .select((Seq(col("doc_id")) ++
+        TextOps.stopwords.map { case (l, _) => col(s"score_$l") } :+
+        col("lang_pred")): _*)
+      .orderBy("doc_id")
+
+  /** #28 Quality scoring (length/punct/stopword features). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, dir))
+      .select("doc_id", "n_chars", "n_tokens", "punct_ratio",
+              "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** #29 Token counting (whitespace + BPE-ish regex). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables.documents(s, dir))
+      .select("doc_id", "n_ws_tokens", "n_re_tokens")
+      .orderBy("doc_id")
+
+  /** #30 Content fingerprints (md5 + byte length). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(Tables.documents(s, dir))
+      .select("doc_id", "content_hash", "n_bytes")
+      .orderBy("doc_id")
+
+  /** #30b Rolling/winnowing fingerprints (rows-only). */
+  def textFingerprintRoll(s: SparkSession, dir: String): DataFrame =
+    TextOps.rollingFingerprint(Tables.documents(s, dir))
+      .select("doc_id", "rolling_hash", "winnow_min")
+      .orderBy("doc_id")
+
+  /** #31 Multimodal binary plumbing with stub decode. */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -142,7 +215,40 @@ object SparkEntry {
     "distinct_count"      -> (Queries.distinctCount _),
     "distinct_approx"     -> (Queries.distinctApprox _),
     "stream_window_agg"   -> (streamWindowAgg _),
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_ngram"         -> (dedupNgram _),
+    "dedup_embed"         -> (dedupEmbed _),
+    "ann_cosine_topk"     -> (annCosineTopk _),
+    "ann_lsh"             -> (annLsh _),
+    "text_langid"         -> (textLangid _),
+    "text_quality"        -> (textQuality _),
+    "text_tokens"         -> (textTokens _),
+    "text_fingerprint"    -> (textFingerprint _),
+    "text_fingerprint_roll" -> (textFingerprintRoll _),
+    "mm_binary_meta"      -> (mmBinaryMeta _),
   )
+
+  /** DuckDB langid oracle generated from the same stopword inventory as
+    * the Spark operator — single source of truth. */
+  private def langidOracle: String = {
+    val langs = TextOps.stopwords.map(_._1)
+    val scoreDefs = TextOps.stopwords.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    val caseChain = langs.map { lang =>
+      val conds = (langs.filter(_ != lang).map(o => s"score_$lang >= score_$o")
+        :+ s"score_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, $scoreDefs FROM t)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |       CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_avg_monthly" ->
@@ -314,5 +420,65 @@ object SparkEntry {
         |       round(sum(value), 2) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_key,
+        |       min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 8),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |             list_cosine_similarity(q.v, c.v) AS rawsim
+        |      FROM q JOIN v c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(rawsim, 4) AS sim FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rawsim DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "text_langid" -> langidOracle,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+        |          AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) *
+        |        (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |             / length(text)), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+        |  CAST(1 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design: nothing here ever cross-joins the corpus. Exact dedup is
+  * one hash-shuffle on the content key. MinHash/SimHash candidate
+  * generation explodes each doc into a FIXED number of (band, hash)
+  * tuples and self-joins on the band hash — the shuffle volume is
+  * O(docs × bands), and only same-bucket pairs are materialized.
+  * Verification (exact n-gram Jaccard) runs on candidate pairs only.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized content: one row per distinct text with the
+    * keeper (min doc_id) and the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(lower(trim(col(textCol)))).as("content_key"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  // ------------------------------------------------------------- minhash
+
+  val NumPerm = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumPerm / Bands
+
+  /** doc frame → (doc_id, sig: array<bigint> of NumPerm minhashes over
+    * word-3-gram shingles).
+    *
+    * Shape: explode(shingles) → groupBy(doc_id).agg(min(hash_i)...).
+    * The per-shingle hashes and the min-aggregate are whole-stage
+    * codegen'd with map-side partials — an order of magnitude faster than
+    * the equivalent array-lambda (`transform`/`array_min`), which Spark
+    * evaluates interpreted per element; and shingle-level parallelism
+    * splits giant documents across tasks instead of pinning each doc to
+    * one row. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+      explode(TextOps.shingleExpr(textCol, 3)).as("shingle"))
+    val minCols = (0 until NumPerm).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerm).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: near-dup candidate pairs with the signature-estimated
+    * Jaccard. Pairs agreeing on any of the `Bands` band-hashes collide;
+    * estimate = fraction of agreeing signature positions. */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    // cached: the self-join below would otherwise recompute the whole
+    // signature pipeline for each side (and again for every downstream
+    // caller — Spark's cache manager dedupes by canonicalized plan, so
+    // dedup_ngram reuses this too). At cluster scale this materialization
+    // would be a persisted signature table.
+    val sigs = minhashSignatures(docs, textCol).cache()
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+        s"j -> xxhash64(concat_ws('|', transform(slice(sig, j * $RowsPerBand + 1, $RowsPerBand), x -> cast(x as string))), j))"))
+        .as(Seq("band_idx", "band_hash")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("est_jaccard", round(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
+          lit(NumPerm.toDouble), 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc: explode distinct tokens (token-level
+    * parallelism — the one shuffle), per-bit weighted sums, sign bits
+    * packed into a long. */
+  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(split(lower($textCol), ' '))")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // disjoint single-bit terms: sum == bitwise-or
+    val packed = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Hamming-band candidates: 4 bands of 16 bits; any-band equality →
+    * candidate; keep pairs with hamming distance <= maxHamming. */
+  def simhashCandidates(docs: DataFrame, textCol: String = "text",
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(docs, textCol).cache() // self-join: compute once
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------- exact n-gram verify
+
+  /** Exact word-3-gram Jaccard over the MinHash candidate pairs — the
+    * verify stage of the dedup pipeline (candidates only; never all
+    * pairs). */
+  def ngramJaccard(docs: DataFrame, textCol: String = "text",
+                   minJaccard: Double = 0.2): DataFrame = {
+    val shingled = docs
+      .withColumn("shingles", TextOps.shingleExpr(textCol, 3))
+      .select("doc_id", "shingles")
+    val cands = minhashCandidates(docs, textCol, minEstJaccard = 0.2)
+      .select("doc_a", "doc_b")
+    cands
+      .join(shingled.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(shingled.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata alongside.
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * `StubDecoder.decode` derives deterministic fake metadata from the raw
+  * bytes. The Spark-side plumbing is real — typed Encoders, per-partition
+  * batch processing via mapPartitions (the Scala analogue of mapInPandas:
+  * the decoder is instantiated once per partition, amortized over the
+  * batch, exactly where a JNI/codec handle would live), and a schema that
+  * survives a parquet round-trip.
+  */
+object BinaryColumns {
+
+  case class Blob(doc_id: Long, payload: Array[Byte])
+  case class BlobMeta(doc_id: Long, n_bytes: Long,
+                      width: Long, height: Long, channels: Long)
+
+  /** A real decoder would parse image headers / decode frames here. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val n = payload.length.toLong
+      // ??? real codec goes here — deterministic fake keeps tests honest
+      (1 + n % 64, 1 + n % 48, 3L)
+    }
+  }
+
+  /** Manufacture a binary payload column from text (UTF-8 bytes) — stands
+    * in for reading image bytes from object storage. */
+  def toBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[Blob]
+  }
+
+  /** Decode metadata per partition (decoder init amortized per batch). */
+  def decodeMeta(blobs: Dataset[Blob]): Dataset[BlobMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder setup would happen here
+      it.map { b =>
+        val (w, h, c) = StubDecoder.decode(b.payload)
+        BlobMeta(b.doc_id, b.payload.length.toLong, w, h, c)
+      }
+    }
+  }
+
+  /** End-to-end: text → binary → per-partition stub decode → typed
+    * metadata frame. */
+  def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(toBlobs(docs)).toDF().orderBy("doc_id")
+}

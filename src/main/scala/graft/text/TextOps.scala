@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * shingling, language-ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * All pure per-row projections (no shuffle): built from codegen'd
+  * functions plus higher-order array functions. Deterministic — every
+  * hash is xxhash64/md5, no RNG — so outputs are stable across runs and
+  * engines.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text (single-space delimiter —
+    * matches the synthetic corpus and keeps SQL-oracle parity trivial). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles, the MinHash input unit. Short docs
+    * (< n tokens) contribute their full token span as one shingle. */
+  def shingleExpr(textCol: String, n: Int): Column = expr(
+    s"""array_distinct(transform(
+       |  sequence(0, greatest(size(split(lower($textCol), ' ')) - $n, 0)),
+       |  i -> concat_ws(' ', slice(split(lower($textCol), ' '), i + 1, $n))))""".stripMargin)
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword inventories for the n-gram-free heuristic:
+    * score = |tokens ∩ stopwords(lang)|, predict argmax with a fixed
+    * tie-break order. Compact by design — language ID at corpus scale is
+    * a pruning heuristic, not a classifier. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "se", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "den", "von", "zu", "mit", "des", "ist"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he", "you", "wo", "ta", "men", "zhe"))
+
+  private def scoreCol(textCol: String, words: Seq[String]): Column = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"cast(size(filter(split(lower($textCol), ' '), t -> array_contains($arr, t))) as bigint)")
+  }
+
+  /** doc frame → (doc_id, score_<lang>..., lang_pred). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = stopwords.foldLeft(docs) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", scoreCol(textCol, words))
+    }
+    // argmax with declaration-order tie-break (en first)
+    val pred = stopwords.map(_._1).foldRight(lit("und")) { case (lang, els) =>
+      val isMax = stopwords.map(_._1).filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(isMax && col(s"score_$lang") > 0, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Length/punctuation/stopword quality features + a composite score in
+    * [0,1]. Ratios are computed on raw values and rounded only at the
+    * output edge. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nChars = length(col(textCol)).cast("long")
+    val nTokens = size(split(col(textCol), " ")).cast("long")
+    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")).cast("double")
+    val punctRatio = punct / nChars.cast("double")
+    val stopHits = scoreCol(textCol, stopwords.head._2).cast("double")
+    val stopRatio = stopHits / nTokens.cast("double")
+    docs
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("quality_score",
+        round(least(nTokens.cast("double") / lit(50.0), lit(1.0)) *
+          (lit(1.0) - punctRatio), 4))
+  }
+
+  // ------------------------------------------------------- token counting
+
+  /** Whitespace token count + BPE-ish regex token count (letter runs,
+    * digit runs, single punctuation marks — the pre-tokenization split
+    * most BPE vocabularies assume). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_re_tokens",
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Content fingerprints: md5 (engine-portable exact hash) + byte length. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+
+  /** Rolling polynomial hash (mod 2^61-1-ish prime kept in long range) over
+    * character codes, plus winnowing-style window minima over token hashes —
+    * the dedup-sketch primitive. Engine-specific (rows-only check). */
+  def rollingFingerprint(docs: DataFrame, textCol: String = "text",
+                         window: Int = 8): DataFrame =
+    docs
+      .withColumn("rolling_hash", expr(
+        s"aggregate(regexp_extract_all($textCol, '.', 0), cast(7 as bigint), " +
+        s"(acc, c) -> pmod(acc * 131 + ascii(c), 1000000007))"))
+      .withColumn("winnow_min", expr(
+        s"""array_min(transform(
+           |  sequence(0, greatest(size(split(lower($textCol), ' ')) - $window, 0)),
+           |  i -> array_min(transform(slice(split(lower($textCol), ' '), i + 1, $window),
+           |                 t -> xxhash64(t)))))""".stripMargin))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Cosine
+import graft.text.TextOps
+
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("exact dedup: keepers unique, copies sum to corpus size") {
+    val d = Dedup.exact(docs)
+    assert(d.select("keeper").distinct().count() == d.count())
+    assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("minhash estimate tracks exact jaccard on candidates") {
+    val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.2)
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.0)
+    val joined = cands.join(exact, Seq("doc_a", "doc_b"))
+    assert(joined.count() > 0, "no near-dup candidates found")
+    // signature estimate within 0.35 of exact jaccard for every candidate
+    val worst = joined
+      .agg(max(abs(col("est_jaccard") - col("jaccard")))).collect()(0).getDouble(0)
+    assert(worst < 0.35, s"minhash estimate off by $worst")
+  }
+
+  test("minhash finds the planted near-duplicate pairs") {
+    // pairs with exact jaccard >= 0.8 must all surface as candidates
+    val strong = Dedup.ngramJaccard(docs, minJaccard = 0.0)
+      .filter(col("jaccard") >= 0.8)
+    val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.5)
+    val missed = strong.join(cands, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(strong.count() > 0)
+    assert(missed == 0, s"$missed strong pairs missed by LSH")
+  }
+
+  test("simhash: near-identical docs collide, hamming small") {
+    val sh = Dedup.simhashCandidates(docs, maxHamming = 10)
+    val strong = Dedup.ngramJaccard(docs, minJaccard = 0.0)
+      .filter(col("jaccard") >= 0.95).select("doc_a", "doc_b")
+    val found = strong.join(sh, Seq("doc_a", "doc_b")).count()
+    assert(found >= strong.count() / 2,
+      s"simhash found $found of ${strong.count()} strong pairs")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val p = Cosine.nearDupPairs(Tables.embeddings(spark, sf), 0.4)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(p.filter(col("sim") < 0.4).count() == 0)
+  }
+
+  test("rolling fingerprint is deterministic across evaluations") {
+    val a = TextOps.rollingFingerprint(docs).select("doc_id", "rolling_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = TextOps.rollingFingerprint(docs).select("doc_id", "rolling_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+}
