@@ -123,6 +123,64 @@ object SparkEntry {
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
     EventsStream.hourlyAggBatch(Tables.events(s, dir))
 
+  /** #32 Semi-structured extraction: JSON props → typed column → agg. */
+  def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), round(avg("k"), 2).as("avg_k"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** #33 Multi-format sink round-trip (csv + json) of the Q1 report. */
+  def sinkFormats(s: SparkSession, dir: String): DataFrame = {
+    val q1 = q1AvgMonthly(s, dir)
+    val base = tempDir("formats")
+    q1.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    q1.write.mode("overwrite").json(s"$base/json")
+    val schema = q1.schema
+    val c = s.read.option("header", "true").schema(schema).csv(s"$base/csv")
+      .withColumn("format", lit("csv"))
+    val j = s.read.schema(schema).json(s"$base/json")
+      .withColumn("format", lit("json"))
+    c.unionByName(j)
+      .select("format", "report_month", "avg_total_amount")
+      .orderBy("format", "report_month")
+  }
+
+  /** #34 Incremental month/fleet reprocess: full consumer write, then a
+    * DYNAMIC partition overwrite of only the yellow partitions (with a
+    * stricter amount rule) — green survives untouched, mirroring the
+    * reference's per-trip_type reprocessing contract. */
+  def etlIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("incr")
+    val consumer = ConsumerPipeline.consumer(s, dir)
+      .select("event_id", "passenger_count", "total_amount",
+              "trip_type", "trip_year", "trip_month")
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    PartitionedSink.write(consumer, path, parts)
+    PartitionedSink.write(
+      consumer.filter(col("trip_type") === ConsumerPipeline.YellowType &&
+        col("total_amount") >= 100), path, parts)
+    PartitionedSink.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_type")
+  }
+
+  /** #35 Salted skew join (lineitem ⋈ 10-row supplier: maximally hot
+    * keys) — result provably identical to the plain equi-join, which is
+    * exactly what the oracle runs. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedEquiJoin(
+        Tables.lineitem(s, dir).withColumnRenamed("l_suppkey", "s_suppkey"),
+        Tables.supplier(s, dir), Seq("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("s_name")
+
   // ------------------------------------------- LLM-data-pipeline surface
 
   /** #20 Exact dedup on normalized content. */
@@ -228,6 +286,10 @@ object SparkEntry {
     "text_fingerprint"    -> (textFingerprint _),
     "text_fingerprint_roll" -> (textFingerprintRoll _),
     "mm_binary_meta"      -> (mmBinaryMeta _),
+    "events_json_extract" -> (eventsJsonExtract _),
+    "sink_formats"        -> (sinkFormats _),
+    "etl_incremental"     -> (etlIncremental _),
+    "join_salted"         -> (joinSalted _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -480,5 +542,39 @@ object SparkEntry {
         |  CAST(1 + octet_length(encode(text)) % 48 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sink_formats" ->
+      s"""SELECT f.format, q.report_month, q.avg_total_amount
+         |FROM (SELECT 'csv' AS format UNION ALL SELECT 'json') f
+         |CROSS JOIN (
+         |  SELECT strftime(ts, '%Y-%m') AS report_month,
+         |         round(avg(value), 2) AS avg_total_amount
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND $dqSql
+         |  GROUP BY 1) q
+         |ORDER BY 1, 2""".stripMargin,
+
+    "etl_incremental" ->
+      s"""SELECT trip_type, count(*) AS n_rows, round(sum(total_amount), 2) AS total
+         |FROM (
+         |  SELECT event_type AS trip_type, value AS total_amount FROM events
+         |  WHERE event_type = 'view' AND $dqSql
+         |  UNION ALL
+         |  SELECT event_type, value FROM events
+         |  WHERE event_type = 'purchase' AND $dqSql AND value >= 100)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_salted" ->
+      """SELECT s_name, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

