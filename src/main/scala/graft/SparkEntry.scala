@@ -181,6 +181,18 @@ object SparkEntry {
            round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy("s_name")
 
+  /** #36 Ad-hoc SQL over the registered catalog (the reference's Athena
+    * consumption path, reference analysis/analytics_job.py:29-54). The
+    * SQL here runs verbatim on both engines. */
+  def sqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // ------------------------------------------- LLM-data-pipeline surface
 
   /** #20 Exact dedup on normalized content. */
@@ -290,6 +302,7 @@ object SparkEntry {
     "sink_formats"        -> (sinkFormats _),
     "etl_incremental"     -> (etlIncremental _),
     "join_salted"         -> (joinSalted _),
+    "sql_interface"       -> (sqlInterface _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -576,5 +589,11 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sql_interface" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

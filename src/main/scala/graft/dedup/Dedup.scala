@@ -52,31 +52,43 @@ object Dedup {
         array((0 until NumPerm).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
-  /** LSH banding: near-dup candidate pairs with the signature-estimated
-    * Jaccard. Pairs agreeing on any of the `Bands` band-hashes collide;
-    * estimate = fraction of agreeing signature positions. */
-  def minhashCandidates(docs: DataFrame, textCol: String = "text",
-                        minEstJaccard: Double = 0.5): DataFrame = {
-    // cached: the self-join below would otherwise recompute the whole
-    // signature pipeline for each side (and again for every downstream
-    // caller — Spark's cache manager dedupes by canonicalized plan, so
-    // dedup_ngram reuses this too). At cluster scale this materialization
-    // would be a persisted signature table.
-    val sigs = minhashSignatures(docs, textCol).cache()
+  /** Cached signature frame — the self-joins below would otherwise
+    * recompute the signature pipeline per side and per downstream caller
+    * (Spark's cache manager dedupes by canonicalized plan, so every
+    * caller in a session shares one materialization). At cluster scale
+    * this is a persisted signature table. */
+  private def cachedSignatures(docs: DataFrame, textCol: String): DataFrame =
+    minhashSignatures(docs, textCol).cache()
+
+  /** Candidate id-pairs from LSH banding: pairs agreeing on any of the
+    * `Bands` band-hashes. Only (doc_id, band) tuples travel through the
+    * self-join — signatures (512-byte arrays) would force the pair dedup
+    * into a SortAggregate and bloat the shuffle. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sigs = cachedSignatures(docs, textCol)
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
         s"j -> xxhash64(concat_ws('|', transform(slice(sig, j * $RowsPerBand + 1, $RowsPerBand), x -> cast(x as string))), j))"))
         .as(Seq("band_idx", "band_hash")))
-    val pairs = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+  }
+
+  /** LSH near-dup candidates with the signature-estimated Jaccard
+    * (fraction of agreeing positions), re-attaching signatures to the
+    * (small) candidate set by broadcast join. */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    val sigs = cachedSignatures(docs, textCol)
+    minhashCandidatePairs(docs, textCol)
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
       .withColumn("est_jaccard", round(
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
           lit(NumPerm.toDouble), 4))
@@ -118,11 +130,13 @@ object Dedup {
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      // hamming filter BEFORE the pair dedup: shrinks the aggregate input
+      // by the band-collision multiplicity (cheap bit_count vs shuffling
+      // every collision)
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -136,8 +150,7 @@ object Dedup {
     val shingled = docs
       .withColumn("shingles", TextOps.shingleExpr(textCol, 3))
       .select("doc_id", "shingles")
-    val cands = minhashCandidates(docs, textCol, minEstJaccard = 0.2)
-      .select("doc_a", "doc_b")
+    val cands = minhashCandidatePairs(docs, textCol)
     cands
       .join(shingled.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
