@@ -181,6 +181,14 @@ object SparkEntry {
            round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy("s_name")
 
+  /** #40 Pivot report: avg amount per hour × fleet (wide format). */
+  def reportPivot(s: SparkSession, dir: String): DataFrame =
+    ConsumerPipeline.consumer(s, dir)
+      .groupBy(col("trip_hour").cast("long").as("report_hour"))
+      .pivot("trip_type", Seq(ConsumerPipeline.YellowType, ConsumerPipeline.GreenType))
+      .agg(round(avg(col("total_amount")), 2))
+      .orderBy("report_hour")
+
   /** #36 Ad-hoc SQL over the registered catalog (the reference's Athena
     * consumption path, reference analysis/analytics_job.py:29-54). The
     * SQL here runs verbatim on both engines. */
@@ -303,6 +311,10 @@ object SparkEntry {
     "etl_incremental"     -> (etlIncremental _),
     "join_salted"         -> (joinSalted _),
     "sql_interface"       -> (sqlInterface _),
+    "agg_quantiles"       -> (Queries.aggQuantiles _),
+    "join_outer"          -> (Queries.joinOuter _),
+    "set_ops"             -> (Queries.setOps _),
+    "report_pivot"        -> (reportPivot _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -595,5 +607,40 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS med_value,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_value,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_outer" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS n_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS n_only_open,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |     UNION
+        |     SELECT o_custkey FROM orders WHERE o_totalprice > 150000)) AS n_either""".stripMargin,
+
+    "report_pivot" ->
+      s"""SELECT CAST(hour(ts) AS BIGINT) AS report_hour,
+         |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+         |  round(avg(CASE WHEN event_type = 'view' THEN value END), 2) AS "view"
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -151,4 +151,34 @@ object Queries {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** #37 Exact interpolated quantiles (median + p90) per group. */
+  def aggQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(median(col("value")), 4).as("med_value"),
+           round(percentile(col("value"), lit(0.9)), 4).as("p90_value"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** #38 Left outer join with null-aware counting: suppliers per nation
+    * including supplier-less nations (count(col) skips nulls). */
+  def joinOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(Tables.supplier(s, dir),
+        col("n_nationkey") === col("s_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")
+
+  /** #39 Set operations (distinct semantics, matching SQL
+    * INTERSECT/EXCEPT/UNION). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val high = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    open.intersect(high).agg(count(lit(1)).as("n_both"))
+      .crossJoin(open.except(high).agg(count(lit(1)).as("n_only_open")))
+      .crossJoin(open.union(high).distinct().agg(count(lit(1)).as("n_either")))
+  }
 }
