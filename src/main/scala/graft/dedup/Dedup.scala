@@ -33,24 +33,19 @@ object Dedup {
   val RowsPerBand: Int = NumPerm / Bands
 
   /** doc frame → (doc_id, sig: array<bigint> of NumPerm minhashes over
-    * word-3-gram shingles).
+    * word-3-gram shingles), via the native codegen expression
+    * [[graft.functions.MinHashSig]] — a per-row loop, zero shuffle. The
+    * signature never leaves the document's task; hashing is identical to
+    * `xxhash64(shingle, perm)`.
     *
-    * Shape: explode(shingles) → groupBy(doc_id).agg(min(hash_i)...).
-    * The per-shingle hashes and the min-aggregate are whole-stage
-    * codegen'd with map-side partials — an order of magnitude faster than
-    * the equivalent array-lambda (`transform`/`array_min`), which Spark
-    * evaluates interpreted per element; and shingle-level parallelism
-    * splits giant documents across tasks instead of pinning each doc to
-    * one row. */
-  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
-      explode(TextOps.shingleExpr(textCol, 3)).as("shingle"))
-    val minCols = (0 until NumPerm).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
-    shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerm).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
+    * Alternative shape for pathological corpora (single documents large
+    * enough to dominate a task): explode(shingles) →
+    * groupBy(doc_id).agg(min(xxhash64(shingle, i))...), which buys
+    * shingle-level parallelism for one extra shuffle. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchFunctions.minhash_sig(docs.sparkSession,
+        TextOps.shingleExpr(textCol, 3), NumPerm).as("sig"))
 
   /** Cached signature frame — the self-joins below would otherwise
     * recompute the signature pipeline per side and per downstream caller
@@ -99,22 +94,14 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per doc: explode distinct tokens (token-level
-    * parallelism — the one shuffle), per-bit weighted sums, sign bits
-    * packed into a long. */
-  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(split(lower($textCol), ' '))")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // disjoint single-bit terms: sum == bitwise-or
-    val packed = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    summed.select(col("doc_id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per doc over distinct tokens, via the native codegen
+    * expression [[graft.functions.SimHash64]] — per-row loop, zero
+    * shuffle (replaces an explode → 64-column weighted-sum aggregate
+    * whose generated code janino took seconds to compile). */
+  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchFunctions.simhash64(docs.sparkSession,
+        expr(s"array_distinct(split(lower($textCol), ' '))")).as("simhash"))
 
   /** Hamming-band candidates: 4 bands of 16 bits; any-band equality →
     * candidate; keep pairs with hamming distance <= maxHamming. */

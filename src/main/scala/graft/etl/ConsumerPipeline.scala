@@ -61,9 +61,15 @@ object ConsumerPipeline {
   }
 
   /** Full consumer-layer frame: unified, DQ-cleaned, with trip_year /
-    * trip_month partition features (process_data_glue.py:73-91). */
+    * trip_month partition features (process_data_glue.py:73-91).
+    *
+    * Cached: seven downstream queries derive from this frame; in the
+    * reference architecture it is a MATERIALIZED layer (the consumer
+    * Delta table), so sharing one in-memory materialization per session
+    * is the faithful small-scale analogue. Spark's cache manager dedupes
+    * by canonicalized plan, so every call shares the entry. */
   def consumer(spark: SparkSession, sfDir: String): DataFrame =
     Features.temporal(
       DataQuality.clean(unified(spark, sfDir), dqRules),
-      "pickup_datetime")
+      "pickup_datetime").cache()
 }
