@@ -181,6 +181,51 @@ object SparkEntry {
            round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy("s_name")
 
+  /** #41 Backward as-of join: each purchase gets the user's latest
+    * prior-or-simultaneous signup timestamp (NULL if none). */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    analytics.Temporal.asofBackward(purchases, signups, "user_id", "ts", Seq("signup_ts"))
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** #42 Range join: orders bucketed into literal price bands (broadcast
+    * band table, BNLJ on the between-condition — bands are tiny by
+    * construction). */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("lo", 0d, 100000d), ("mid", 100000d, 200000d), ("hi", 200000d, 1e9)))
+      .toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy("band")
+  }
+
+  /** #43 Bucketed co-located join: both facts written bucketed+sorted by
+    * the join key → sort-merge join with no shuffle on either side. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("bucketed")
+    Bucketing.writeBucketed(Tables.orders(s, dir), "graft_orders_b",
+      s"$base/orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(Tables.lineitem(s, dir), "graft_lineitem_b",
+      s"$base/lineitem", "l_orderkey", 8)
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** #40 Pivot report: avg amount per hour × fleet (wide format). */
   def reportPivot(s: SparkSession, dir: String): DataFrame =
     ConsumerPipeline.consumer(s, dir)
@@ -315,6 +360,9 @@ object SparkEntry {
     "join_outer"          -> (Queries.joinOuter _),
     "set_ops"             -> (Queries.setOps _),
     "report_pivot"        -> (reportPivot _),
+    "join_asof"           -> (joinAsof _),
+    "join_range"          -> (joinRange _),
+    "join_bucketed"       -> (joinBucketed _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -642,5 +690,29 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "join_range" ->
+      """SELECT band, count(*) AS n_orders,
+        |       round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |JOIN (VALUES ('lo', 0, 100000), ('mid', 100000, 200000),
+        |             ('hi', 200000, 1000000000)) AS b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
