@@ -181,6 +181,39 @@ object SparkEntry {
            round(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy("s_name")
 
+  /** #44 Schema-merge ingest: two landing batches with drifted schemas
+    * (one has an extra column) read as one frame via mergeSchema — the
+    * reference's mergeSchema read (process_data_glue.py:137-139). */
+  def ingestMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("mergeschema")
+    val ev = Tables.events(s, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("props").as("extra_props"))
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    Ingest.readBatch(s, Seq(s"$base/batch1", s"$base/batch2"), mergeSchema = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("extra_props").isNotNull.as("has_extra"))
+      .orderBy("event_id")
+  }
+
+  /** #45 Small-file compaction: shatter the consumer frame into many
+    * files, compact to size-targeted files, prove the data survives. */
+  def etlCompaction(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("compact")
+    ConsumerPipeline.consumer(s, dir)
+      .select("event_id", "trip_type", "total_amount")
+      .repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val compacted = Compaction.compact(s, s"$base/small", s"$base/big")
+    compacted.groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_type")
+  }
+
   /** #41 Backward as-of join: each purchase gets the user's latest
     * prior-or-simultaneous signup timestamp (NULL if none). */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {
@@ -363,6 +396,8 @@ object SparkEntry {
     "join_asof"           -> (joinAsof _),
     "join_range"          -> (joinRange _),
     "join_bucketed"       -> (joinBucketed _),
+    "ingest_merge_schema" -> (ingestMergeSchema _),
+    "etl_compaction"      -> (etlCompaction _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -714,5 +749,18 @@ object SparkEntry {
         |       round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_merge_schema" ->
+      """SELECT event_id, user_id, value,
+        |       (event_type = 'view') AS has_extra
+        |FROM events WHERE event_type IN ('purchase', 'view')
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_compaction" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
