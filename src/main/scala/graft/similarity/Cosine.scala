@@ -103,18 +103,10 @@ object Cosine {
 
   // ------------------------------------------------------------- LSH ANN
 
-  /** Deterministic ±1 hyperplanes (fixed LCG — reproducible across runs). */
-  private def hyperplane(table: Int, bit: Int, dim: Int): Seq[Double] = {
-    var state = (table.toLong * 1000003 + bit * 7919 + 12345) & 0x7fffffffL
-    Seq.fill(dim) {
-      state = (state * 1103515245L + 12345L) & 0x7fffffffL
-      if ((state & 1L) == 1L) 1.0 else -1.0
-    }
-  }
-
   /** Sign-bit bucket ids per table via the native
-    * [[graft.functions.HyperplaneSig]] expression (same LCG hyperplanes as
-    * [[hyperplane]]), exploded to (vec_id, v, norm, table_id, bucket). */
+    * [[graft.functions.HyperplaneSig]] expression (deterministic
+    * LCG-derived ±1 hyperplanes), exploded to
+    * (vec_id, v, norm, table_id, bucket). */
   private def bucketed(p: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame =
     p.select(col("vec_id"), col("v"), col("norm"),
       posexplode(graft.functions.HyperplaneSigFunction
