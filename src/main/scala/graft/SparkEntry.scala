@@ -344,6 +344,32 @@ object SparkEntry {
       .select("doc_id", "rolling_hash", "winnow_min")
       .orderBy("doc_id")
 
+  /** #46 Near-dup cluster assembly: connected components over the
+    * embedding near-dup pairs. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  /** #47 Vocabulary / document-frequency stats: top-100 tokens by DF. */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
+
+  /** #48 Deterministic hash train/test split: per-lang counts of both
+    * splits (rows-only: xxhash64 is engine-specific, but the assignment
+    * is fully deterministic). */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = Splits.hashSplit(Tables.documents(s, dir), "doc_id", 100)
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   /** #31 Multimodal binary plumbing with stub decode. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
@@ -398,6 +424,9 @@ object SparkEntry {
     "join_bucketed"       -> (joinBucketed _),
     "ingest_merge_schema" -> (ingestMergeSchema _),
     "etl_compaction"      -> (etlCompaction _),
+    "dedup_clusters"      -> (dedupClusters _),
+    "text_vocab"          -> (textVocab _),
+    "sample_split"        -> (sampleSplit _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -762,5 +791,26 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |          FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |bidir AS (SELECT va AS a, vb AS b FROM pairs
+        |          UNION SELECT vb, va FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM bidir
+        |                UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS node FROM bidir)
+        |SELECT node, least(node, min(b)) AS cluster
+        |FROM nodes LEFT JOIN reach ON reach.a = node
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT tok, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
   )
 }

@@ -127,6 +127,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------- near-dup cluster assembly
+
+  /** Connected components over a candidate-pair edge list → (node,
+    * cluster) with cluster = min node id of the component. Iterative
+    * min-label propagation (the Pregel CC algorithm as DataFrame joins):
+    * per round, each node takes the min of its own and its neighbors'
+    * labels; converges in diameter(component) rounds — near-dup clusters
+    * are shallow, so a handful. Edges are the (tiny) LSH candidate set,
+    * never the corpus, so each round is a join on edges only. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) per round: iterative lineage otherwise
+    // nests the upstream candidate-generation subtree once per iteration
+    // — plans grow unboundedly (explain/optimizer cost, eventually OOM).
+    // At cluster scale this becomes checkpoint() to reliable storage.
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("lb")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster")).orderBy("node")
+  }
+
   // ------------------------------------------------- exact n-gram verify
 
   /** Exact word-3-gram Jaccard over the MinHash candidate pairs — the
