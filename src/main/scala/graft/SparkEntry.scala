@@ -247,10 +247,12 @@ object SparkEntry {
     * the join key → sort-merge join with no shuffle on either side. */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val base = tempDir("bucketed")
-    Bucketing.writeBucketed(Tables.orders(s, dir), "graft_orders_b",
-      s"$base/orders", "o_orderkey", 8)
-    Bucketing.writeBucketed(Tables.lineitem(s, dir), "graft_lineitem_b",
-      s"$base/lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      "graft_orders_b", s"$base/orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_quantity"),
+      "graft_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
     s.table("graft_lineitem_b")
       .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

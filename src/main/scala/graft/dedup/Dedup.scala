@@ -136,6 +136,12 @@ object Dedup {
     * labels; converges in diameter(component) rounds — near-dup clusters
     * are shallow, so a handful. Edges are the (tiny) LSH candidate set,
     * never the corpus, so each round is a join on edges only. */
+  /** Edge-count pivot between the driver union-find and the distributed
+    * loop: a candidate graph below this is join-overhead-bound (each
+    * distributed round costs ~2 jobs), above it driver memory would be
+    * the limit. */
+  val SmallGraphEdges = 1000000L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) per round: iterative lineage otherwise
     // nests the upstream candidate-generation subtree once per iteration
@@ -144,6 +150,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().localCheckpoint(true)
+    if (edges.count() <= SmallGraphEdges) return unionFindLocal(edges)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var iter = 0
@@ -163,6 +170,31 @@ object Dedup {
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster")).orderBy("node")
+  }
+
+  /** Driver union-find for candidate graphs that fit in memory — LSH
+    * candidate sets are ~0.01% of the corpus, so this is the common
+    * case; the distributed loop above is the safety net. Labels are the
+    * component minimum (same fixed point as the propagation). */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataFrame(out).toDF("node", "cluster").orderBy("node")
   }
 
   // ------------------------------------------------- exact n-gram verify
