@@ -372,6 +372,28 @@ object SparkEntry {
       .orderBy("split", "lang")
   }
 
+  /** #49 PII redaction over deterministically-injected emails/phones
+    * (the synthetic corpus has none, so the query plants one per doc —
+    * the redactor sees realistic shapes). */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).withColumn("text",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-01"), lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+        lit("99")))
+    TextOps.redactPii(withPii)
+      .select(col("doc_id"), md5(col("redacted")).as("redacted_hash"),
+              col("n_redactions"))
+      .orderBy("doc_id")
+  }
+
+  /** #50 Keep-best drop list: for every near-dup cluster keep the min id,
+    * emit (node → keeper) for the rest — the rows a dedup pass deletes. */
+  def dedupDroplist(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("drop_id"), col("cluster").as("keeper"))
+      .orderBy("drop_id")
+
   /** #31 Multimodal binary plumbing with stub decode. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
@@ -429,6 +451,8 @@ object SparkEntry {
     "dedup_clusters"      -> (dedupClusters _),
     "text_vocab"          -> (textVocab _),
     "sample_split"        -> (sampleSplit _),
+    "text_pii_redact"     -> (textPiiRedact _),
+    "dedup_droplist"      -> (dedupDroplist _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -814,5 +838,34 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or 555-01'
+        |              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '99' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4,}', '<PHONE>', 'g')) AS redacted_hash,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) +
+        |       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,}')) AS BIGINT) AS n_redactions
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "dedup_droplist" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |          FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |bidir AS (SELECT va AS a, vb AS b FROM pairs
+        |          UNION SELECT vb, va FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM bidir
+        |                UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS node FROM bidir),
+        |cc AS (SELECT node, least(node, min(b)) AS cluster
+        |       FROM nodes LEFT JOIN reach ON reach.a = node GROUP BY node)
+        |SELECT node AS drop_id, cluster AS keeper FROM cc
+        |WHERE node <> cluster ORDER BY drop_id""".stripMargin,
   )
 }

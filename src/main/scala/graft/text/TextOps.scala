@@ -100,6 +100,23 @@ object TextOps {
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
 
+  // ----------------------------------------------------------- redaction
+
+  val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4,}"
+
+  /** PII redaction: replace email/phone shapes with typed placeholder
+    * tokens and count the redactions. Pure projection (codegen'd regex),
+    * the standard pre-training scrub pass. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_redactions",
+        (size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))) +
+         size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
   /** Rolling polynomial hash (mod 2^61-1-ish prime kept in long range) over
     * character codes, plus winnowing-style window minima over token hashes —
     * the dedup-sketch primitive. Engine-specific (rows-only check). */
