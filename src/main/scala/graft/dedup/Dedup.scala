@@ -43,9 +43,10 @@ object Dedup {
     * groupBy(doc_id).agg(min(xxhash64(shingle, i))...), which buys
     * shingle-level parallelism for one extra shuffle. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.SketchFunctions.minhash_sig(docs.sparkSession,
-        TextOps.shingleExpr(textCol, 3), NumPerm).as("sig"))
+    TextOps.withShingles(docs, textCol, 3)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.minhash_sig(docs.sparkSession,
+          col("shingles"), NumPerm).as("sig"))
 
   /** Cached signature frame — the self-joins below would otherwise
     * recompute the signature pipeline per side and per downstream caller
@@ -85,8 +86,8 @@ object Dedup {
       .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
       .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
       .withColumn("est_jaccard", round(
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
-          lit(NumPerm.toDouble), 4))
+        graft.functions.SketchFunctions.sig_agreement(docs.sparkSession,
+          col("sig_a"), col("sig_b")) / lit(NumPerm.toDouble), 4))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
@@ -204,8 +205,7 @@ object Dedup {
     * pairs). */
   def ngramJaccard(docs: DataFrame, textCol: String = "text",
                    minJaccard: Double = 0.2): DataFrame = {
-    val shingled = docs
-      .withColumn("shingles", TextOps.shingleExpr(textCol, 3))
+    val shingled = TextOps.withShingles(docs, textCol, 3)
       .select("doc_id", "shingles")
     val cands = minhashCandidatePairs(docs, textCol)
     cands

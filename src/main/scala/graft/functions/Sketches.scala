@@ -139,6 +139,50 @@ case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of positions where two equal-length `array<bigint>` signatures
+  * agree — the MinHash Jaccard estimator numerator. Native loop instead
+  * of `size(filter(zip_with(...)))`, which allocates two arrays and
+  * dispatches two lambdas per pair, interpreted. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement expects (array<bigint>, array<bigint>)")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -146,6 +190,8 @@ object SketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
   }
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
@@ -154,5 +200,9 @@ object SketchFunctions {
   def minhash_sig(spark: SparkSession, shingles: Column, numPerm: Int): Column = {
     register(spark)
     call_function("minhash_sig", shingles, lit(numPerm))
+  }
+  def sig_agreement(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("sig_agreement", a, b)
   }
 }

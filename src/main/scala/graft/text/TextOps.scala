@@ -19,11 +19,25 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Distinct word n-gram shingles, the MinHash input unit. Short docs
-    * (< n tokens) contribute their full token span as one shingle. */
+    * (< n tokens) contribute their full token span as one shingle.
+    *
+    * NOTE: every reference to `$textCol` here is re-evaluated per shingle
+    * when the argument is an expression like `split(...)` — bind a token
+    * ARRAY COLUMN first (see [[withShingles]]) so tokenization runs once
+    * per row, not once per shingle. */
   def shingleExpr(textCol: String, n: Int): Column = expr(
     s"""array_distinct(transform(
-       |  sequence(0, greatest(size(split(lower($textCol), ' ')) - $n, 0)),
-       |  i -> concat_ws(' ', slice(split(lower($textCol), ' '), i + 1, $n))))""".stripMargin)
+       |  sequence(0, greatest(size($textCol) - $n, 0)),
+       |  i -> concat_ws(' ', slice($textCol, i + 1, $n))))""".stripMargin)
+
+  /** Adds `shingles` derived from a once-per-row token projection.
+    * Catalyst keeps the intermediate `_toks` projection separate (split
+    * is not a collapse-cheap expression), so tokenization is not inlined
+    * into each shingle lambda. */
+  def withShingles(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("_toks", split(lower(col(textCol)), " "))
+      .withColumn("shingles", shingleExpr("_toks", n))
+      .drop("_toks")
 
   // ------------------------------------------------------------- lang id
 
@@ -126,9 +140,11 @@ object TextOps {
       .withColumn("rolling_hash", expr(
         s"aggregate(regexp_extract_all($textCol, '.', 0), cast(7 as bigint), " +
         s"(acc, c) -> pmod(acc * 131 + ascii(c), 1000000007))"))
+      .withColumn("_hashes",
+        expr(s"transform(split(lower($textCol), ' '), t -> xxhash64(t))"))
       .withColumn("winnow_min", expr(
         s"""array_min(transform(
-           |  sequence(0, greatest(size(split(lower($textCol), ' ')) - $window, 0)),
-           |  i -> array_min(transform(slice(split(lower($textCol), ' '), i + 1, $window),
-           |                 t -> xxhash64(t)))))""".stripMargin))
+           |  sequence(0, greatest(size(_hashes) - $window, 0)),
+           |  i -> array_min(slice(_hashes, i + 1, $window))))""".stripMargin))
+      .drop("_hashes")
 }
