@@ -178,7 +178,8 @@ object SparkEntry {
         Tables.supplier(s, dir), Seq("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_quantity")), 2).as("sum_qty"))
+           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+             .as("sum_qty"))
       .orderBy("s_name")
 
   /** #44 Schema-merge ingest: two landing batches with drifted schemas
@@ -257,7 +258,8 @@ object SparkEntry {
       .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_extendedprice")), 2).as("total_price"))
+           round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+             .as("total_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -453,6 +455,9 @@ object SparkEntry {
     "sample_split"        -> (sampleSplit _),
     "text_pii_redact"     -> (textPiiRedact _),
     "dedup_droplist"      -> (dedupDroplist _),
+    "agg_stats"           -> (Queries.aggStats _),
+    "agg_strings"         -> (Queries.aggStrings _),
+    "window_session_native" -> (Queries.windowSessionNative _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -542,19 +547,20 @@ object SparkEntry {
 
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 2) AS avg_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
-        |       count(*) AS count_order
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |        AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "join_top_customers" ->
       """SELECT c_custkey, c_name,
-        |       round(sum(o_totalprice), 2) AS revenue,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
         |       count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2
@@ -563,7 +569,9 @@ object SparkEntry {
 
     "join_revenue_nation" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |             AS DOUBLE), 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -584,13 +592,13 @@ object SparkEntry {
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       row_number() OVER w AS rn,
-        |       round(sum(l_quantity) OVER
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER
         |         (PARTITION BY l_suppkey
-        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |          ROWS UNBOUNDED PRECEDING), 2) AS running_qty
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice)
         |ORDER BY l_suppkey, rn""".stripMargin,
 
     "window_topk_group" ->
@@ -627,7 +635,7 @@ object SparkEntry {
         |       n_orders, total_price
         |FROM (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |         round(sum(o_totalprice), 2) AS total_price
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         |  FROM orders
         |  GROUP BY ROLLUP(o_orderstatus, o_orderpriority))
         |ORDER BY 1, 2""".stripMargin,
@@ -736,7 +744,7 @@ object SparkEntry {
 
     "join_salted" ->
       """SELECT s_name, count(*) AS n_items,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -801,7 +809,7 @@ object SparkEntry {
 
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |       round(sum(l_extendedprice), 2) AS total_price
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -851,6 +859,41 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) +
         |       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,}')) AS BIGINT) AS n_redactions
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |       round(avg(l_extendedprice), 2) AS price_avg,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_strings" ->
+      """SELECT o_orderstatus,
+        |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_session_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "dedup_droplist" ->
       """WITH RECURSIVE

@@ -25,19 +25,32 @@ import graft.Tables
   */
 object Queries {
 
-  /** #10 TPC-H Q1-shaped pricing summary. Doubles are rounded only at the
-    * report edge. */
+  /** Exact decimal view of a 2-dec money/measure column. Large-N double
+    * sums are reassociation-sensitive (engines parallelize partial sums
+    * in nondeterministic merge orders; a value near a rounding boundary
+    * flips between runs) — DECIMAL sums are exact, so report totals are
+    * bit-stable across engines and runs. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** #10 TPC-H Q1-shaped pricing summary. Sums in exact decimal; avgs as
+    * exact-sum / count with one final double division. */
   def aggPricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(dec(col("l_quantity"))).as("dsum_qty"),
+        sum(dec(col("l_extendedprice"))).as("dsum_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("dsum_disc"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("dsum_qty").cast("double").as("sum_qty"),
+        col("dsum_price").cast("double").as("sum_base_price"),
+        round(col("dsum_disc").cast("double"), 2).as("sum_disc_price"),
+        round(col("dsum_qty").cast("double") / col("count_order"), 2).as("avg_qty"),
+        round(col("dsum_price").cast("double") / col("count_order"), 2).as("avg_price"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** #11 Top-10 customers by order revenue (fact⋈broadcast dim → agg →
@@ -47,7 +60,7 @@ object Queries {
       .join(broadcast(Tables.customer(s, dir)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("revenue"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -60,7 +73,9 @@ object Queries {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double"), 2).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
 
@@ -74,17 +89,27 @@ object Queries {
       .crossJoin(without.agg(count(lit(1)).as("n_without_open")))
   }
 
-  /** #14 Running sum + row_number per supplier ordered by ship date
-    * (deterministic tiebreak on orderkey, linenumber). */
+  /** #14 Running sum + row_number per supplier ordered by ship date.
+    * The tiebreak chain must make the ordering TOTAL over value-carrying
+    * columns: the synthetic lineitem contains duplicate
+    * (orderkey, linenumber) rows, and a running sum over a non-total
+    * order is nondeterministic in any engine (observed: DuckDB returned
+    * two different prefixes for the same query). With quantity+price in
+    * the chain, any remaining ties are full-row duplicates whose swap
+    * cannot change a prefix sum. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+               col("l_quantity"), col("l_extendedprice"))
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast("long").as("rn"),
-        round(sum(col("l_quantity"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-          .as("running_qty"))
+        // exact decimal running sum: engines parallelize window prefix
+        // sums (segment trees), so a double accumulation is
+        // reassociation-nondeterministic at rounding boundaries
+        sum(dec(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"))
       .orderBy("l_suppkey", "rn")
   }
 
@@ -126,7 +151,7 @@ object Queries {
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total_price"))
+           round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -170,6 +195,41 @@ object Queries {
       .groupBy("n_name")
       .agg(count(col("s_suppkey")).as("n_suppliers"))
       .orderBy("n_name")
+
+  /** #51 Statistical aggregates: correlation, sample stddev/variance.
+    * Rounded to 2 decimals at the edge — single-pass moment merges
+    * accumulate ~1e-9 relative error across engines, far inside 0.01
+    * granularity (round(4) on 1e4-magnitude values would not be). */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(avg(col("l_extendedprice")), 2).as("price_avg"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** #52 Sorted string aggregation (collect_list is unordered by
+    * contract; array_sort makes it deterministic). */
+  def aggStrings(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_list(col("o_orderpriority"))), ",")
+        .as("priorities"))
+      .orderBy("o_orderstatus")
+
+  /** #53 Native session_window sessionization (30-min gap) — the
+    * built-in operator equivalent of [[windowSessionize]]; also works
+    * unchanged on a watermarked stream. */
+  def windowSessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
 
   /** #39 Set operations (distinct semantics, matching SQL
     * INTERSECT/EXCEPT/UNION). */
