@@ -458,6 +458,9 @@ object SparkEntry {
     "agg_stats"           -> (Queries.aggStats _),
     "agg_strings"         -> (Queries.aggStrings _),
     "window_session_native" -> (Queries.windowSessionNative _),
+    "cube_status"         -> (Queries.cubeStatus _),
+    "dates_arith"         -> (Queries.datesArith _),
+    "strings_funcs"       -> (Queries.stringsFuncs _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -859,6 +862,32 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) +
         |       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4,}')) AS BIGINT) AS n_redactions
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "cube_status" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       n_orders
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dates_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_epoch95,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+        |  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS order_month,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "strings_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,

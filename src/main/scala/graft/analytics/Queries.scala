@@ -231,6 +231,44 @@ object Queries {
               col("session_window.end").as("session_end"), col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** #54 CUBE grouping sets (all 4 combinations), keys coalesced for
+    * sort-stable subtotal rows. */
+  def cubeStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** #55 Date arithmetic surface: day diffs, quarter, month truncation,
+    * interval shift. */
+  def datesArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since_epoch95"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** #56 String function surface: case, substring, replace, length,
+    * edit distance. */
+  def stringsFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        length(col("c_name")).cast("long").as("name_len"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("seg_dist"))
+      .orderBy("c_custkey")
+
   /** #39 Set operations (distinct semantics, matching SQL
     * INTERSECT/EXCEPT/UNION). */
   def setOps(s: SparkSession, dir: String): DataFrame = {
