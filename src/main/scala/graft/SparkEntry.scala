@@ -159,9 +159,11 @@ object SparkEntry {
               "trip_type", "trip_year", "trip_month")
     val parts = Seq("trip_type", "trip_year", "trip_month")
     PartitionedSink.write(consumer, path, parts)
-    PartitionedSink.write(
-      consumer.filter(col("trip_type") === ConsumerPipeline.YellowType &&
-        col("total_amount") >= 100), path, parts)
+    // Partition list derives from the UNFILTERED yellow slice: a month the
+    // stricter rule empties must be replaced (emptied), not left stale.
+    val yellow = consumer.filter(col("trip_type") === ConsumerPipeline.YellowType)
+    PartitionedSink.overwritePartitions(
+      yellow.filter(col("total_amount") >= 100), yellow, path, parts)
     PartitionedSink.read(s, path)
       .groupBy("trip_type")
       .agg(count(lit(1)).as("n_rows"),
@@ -244,16 +246,24 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  /** One-time-per-session bucketed-table setup for [[joinBucketed]] —
+    * split out so the bench can time table WRITES (setup) separately from
+    * the join itself. Idempotent via catalog lookup. */
+  def ensureBucketedTables(s: SparkSession, dir: String): Unit =
+    if (!s.catalog.tableExists("graft_lineitem_b")) {
+      val base = tempDir("bucketed")
+      Bucketing.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "graft_orders_b", s"$base/orders", "o_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_quantity"),
+        "graft_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
+    }
+
   /** #43 Bucketed co-located join: both facts written bucketed+sorted by
     * the join key → sort-merge join with no shuffle on either side. */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val base = tempDir("bucketed")
-    Bucketing.writeBucketed(
-      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
-      "graft_orders_b", s"$base/orders", "o_orderkey", 8)
-    Bucketing.writeBucketed(
-      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_quantity"),
-      "graft_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
+    ensureBucketedTables(s, dir)
     s.table("graft_lineitem_b")
       .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

@@ -48,13 +48,14 @@ object Dedup {
         graft.functions.SketchFunctions.minhash_sig(docs.sparkSession,
           col("shingles"), NumPerm).as("sig"))
 
-  /** Cached signature frame — the self-joins below would otherwise
+  /** Materialized signature frame — the self-joins below would otherwise
     * recompute the signature pipeline per side and per downstream caller
     * (Spark's cache manager dedupes by canonicalized plan, so every
     * caller in a session shares one materialization). At cluster scale
-    * this is a persisted signature table. */
+    * this is a persisted signature table; locally it is spill-safe
+    * MEMORY_AND_DISK, opt-out via graft.materialize (see [[graft.Caching]]). */
   private def cachedSignatures(docs: DataFrame, textCol: String): DataFrame =
-    minhashSignatures(docs, textCol).cache()
+    graft.Caching.materialize(minhashSignatures(docs, textCol))
 
   /** Candidate id-pairs from LSH banding: pairs agreeing on any of the
     * `Bands` band-hashes. Only (doc_id, band) tuples travel through the
@@ -77,14 +78,17 @@ object Dedup {
   }
 
   /** LSH near-dup candidates with the signature-estimated Jaccard
-    * (fraction of agreeing positions), re-attaching signatures to the
-    * (small) candidate set by broadcast join. */
+    * (fraction of agreeing positions). Signatures are re-attached to the
+    * candidate pairs with plain shuffle joins: the signature relation is
+    * O(corpus) and must never be broadcast; the shuffle moves the (small)
+    * candidate list twice plus the signature table once, and AQE is free
+    * to downgrade to broadcast when the runtime sizes actually allow it. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         minEstJaccard: Double = 0.5): DataFrame = {
     val sigs = cachedSignatures(docs, textCol)
     minhashCandidatePairs(docs, textCol)
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard", round(
         graft.functions.SketchFunctions.sig_agreement(docs.sparkSession,
           col("sig_a"), col("sig_b")) / lit(NumPerm.toDouble), 4))
@@ -108,7 +112,8 @@ object Dedup {
     * candidate; keep pairs with hamming distance <= maxHamming. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
                         maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(docs, textCol).cache() // self-join: compute once
+    // self-join: compute once; spill-safe + opt-out (see graft.Caching)
+    val sh = graft.Caching.materialize(simhashes(docs, textCol))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
@@ -170,6 +175,13 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // Non-convergence must be loud: labels from a truncated propagation
+    // are silently wrong cluster assignments (→ wrong keep/drop lists).
+    // maxIter bounds the component diameter, not the node count; raise it
+    // (or pre-contract with large-star/small-star) for long-chain graphs.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds; " +
+      "component diameter exceeds maxIter — raise maxIter")
     labels.select(col("node"), col("label").as("cluster")).orderBy("node")
   }
 

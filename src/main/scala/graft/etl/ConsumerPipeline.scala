@@ -63,13 +63,16 @@ object ConsumerPipeline {
   /** Full consumer-layer frame: unified, DQ-cleaned, with trip_year /
     * trip_month partition features (process_data_glue.py:73-91).
     *
-    * Cached: seven downstream queries derive from this frame; in the
-    * reference architecture it is a MATERIALIZED layer (the consumer
-    * Delta table), so sharing one in-memory materialization per session
-    * is the faithful small-scale analogue. Spark's cache manager dedupes
-    * by canonicalized plan, so every call shares the entry. */
+    * Materialized: seven downstream queries derive from this frame; in
+    * the reference architecture it is a MATERIALIZED layer (the consumer
+    * Delta table), so sharing one materialization per session is the
+    * faithful small-scale analogue. Spark's cache manager dedupes by
+    * canonicalized plan, so every call shares the entry. Spill-safe
+    * MEMORY_AND_DISK and opt-out via graft.materialize (see
+    * [[graft.Caching]]) — at 100 TB the consumer layer is a persisted
+    * table, not an executor-memory cache. */
   def consumer(spark: SparkSession, sfDir: String): DataFrame =
-    Features.temporal(
+    graft.Caching.materialize(Features.temporal(
       DataQuality.clean(unified(spark, sfDir), dqRules),
-      "pickup_datetime").cache()
+      "pickup_datetime"))
 }

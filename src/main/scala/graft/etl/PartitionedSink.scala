@@ -34,4 +34,31 @@ object PartitionedSink {
     spark.read
       .option("partitionColumnTypeInference", "true")
       .parquet(path)
+
+  /** Dynamic partition overwrite driven by a partition SOURCE frame:
+    * every partition present in `partitionSource` is replaced by the
+    * matching rows of `df` — INCLUDING partitions whose reprocessed slice
+    * is empty. Plain dynamic overwrite only touches partitions present in
+    * the written rows, so a row filter that empties a partition silently
+    * leaves its stale files behind; here those partitions are deleted
+    * first. The partition list is distinct-aggregated (metadata-sized —
+    * the same information a Delta commit carries), never the rows. */
+  def overwritePartitions(df: DataFrame, partitionSource: DataFrame,
+                          path: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val cols = partitionCols.map(org.apache.spark.sql.functions.col)
+    val emptied = partitionSource.select(cols: _*).distinct()
+      .except(df.select(cols: _*).distinct())
+      .collect() // partition tuples only: O(partitions), not O(rows)
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    emptied.foreach { row =>
+      val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+        s"${escapePathName(c)}=${escapePathName(String.valueOf(row.get(i)))}"
+      }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(base, rel), true)
+    }
+    write(df, path, partitionCols)
+  }
 }

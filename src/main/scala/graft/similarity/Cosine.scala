@@ -41,42 +41,61 @@ object Cosine {
     (0 until dim).map(i => a(i) * b(i)).reduce(_ + _)
 
   /** All pairs (a < b) above a similarity threshold — embedding near-dup.
-    * O(n²) pair generation with one side broadcast; at corpus scale the
-    * LSH bucketing below bounds the candidate set first (same verify
-    * math). */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    // All-pairs cosine is a pure flops kernel; the declarative encodings
-    // (BNLJ with the dot in the join condition, or id-pairs + two hash
-    // joins re-attaching 512-byte arrays) spend their time in interpreted
-    // condition eval or UnsafeRow array copies. This is the documented
-    // tier-(d) mapPartitions case: stream the corpus partition-wise
-    // against a broadcast of itself — O(n²/partitions) work per task, no
-    // shuffle, primitive double[] inner loop (JIT-vectorized). The
-    // accumulation order (ascending index) matches the sequential-loop
-    // semantics the DuckDB oracle uses, so results are bit-identical.
-    // At corpus scale the broadcast side must fit in executor memory —
-    // beyond that, `lshTopK`-style bucketing is the supported path.
+    *
+    * Exact threshold-join = inherently O(n²) flops (the oracle's
+    * cross-join is too); what must NOT be O(n) is driver or single-task
+    * memory. Block-partitioned all-pairs: hash every vector into one of B
+    * blocks, enumerate the B(B+1)/2 unordered block pairs (a tiny
+    * driver-side relation), replicate each block to the block-pairs it
+    * participates in (shuffle volume O(n·B), the standard distributed
+    * all-pairs trade), and sort-merge join on the (blk_i, blk_j) key — the
+    * per-key cross product IS the pair enumeration, with the codegen
+    * [[graft.functions.CosineSim]] filter applied pair-by-pair inside the
+    * join, so nothing wider than a (id, id, sim) row survives. Executor
+    * memory is bounded by `maxBlockRows` (the SMJ buffers one block's
+    * rows per key), driver memory by B². Zero collect, zero broadcast of
+    * the corpus.
+    *
+    * Why not LSH candidates here: measured on this corpus, qualifying
+    * pairs sit exactly at the threshold (min sim 0.4005 at sf0.01), where
+    * a random hyperplane agrees with probability 1−θ/π ≈ 0.63 per bit —
+    * recall 1.0 would need ~54 tables at 4 bits, i.e. MORE candidate
+    * pairs than all-pairs. LSH (recall < 1 by design) is the right tool
+    * for high-sim thresholds and is exposed via [[lshTopK]]; the exact
+    * operator stays exact. */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   maxBlockRows: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val p = prepared(emb)
-      .select(col("vec_id"), col("v"), col("norm"))
-      .as[(Long, Array[Double], Double)]
-    val corpus = p.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    val pairs = p.mapPartitions { it =>
-      val cs = bc.value
-      it.flatMap { case (ida, va, na) =>
-        cs.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-          var s = 0.0
-          var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          val sim = s / (na * nb)
-          if (sim >= threshold) Iterator.single((ida, idb, sim)) else Iterator.empty
-        }
-      }
-    }.toDF("vec_a", "vec_b", "sim_raw")
-    pairs
-      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+    val n = p.count()
+    // enough blocks to (a) bound SMJ buffering to maxBlockRows and
+    // (b) keep all cores busy: B(B+1)/2 tasks >= default parallelism
+    val forMemory = math.ceil(n.toDouble / maxBlockRows)
+    val forCores = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism))
+    val nBlocks = math.max(1L, math.max(forMemory.toLong,
+      math.min(forCores.toLong, n / 64))).toInt
+    val blockPairs = spark.createDataFrame(
+      for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("blk_i", "blk_j")
+    val blk = pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int")
+    val aSide = p.withColumn("blk_i", blk)
+      .join(blockPairs, "blk_i")
+      .select(col("blk_i"), col("blk_j"),
+        col("vec_id").as("id_a"), col("v").as("v_a"))
+    val bSide = p.withColumn("blk_j", blk)
+      .join(blockPairs, "blk_j")
+      .select(col("blk_i"), col("blk_j"),
+        col("vec_id").as("id_b"), col("v").as("v_b"))
+    aSide.join(bSide, Seq("blk_i", "blk_j"))
+      // same-block pairs once via id order; cross-block pairs are unique
+      // already (blocks are disjoint)
+      .filter(col("blk_i") =!= col("blk_j") || col("id_a") < col("id_b"))
+      .withColumn("sim_raw", graft.functions.GraftFunctions
+        .cosine_sim(spark, col("v_a"), col("v_b")))
+      .filter(col("sim_raw") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+              greatest(col("id_a"), col("id_b")).as("vec_b"),
+              round(col("sim_raw"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -119,8 +138,9 @@ object Cosine {
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
               tables: Int = 4, bits: Int = 6): DataFrame = {
     val p = prepared(emb)
-    // cached: probed twice (query side + corpus side of the bucket join)
-    val corpusBuckets = bucketed(p, tables, bits, Dim).cache()
+    // materialized: probed twice (query side + corpus side of the bucket
+    // join); spill-safe and opt-out via graft.materialize (see Caching)
+    val corpusBuckets = graft.Caching.materialize(bucketed(p, tables, bits, Dim))
     val queryBuckets = corpusBuckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
               col("norm").as("q_norm"), col("table_id"), col("bucket"))

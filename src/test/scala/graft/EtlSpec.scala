@@ -40,6 +40,25 @@ class EtlSpec extends SparkSpec {
     assert(cleanCount <= total)
   }
 
+  test("overwritePartitions replaces partitions whose reprocessed slice is empty") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_owp").toString
+    val parts = Seq("trip_type", "trip_month")
+    val v0 = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0))
+      .toDF("trip_type", "trip_month", "amount")
+      .select("amount", "trip_type", "trip_month")
+    PartitionedSink.write(v0, path, parts)
+    // reprocess fleet "a" with a rule that EMPTIES partition (a, 2)
+    val aSlice = v0.filter(col("trip_type") === "a")
+    PartitionedSink.overwritePartitions(
+      aSlice.filter(col("amount") < 15), aSlice, path, parts)
+    val back = PartitionedSink.read(spark, path)
+      .select(col("trip_type"), col("trip_month").cast("int"), col("amount"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    // (a,2) gone — not stale; (b,1) untouched; (a,1) reprocessed
+    assert(back == Set(("a", 1, 10.0), ("b", 1, 30.0)))
+  }
+
   test("all registered queries return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

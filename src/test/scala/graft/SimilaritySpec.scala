@@ -44,4 +44,50 @@ class SimilaritySpec extends SparkSpec {
         (col("a.norm") * col("b.norm"))).as("sim"))
     assert(self.filter(abs(col("sim") - 1.0) > 1e-12).count() == 0)
   }
+
+  test("block-partitioned nearDupPairs matches an in-test exact kernel") {
+    // tiny maxBlockRows forces MANY blocks — every block-pair code path
+    // (same-block, cross-block, least/greatest normalization) is exercised
+    val got = Cosine.nearDupPairs(emb, 0.35, maxBlockRows = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val want = (for {
+      (ida, va) <- vecs; (idb, vb) <- vecs if ida < idb
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if sim >= 0.35
+    } yield (ida, idb, math.rint(sim * 1e4) / 1e4)).toSeq
+    assert(got.length == want.length,
+      s"pair count ${got.length} != exact ${want.length}")
+    got.zip(want.sortBy(p => (p._1, p._2))).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && math.abs(g._3 - w._3) <= 1e-9, s"$g != $w")
+    }
+  }
+
+  test("nearDupPairs plan has no driver-side materialization of the corpus") {
+    val plan = Cosine.nearDupPairs(emb, 0.4).queryExecution.optimizedPlan
+    // the old scale-killer surfaced as LogicalRDD (collect + parallelize
+    // of the full corpus); the block path must be a pure declarative plan
+    val rdds = plan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l }
+    assert(rdds.isEmpty, "corpus was collected to the driver and re-parallelized")
+  }
+
+  test("cosine_sim guards: zero-norm yields null, length mismatch throws") {
+    val f = graft.functions.GraftFunctions.cosine_sim(spark, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
+    val df = spark.sql(
+      "SELECT array(cast(0.0 as double), cast(0.0 as double)) AS z, " +
+      "array(cast(1.0 as double), cast(2.0 as double)) AS a, " +
+      "array(cast(1.0 as double)) AS short")
+    assert(df.select(f(col("z"), col("a")).as("s")).collect()(0).isNullAt(0))
+    val e = intercept[Exception] {
+      df.select(f(col("a"), col("short")).as("s")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null && t.getMessage.contains("length mismatch")))
+  }
 }
