@@ -410,6 +410,122 @@ object SparkEntry {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
 
+  /** #60 Persistent-catalog partitioned table: externally-written
+    * partition directories discovered via MSCK REPAIR (the reference's
+    * Glue partition sync, process_data_glue.py:98-123), then queried by
+    * name with a partition-pruning filter. */
+  def catalogPartitions(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("cat")
+    PartitionedSink.write(consumerSlim(s, dir), path,
+      Seq("trip_type", "trip_year", "trip_month"))
+    s.sql("DROP TABLE IF EXISTS consumer_cat")
+    s.sql(
+      s"""CREATE TABLE consumer_cat (
+         |  event_id BIGINT, passenger_count BIGINT, total_amount DOUBLE,
+         |  trip_type STRING, trip_year INT, trip_month INT)
+         |USING parquet
+         |PARTITIONED BY (trip_type, trip_year, trip_month)
+         |LOCATION '$path'""".stripMargin)
+    // the catalog knows no partitions until directory discovery runs
+    s.sql("MSCK REPAIR TABLE consumer_cat")
+    s.table("consumer_cat")
+      .filter(col("trip_type") === ConsumerPipeline.YellowType) // partition-pruned
+      .groupBy(col("trip_month").cast("long").as("trip_month"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_month")
+  }
+
+  /** #61 Streaming stateful sessionization (flatMapGroupsWithState) as a
+    * registry query: closed sessions from one AvailableNow-style pass. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    EventsStream.runSessionizeStream(s, Tables.events(s, dir))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+
+  /** #62 Schema-stable empty report (reporting_etl_job.py:65-70): an
+    * empty input slice still yields a readable report table with the
+    * contracted schema. */
+  def reportEmpty(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("emptyrep")
+    val none = ConsumerPipeline.consumer(s, dir).filter(col("trip_month") === 13)
+    val rep = Reports.monthlyAvg(none, "pickup_datetime", "total_amount")
+    Reports.emptyReport(s, rep.schema, path)
+    val back = s.read.parquet(path)
+    back.agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_cols", lit(back.schema.size.toLong))
+      .withColumn("cols", lit(back.schema.fieldNames.mkString(",")))
+  }
+
+  // ------------------------------------------------- ACID table surface
+
+  private def consumerSlim(s: SparkSession, dir: String): DataFrame =
+    ConsumerPipeline.consumer(s, dir)
+      .select("event_id", "passenger_count", "total_amount",
+              "trip_type", "trip_year", "trip_month")
+
+  /** #57 ACID consumer sink (the reference's Delta write,
+    * process_data_glue.py:186-190): transactional overwrite of one fleet,
+    * transactional append of the other, snapshot read-back. */
+  def deltaSink(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txsink")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(
+      consumer.filter(col("trip_type") === ConsumerPipeline.YellowType), path, parts)
+    graft.acid.TxLog.append(
+      consumer.filter(col("trip_type") === ConsumerPipeline.GreenType), path)
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_type")
+  }
+
+  /** #58 Time travel + dynamic partition overwrite: v1 = full table,
+    * v2 = yellow partitions reprocessed under a stricter rule (replacing
+    * emptied partitions too); both versions remain queryable. */
+  def deltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txtt")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)
+    val yellow = consumer.filter(col("trip_type") === ConsumerPipeline.YellowType)
+    graft.acid.TxLog.overwritePartitions(
+      yellow.filter(col("total_amount") >= 100), path, Some(yellow))
+    def agg(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("trip_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("total_amount")), 2).as("total"))
+        .withColumn("version", lit(v))
+    agg(graft.acid.TxLog.read(s, path, versionAsOf = Some(1L)), 1L)
+      .unionByName(agg(graft.acid.TxLog.read(s, path), 2L))
+      .select("version", "trip_type", "n_rows", "total")
+      .orderBy("version", "trip_type")
+  }
+
+  /** #59 Schema evolution: v2 rewrites the table with an extra column
+    * under overwriteSchema; both versions stay readable with their own
+    * schemas (Delta's overwriteSchema contract). */
+  def deltaSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txse")
+    val base = ConsumerPipeline.consumer(s, dir)
+      .select("event_id", "total_amount")
+    graft.acid.TxLog.overwrite(base, path)
+    graft.acid.TxLog.overwrite(
+      base.withColumn("is_high", col("total_amount") >= 100),
+      path, overwriteSchema = true)
+    def summarize(df: DataFrame, v: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+             round(sum(col("total_amount")), 2).as("total"))
+        .withColumn("version", lit(v))
+        .withColumn("n_cols", lit(df.schema.size.toLong))
+    summarize(graft.acid.TxLog.read(s, path, versionAsOf = Some(1L)), 1L)
+      .unionByName(summarize(graft.acid.TxLog.read(s, path), 2L))
+      .select("version", "n_cols", "n_rows", "total")
+      .orderBy("version")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -471,6 +587,12 @@ object SparkEntry {
     "cube_status"         -> (Queries.cubeStatus _),
     "dates_arith"         -> (Queries.datesArith _),
     "strings_funcs"       -> (Queries.stringsFuncs _),
+    "delta_sink"          -> (deltaSink _),
+    "delta_time_travel"   -> (deltaTimeTravel _),
+    "delta_schema_evolution" -> (deltaSchemaEvolution _),
+    "catalog_partitions"  -> (catalogPartitions _),
+    "stream_sessionize"   -> (streamSessionize _),
+    "report_empty"        -> (reportEmpty _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -933,6 +1055,78 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "catalog_partitions" ->
+      s"""SELECT CAST(month(ts) AS BIGINT) AS trip_month, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total
+         |FROM events
+         |WHERE event_type = 'purchase' AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM agg
+        |WHERE session_id < (SELECT max(session_id) FROM agg a2
+        |                    WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "report_empty" ->
+      """SELECT CAST(0 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols,
+        |       'report_month,avg_total_amount' AS cols""".stripMargin,
+
+    "delta_sink" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_time_travel" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, event_type AS trip_type,
+         |         count(*) AS n_rows, round(sum(value), 2) AS total
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |  GROUP BY 2
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), event_type,
+         |         count(*), round(sum(value), 2)
+         |  FROM events
+         |  WHERE $dqSql AND (event_type = 'view'
+         |        OR (event_type = 'purchase' AND value >= 100))
+         |  GROUP BY 2)
+         |ORDER BY version, trip_type""".stripMargin,
+
+    "delta_schema_evolution" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+         |         count(*) AS n_rows, round(sum(value), 2) AS total
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+         |         count(*), round(sum(value), 2)
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |ORDER BY version""".stripMargin,
 
     "dedup_droplist" ->
       """WITH RECURSIVE

@@ -57,6 +57,14 @@ object EventsStream {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
 
+    // µs-precision round trip: Timestamp(ms) alone would truncate the
+    // microsecond component the events carry
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
     def fold(userId: Long, it: Iterator[SessionEvent],
              state: GroupState[SessionState]): Iterator[UserSession] = {
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
@@ -69,8 +77,7 @@ object EventsStream {
             cur = Some(s.copy(openLastUs = us, openCount = s.openCount + 1))
           case Some(s) =>
             closed += UserSession(userId,
-              new java.sql.Timestamp(s.openStartUs / 1000),
-              new java.sql.Timestamp(s.openLastUs / 1000), s.openCount)
+              usToTs(s.openStartUs), usToTs(s.openLastUs), s.openCount)
             cur = Some(SessionState(us, us, 1))
           case None =>
             cur = Some(SessionState(us, us, 1))
@@ -82,5 +89,25 @@ object EventsStream {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** End-to-end stateful sessionization as an actual STREAMING query:
+    * stage the events as a file-source directory, run
+    * [[sessionizeStateful]] over `readStream` into a memory sink, and
+    * return the emitted (closed) sessions. Each user's final session
+    * stays open in the state store — production emits it via a state
+    * timeout; the batch-oracle equivalent is "all sessions minus each
+    * user's last". */
+  def runSessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    events.select("user_id", "ts").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val name = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessionizeStateful(
+        spark.readStream.schema(schema).parquet(dir).as[SessionEvent])
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 }
