@@ -159,8 +159,8 @@ object Queries {
       .orderBy("o_orderstatus", "o_orderpriority")
 
   /** #18 Exact distinct counts (one row). Approximate variants live in
-    * `distinctApprox` (rows-only check — sketch values are
-    * implementation-specific). */
+    * `distinctApprox` (bounded check — sketch values are
+    * implementation-specific, their error bound is not). */
   def distinctCount(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
@@ -169,13 +169,21 @@ object Queries {
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows"))
 
-  /** HLL-sketch distinct (rows-only: estimator internals differ across
-    * engines by design). rsd 1% keeps the estimate within ±3% of exact. */
+  /** HLL-sketch distinct, bounded-oracle form: estimator internals
+    * differ across engines by design, so the check is the exact counts
+    * plus the sketch landing within ±3% of them (rsd 1% ⇒ 3σ). */
   def distinctApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")) / col("n_parts") <= 0.03)
+          .as("parts_within_3pct"),
+        (abs(col("ao") - col("n_orders")) / col("n_orders") <= 0.03)
+          .as("orders_within_3pct"))
 
   /** #37 Exact interpolated quantiles (median + p90) per group. */
   def aggQuantiles(s: SparkSession, dir: String): DataFrame =

@@ -42,10 +42,12 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.collect()(0).getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
   }
 
-  test("approx distinct within 5% of exact") {
+  test("approx distinct within bound of exact, and exact counts agree") {
     val exact = Queries.distinctCount(spark, sf).collect()(0).getAs[Long]("n_parts")
-    val approx = Queries.distinctApprox(spark, sf).collect()(0).getAs[Long]("approx_parts")
-    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    val row = Queries.distinctApprox(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_parts") == exact)
+    assert(row.getAs[Boolean]("parts_within_3pct"))
+    assert(row.getAs[Boolean]("orders_within_3pct"))
   }
 
   test("streaming hourly agg matches the batch equivalent") {
