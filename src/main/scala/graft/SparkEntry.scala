@@ -343,6 +343,40 @@ object SparkEntry {
               (col("meanr") >= 0.4).as("mean_recall_ok"))
   }
 
+  /** #26b IVF ANN, bounded-oracle form like [[annLsh]]: recall of the
+    * inverted-file probe against exact brute force must clear a floor.
+    * Training is run-deterministic (hash-seeded centroids, DECIMAL
+    * means), so the booleans are stable. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val brute = Cosine.bruteTopK(emb, nQueries = 8, k = 10)
+      .select("query_id", "neighbor_id")
+    val ivf = graft.similarity.Ivf.topK(emb, nQueries = 8, kNeighbors = 10)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+           min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
+      .select(col("n_queries"),
+              (col("minr") >= 0.2).as("min_recall_ok"),
+              (col("meanr") >= 0.4).as("mean_recall_ok"))
+  }
+
+  /** #63 Streaming ingest dedup: a fully re-delivered batch (at-least-once
+    * upload, ingest_data.py shape) is dropped by streaming state, so the
+    * deduped stream equals the batch-distinct of the first delivery. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "event_type", "user_id")
+    val replay = ev.filter(col("event_id") % 2 === 0) // half the batch again
+    streaming.StreamDedup.dedupStream(s, Seq(ev, replay), Seq("event_id"),
+        d => d.groupBy("event_type").agg(count(lit(1)).as("n_rows")))
+      .orderBy("event_type")
+  }
+
   /** #27 Stopword-inventory language ID. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables.documents(s, dir))
@@ -620,6 +654,8 @@ object SparkEntry {
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
     "report_empty"        -> (reportEmpty _),
+    "ann_ivf"             -> (annIvf _),
+    "stream_dedup"        -> (streamDedup _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1102,6 +1138,14 @@ object SparkEntry {
     "ann_lsh" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
         |       true AS mean_recall_ok""".stripMargin,
+
+    "ann_ivf" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
+        |       true AS mean_recall_ok""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The minhash-LSH candidate set provably covers every pair with true
     // Jaccard >= 0.2 on this corpus (measured: all qualifying pairs have

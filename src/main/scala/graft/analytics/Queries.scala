@@ -171,19 +171,29 @@ object Queries {
 
   /** HLL-sketch distinct, bounded-oracle form: estimator internals
     * differ across engines by design, so the check is the exact counts
-    * plus the sketch landing within ±3% of them (rsd 1% ⇒ 3σ). */
-  def distinctApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    * plus the sketch landing within ±3% of them (rsd 1% ⇒ 3σ).
+    *
+    * Exact and approx run as SEPARATE aggregations joined at the end —
+    * mixing countDistinct with approx_count_distinct in one agg makes
+    * the distinct-rewrite (Expand) keep an HLL buffer per distinct VALUE
+    * and merge millions of 16 KB sketches in the single final task
+    * (measured: minutes at 6M rows vs seconds split). Two cheap scans
+    * beat one catastrophic one. */
+  def distinctApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val approx = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    exact.crossJoin(approx)
       .select(col("n_parts"), col("n_orders"),
         (abs(col("ap") - col("n_parts")) / col("n_parts") <= 0.03)
           .as("parts_within_3pct"),
         (abs(col("ao") - col("n_orders")) / col("n_orders") <= 0.03)
           .as("orders_within_3pct"))
+  }
 
   /** #37 Exact interpolated quantiles (median + p90) per group. */
   def aggQuantiles(s: SparkSession, dir: String): DataFrame =

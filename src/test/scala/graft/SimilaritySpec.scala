@@ -45,6 +45,24 @@ class SimilaritySpec extends SparkSpec {
     assert(self.filter(abs(col("sim") - 1.0) > 1e-12).count() == 0)
   }
 
+  test("IVF index partitions the corpus deterministically; topk clears recall floor") {
+    val idx1 = graft.similarity.Ivf.index(emb, k = 8, iters = 2)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val idx2 = graft.similarity.Ivf.index(emb, k = 8, iters = 2)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(idx1.sameElements(idx2), "IVF training is not run-deterministic")
+    assert(idx1.length == emb.count(), "every vector must land in exactly one cell")
+    val brute = Cosine.bruteTopK(emb, 8, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.similarity.Ivf.topK(emb, 8, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    info(f"IVF recall vs brute force: $recall%.2f")
+    assert(recall >= 0.2, f"IVF recall $recall below floor")
+  }
+
   test("block-partitioned nearDupPairs matches an in-test exact kernel") {
     // tiny maxBlockRows forces MANY blocks — every block-pair code path
     // (same-block, cross-block, least/greatest normalization) is exercised

@@ -50,6 +50,13 @@ class StreamingSinkSpec extends SparkSpec {
     assert(back.select("event_type").distinct().count() == 5)
   }
 
+  test("streaming dedup drops a fully re-delivered batch") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+    val out = graft.streaming.StreamDedup.dedupStream(spark, Seq(ev, ev), Seq("event_id"))
+    assert(out.count() == ev.count(), "replayed rows must be dropped")
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
   test("compaction reduces file count and preserves data") {
     val base = java.nio.file.Files.createTempDirectory("graft_comp").toString
     val c = ConsumerPipeline.consumer(spark, sf).select("event_id", "total_amount")
