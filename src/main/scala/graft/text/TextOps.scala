@@ -131,20 +131,26 @@ object TextOps {
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"))
 
-  /** Rolling polynomial hash (mod 2^61-1-ish prime kept in long range) over
-    * character codes, plus winnowing-style window minima over token hashes —
-    * the dedup-sketch primitive. Engine-specific (rows-only check). */
+  /** Rolling polynomial hash over character codes, plus the minimum
+    * token hash (the winnowing primitive) — engine-specific (rows-only
+    * check), both as native codegen expressions
+    * ([[graft.functions.RollingHash]]/[[graft.functions.TokenMinHash]]).
+    *
+    * The earlier declarative form — `aggregate` over per-char
+    * `regexp_extract_all` and `array_min` over per-window `slice`
+    * minima — ran its lambdas interpreted (3.2 s at sf0.1, 12 s at sf1);
+    * and since consecutive windows tile the token sequence, the min of
+    * window minima IS the global token-hash min, so the window loop
+    * collapses to one pass. A full winnowing fingerprint (the SET of
+    * per-window minima) would keep the window structure; this operator
+    * is the scalar sketch used for cheap similarity bucketing. */
   def rollingFingerprint(docs: DataFrame, textCol: String = "text",
-                         window: Int = 8): DataFrame =
+                         window: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
     docs
-      .withColumn("rolling_hash", expr(
-        s"aggregate(regexp_extract_all($textCol, '.', 0), cast(7 as bigint), " +
-        s"(acc, c) -> pmod(acc * 131 + ascii(c), 1000000007))"))
-      .withColumn("_hashes",
-        expr(s"transform(split(lower($textCol), ' '), t -> xxhash64(t))"))
-      .withColumn("winnow_min", expr(
-        s"""array_min(transform(
-           |  sequence(0, greatest(size(_hashes) - $window, 0)),
-           |  i -> array_min(slice(_hashes, i + 1, $window))))""".stripMargin))
-      .drop("_hashes")
+      .withColumn("rolling_hash",
+        graft.functions.TextHashFunctions.rolling_hash(spark, col(textCol)))
+      .withColumn("winnow_min",
+        graft.functions.TextHashFunctions.token_min_hash(spark, lower(col(textCol))))
+  }
 }

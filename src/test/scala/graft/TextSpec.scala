@@ -31,6 +31,44 @@ class TextSpec extends SparkSpec {
     assert(t.filter(col("n_re_tokens") < col("n_ws_tokens")).count() == 0)
   }
 
+  test("native rolling/token-min hash expressions match the declarative forms") {
+    val native = TextOps.rollingFingerprint(docs)
+      .select("doc_id", "rolling_hash", "winnow_min")
+    val legacy = docs
+      .withColumn("rolling_hash", expr(
+        "aggregate(regexp_extract_all(text, '.', 0), cast(7 as bigint), " +
+        "(acc, c) -> pmod(acc * 131 + ascii(c), 1000000007))"))
+      .withColumn("_hashes", expr("transform(split(lower(text), ' '), t -> xxhash64(t))"))
+      .withColumn("winnow_min", expr(
+        "array_min(transform(sequence(0, greatest(size(_hashes) - 8, 0)), " +
+        "i -> array_min(slice(_hashes, i + 1, 8))))"))
+      .select("doc_id", "rolling_hash", "winnow_min")
+    assert(native.except(legacy).count() == 0 && legacy.except(native).count() == 0)
+  }
+
+  test("GraftExtensions exposes the native functions to plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force-init the shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+          |       simhash64(array('a', 'b')) AS sh,
+          |       rolling_hash('abc') AS rh,
+          |       token_min_hash('a b') AS tm""".stripMargin).collect()(0)
+      assert(row.getDouble(0) == 1.0)
+      assert(!row.isNullAt(1) && !row.isNullAt(2) && !row.isNullAt(3))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("binary plumbing: metadata survives parquet round-trip") {
     val meta = BinaryColumns.binaryMeta(spark, docs)
     val path = java.nio.file.Files.createTempDirectory("graft_mm").toString
