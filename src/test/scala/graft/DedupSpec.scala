@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("sim") < 0.4).count() == 0)
   }
 
+  test("minhash signature re-attachment carries no forced broadcast") {
+    // With auto-broadcast off, the signature joins must degrade to
+    // shuffle joins — proving the former broadcast(sigs) HINT is gone and
+    // the strategy is stats-driven (broadcast only when actually small).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.minhashCandidates(docs)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "signature relation is still force-broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rolling fingerprint is deterministic across evaluations") {
     val a = TextOps.rollingFingerprint(docs).select("doc_id", "rolling_hash")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
