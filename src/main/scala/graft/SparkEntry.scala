@@ -410,6 +410,36 @@ object SparkEntry {
       .select("doc_id", "rolling_hash", "winnow_min")
       .orderBy("doc_id")
 
+  /** #65 Within-document repetition features (Gopher-style boilerplate
+    * signals). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetition(Tables.documents(s, dir))
+      .select("doc_id", "n_2grams", "top_2gram_n", "dup_3gram_frac")
+      .orderBy("doc_id")
+
+  /** #66 Benchmark-contamination scan: docs 0-2 play the eval suite;
+    * every doc is scored by distinct 8-gram overlap with it. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.contamination(docs, docs.filter(col("doc_id") < 3), n = 8)
+      .select("doc_id", "n_hits", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** #67 Corpus-level token statistics (the sizing numbers a training
+    * run plans against). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    Tables.documents(s, dir)
+      .select(nTokens.as("nt"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("nt")).as("total_tokens"),
+           round(avg(col("nt")), 2).as("avg_tokens"),
+           round(percentile(col("nt"), lit(0.5)), 2).as("p50_tokens"),
+           round(percentile(col("nt"), lit(0.95)), 2).as("p95_tokens"),
+           max(col("nt")).as("max_tokens"))
+  }
+
   /** #46 Near-dup cluster assembly: connected components over the
     * embedding near-dup pairs. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -656,6 +686,9 @@ object SparkEntry {
     "report_empty"        -> (reportEmpty _),
     "ann_ivf"             -> (annIvf _),
     "stream_dedup"        -> (streamDedup _),
+    "text_repetition"     -> (textRepetition _),
+    "text_contamination"  -> (textContamination _),
+    "corpus_stats"        -> (corpusStats _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1146,6 +1179,44 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |              i -> toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_n,
+        |                CAST(sum(c) AS BIGINT) AS n_2grams FROM cnt GROUP BY 1),
+        |g3 AS (SELECT doc_id, len(toks) - 2 AS n3,
+        |              len(list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS d3
+        |       FROM t)
+        |SELECT t2.doc_id, n_2grams, top_2gram_n,
+        |       round(1 - d3::DOUBLE / n3, 4) AS dup_3gram_frac
+        |FROM top2 t2 JOIN g3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 7),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' ||
+        |              toks[i+7] || ' ' || toks[i+8])) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 3),
+        |hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
+        |         JOIN bench USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 2) AS p50_tokens,
+        |  round(quantile_cont(len(string_split(text, ' ')), 0.95), 2) AS p95_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents""".stripMargin,
 
     // The minhash-LSH candidate set provably covers every pair with true
     // Jaccard >= 0.2 on this corpus (measured: all qualifying pairs have

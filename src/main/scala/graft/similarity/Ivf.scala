@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** (vec_id, v, norm, cell) assignment after `iters` Lloyd rounds. */
-  def index(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+  /** ((vec_id, v, norm, cell) assignment, (cell, c) centroids) after
+    * `iters` Lloyd rounds. */
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
     val p = graft.Caching.materialize(Cosine.prepared(emb))
-    val spark = emb.sparkSession
     // deterministic seeding: the k corpus vectors with smallest
     // xxhash64(vec_id), cell ids from that total order (no RNG state)
     var centroids = p
@@ -34,13 +34,11 @@ object Ivf {
       .filter(col("rn") <= k)
       .select((col("rn") - 1).cast("int").as("cell"), col("v").as("c"))
 
-    var assigned: DataFrame = null
     var i = 0
     while (i < iters) {
-      assigned = assign(p, centroids)
       // exact DECIMAL mean per (cell, dim): merge-order-independent, so
       // centroids are run-deterministic (double partial sums are not)
-      centroids = assigned
+      centroids = assign(p, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
@@ -49,8 +47,12 @@ object Ivf {
         .select(col("cell"), expr("transform(pm, e -> e.m)").as("c"))
       i += 1
     }
-    assign(p, centroids)
+    (assign(p, centroids), centroids)
   }
+
+  /** (vec_id, v, norm, cell) assignment after `iters` Lloyd rounds. */
+  def index(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame =
+    train(emb, k, iters)._1
 
   /** Nearest-centroid assignment: centroids are tiny → broadcast; argmin
     * via min(struct(dist, cell)) keeps it one aggregation, no window. */
@@ -69,16 +71,8 @@ object Ivf {
   def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
            nCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
-    val idx = graft.Caching.materialize(index(emb, nCells, iters))
-    // recover the centroids from the index (mean of each cell) — or keep
-    // them; recomputing keeps the public surface to one frame
-    val centroids = idx
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, e -> e.m)").as("c"))
+    val (rawIdx, centroids) = train(emb, nCells, iters)
+    val idx = graft.Caching.materialize(rawIdx)
     val queries = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     // per query: nprobe nearest cells

@@ -131,6 +131,51 @@ object TextOps {
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"))
 
+  // ----------------------------------------------- repetition / overlap
+
+  /** Gopher-style within-document repetition features: how much of the
+    * doc is the same few n-grams repeated. High top-2-gram share or
+    * duplicate-3-gram fraction marks boilerplate/spam for filtering.
+    * One explode + per-doc aggregation — shuffle keyed by doc_id only. */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withToks = docs.withColumn("_toks", split(lower(col(textCol)), " "))
+    val g2 = withToks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(_toks) - 2, 0)), " +
+        "i -> concat_ws(' ', _toks[i], _toks[i+1]))"))
+        .as("g"))
+    val top2 = g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_2gram_n"), sum(col("c")).as("n_2grams"))
+    val g3 = withToks.select(col("doc_id"),
+      (size(col("_toks")) - 2).cast("long").as("n3"),
+      size(expr(
+        "array_distinct(transform(sequence(0, greatest(size(_toks) - 3, 0)), " +
+        "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])))")).cast("long").as("d3"))
+    top2.join(g3, Seq("doc_id"))
+      .select(col("doc_id"), col("n_2grams"), col("top_2gram_n"),
+        round(lit(1.0) - col("d3").cast("double") / col("n3").cast("double"), 4)
+          .as("dup_3gram_frac"))
+  }
+
+  /** Benchmark-contamination check: count the distinct `n`-gram overlaps
+    * of every corpus doc against a (small) benchmark set — the
+    * decontamination pass every training corpus needs. The benchmark
+    * n-gram set is broadcast (it is eval-suite sized); the corpus is
+    * scanned once. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", n: Int = 8): DataFrame = {
+    val corpusGrams = withShingles(corpus, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val benchGrams = withShingles(benchmark, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val hits = corpusGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Rolling polynomial hash over character codes, plus the minimum
     * token hash (the winnowing primitive) — engine-specific (rows-only
     * check), both as native codegen expressions
