@@ -10,62 +10,69 @@ import org.apache.spark.sql.functions._
   * ([[Cosine.lshTopK]]): cells adapt to the data distribution, so probe
   * quality degrades more gracefully on clustered corpora.
   *
-  * Scale shape: training touches the corpus `iters` times with one
-  * small shuffle per iteration (n×dim partial sums → k×dim); the index
-  * is one (vec_id → cell) column; a query batch joins against only its
-  * probed cells — O(|corpus| × nprobe / k) candidates per query.
+  * Scale shape (the MLlib k-means contract): centroids are O(k×dim)
+  * METADATA — they live on the driver and enter the plan as literals, so
+  * cell assignment is a pure codegen projection (zero shuffle, `least`
+  * over k (distance, cell) structs); the only per-iteration shuffle is
+  * the map-side-combined (cell, dim) partial-mean reduce. Seeds come
+  * from a distributed top-k (TakeOrdered) over xxhash64(vec_id), never a
+  * global single-partition sort. A query batch probes O(corpus × nprobe
+  * / k) candidates.
   *
-  * Determinism: centroid seeds are the vectors with the k smallest
-  * xxhash64(vec_id) (no RNG state), and centroid means are averaged in
-  * DECIMAL(25,16) — exact, merge-order-independent — so training gives
-  * bit-identical centroids on every run and cluster layout.
+  * Determinism: hash-seeded centroids (no RNG state) and DECIMAL(25,16)
+  * means (exact, merge-order-independent) make training bit-identical
+  * on every run and cluster layout.
   */
 object Ivf {
 
-  /** ((vec_id, v, norm, cell) assignment, (cell, c) centroids) after
-    * `iters` Lloyd rounds. */
-  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
+  /** Assignment as a projection: argmin over k centroid literals via
+    * `least` on (distance, cell) structs — codegen'd, ties break to the
+    * lower cell id. */
+  private def assignExpr(p: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = p.sparkSession
+    val alts = centroids.map { case (cell, c) =>
+      struct((lit(1.0) - graft.functions.GraftFunctions
+        .cosine_sim(spark, col("v"), typedLit(c))).as("d"), lit(cell).as("cell"))
+    }
+    p.withColumn("best", least(alts: _*))
+      .select(col("vec_id"), col("v"), col("norm"), col("best.cell").as("cell"))
+  }
+
+  /** Train `iters` Lloyd rounds; returns the (vec_id, v, norm, cell)
+    * assignment and the centroid metadata. */
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    require(k >= 2, "need at least two cells")
     val p = graft.Caching.materialize(Cosine.prepared(emb))
     // deterministic seeding: the k corpus vectors with smallest
-    // xxhash64(vec_id), cell ids from that total order (no RNG state)
-    var centroids = p
+    // xxhash64(vec_id) — orderBy+limit plans TakeOrderedAndProject
+    // (distributed top-k), and k rows of metadata come to the driver
+    var centroids: Seq[(Int, Seq[Double])] = p
       .withColumn("h", xxhash64(col("vec_id")))
-      .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select((col("rn") - 1).cast("int").as("cell"), col("v").as("c"))
-
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     var i = 0
     while (i < iters) {
       // exact DECIMAL mean per (cell, dim): merge-order-independent, so
-      // centroids are run-deterministic (double partial sums are not)
-      centroids = assign(p, centroids)
+      // centroids are run-deterministic (double partial sums are not);
+      // partial-avg combines map-side, the shuffle is k×dim rows
+      centroids = assignExpr(p, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, e -> e.m)").as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
       i += 1
     }
-    (assign(p, centroids), centroids)
+    (assignExpr(p, centroids), centroids)
   }
 
   /** (vec_id, v, norm, cell) assignment after `iters` Lloyd rounds. */
   def index(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame =
     train(emb, k, iters)._1
-
-  /** Nearest-centroid assignment: centroids are tiny → broadcast; argmin
-    * via min(struct(dist, cell)) keeps it one aggregation, no window. */
-  private def assign(p: DataFrame, centroids: DataFrame): DataFrame = {
-    val spark = p.sparkSession
-    val dist = lit(1.0) - graft.functions.GraftFunctions
-      .cosine_sim(spark, col("v"), col("c"))
-    p.join(broadcast(centroids))
-      .groupBy("vec_id")
-      .agg(min(struct(dist.as("d"), col("cell"))).as("best"),
-           first(col("v")).as("v"), first(col("norm")).as("norm"))
-      .select(col("vec_id"), col("v"), col("norm"), col("best.cell").as("cell"))
-  }
 
   /** IVF top-k: each query probes its `nprobe` nearest cells only. */
   def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
@@ -73,17 +80,16 @@ object Ivf {
     val spark = emb.sparkSession
     val (rawIdx, centroids) = train(emb, nCells, iters)
     val idx = graft.Caching.materialize(rawIdx)
-    val queries = idx.filter(col("vec_id") < nQueries)
+    // probe selection is again a projection over centroid literals:
+    // sort the k (distance, cell) structs, keep the first nprobe
+    val alts = centroids.map { case (cell, c) =>
+      struct((lit(1.0) - graft.functions.GraftFunctions
+        .cosine_sim(spark, col("q_v"), typedLit(c))).as("d"), lit(cell).as("cell"))
+    }
+    val probes = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    // per query: nprobe nearest cells
-    val probeW = Window.partitionBy("q_id")
-      .orderBy(col("cdist"), col("cell"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("cdist", lit(1.0) - graft.functions.GraftFunctions
-        .cosine_sim(spark, col("q_v"), col("c")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("cell"))
+      .withColumn("probed", slice(array_sort(array(alts: _*)), 1, nprobe))
+      .select(col("q_id"), col("q_v"), explode(col("probed.cell")).as("cell"))
     // search only the probed cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("rawsim").desc, col("neighbor_id"))
