@@ -548,6 +548,43 @@ object SparkEntry {
       .withColumn("cols", lit(back.schema.fieldNames.mkString(",")))
   }
 
+  /** #68 DQ quarantine routing: every row lands in exactly one
+    * disposition — clean, or quarantined under its FIRST failed rule —
+    * written to a disposition-partitioned sink and read back. The audit
+    * trail the reference's filter-chain silently drops. */
+  def etlDqQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val rules = Seq(DqRule.Positive("user_id"), DqRule.NonNegative("value"),
+      DqRule.NotNull("ts"))
+    val bad = DataQuality.violations(ev, rules)
+      .select(col("event_id"), col("dq_failed_rules")(0).as("rule"),
+              lit("quarantine").as("disposition"))
+    val good = DataQuality.clean(ev, rules)
+      .select(col("event_id"), lit("none").as("rule"),
+              lit("clean").as("disposition"))
+    val path = tempDir("quarantine")
+    bad.unionByName(good)
+      .repartition(col("disposition"))
+      .write.mode("overwrite").partitionBy("disposition").parquet(path)
+    s.read.parquet(path)
+      .groupBy("disposition", "rule")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("disposition", "rule")
+  }
+
+  /** #69 Offset/ntile window surface: lag, lead, and quartile binning
+    * per user over event time. */
+  def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------- ACID table surface
 
   private def consumerSlim(s: SparkSession, dir: String): DataFrame =
@@ -689,6 +726,8 @@ object SparkEntry {
     "text_repetition"     -> (textRepetition _),
     "text_contamination"  -> (textContamination _),
     "corpus_stats"        -> (corpusStats _),
+    "etl_dq_quarantine"   -> (etlDqQuarantine _),
+    "window_lead_lag"     -> (windowLeadLag _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1208,6 +1247,28 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "etl_dq_quarantine" ->
+      """WITH d AS (
+        |  SELECT CASE
+        |    WHEN NOT (user_id IS NOT NULL AND user_id > 0) THEN 'positive(user_id)'
+        |    WHEN NOT (value IS NOT NULL AND value >= 0) THEN 'non_negative(value)'
+        |    WHEN ts IS NULL THEN 'not_null(ts)'
+        |    ELSE 'none' END AS rule
+        |  FROM events)
+        |SELECT CASE WHEN rule = 'none' THEN 'clean' ELSE 'quarantine' END
+        |         AS disposition,
+        |       rule, count(*) AS n_rows
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "window_lead_lag" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "corpus_stats" ->
       """SELECT count(*) AS n_docs,

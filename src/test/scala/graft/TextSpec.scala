@@ -31,6 +31,24 @@ class TextSpec extends SparkSpec {
     assert(t.filter(col("n_re_tokens") < col("n_ws_tokens")).count() == 0)
   }
 
+  test("repetition features flag a boilerplate doc and clear a clean one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight distinct words make one clean doc")).toDF("doc_id", "text")
+    val r = TextOps.repetition(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) > 0.8, s"boilerplate dup_3gram_frac ${r(1L)} too low")
+    assert(r(2L) == 0.0, s"clean doc dup_3gram_frac ${r(2L)} nonzero")
+  }
+
+  test("contamination marks the benchmark docs themselves and their dups") {
+    val scored = TextOps.contamination(docs, docs.filter(col("doc_id") < 3), n = 8)
+    val selfHits = scored.filter(col("doc_id") < 3 && !col("contaminated")).count()
+    assert(selfHits == 0, "benchmark members must self-contaminate")
+    assert(scored.count() == docs.count(), "every doc gets a verdict")
+  }
+
   test("native rolling/token-min hash expressions match the declarative forms") {
     val native = TextOps.rollingFingerprint(docs)
       .select("doc_id", "rolling_hash", "winnow_min")
