@@ -501,6 +501,17 @@ object SparkEntry {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
 
+  /** #70 Frame-sampling plumbing: 4 evenly-strided 16-byte frames per
+    * payload, one typed row each (hash column excluded from the oracle —
+    * byte-level JVM arithmetic; the stride/slice geometry is the
+    * SQL-checkable contract). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    BinaryColumns.sampleFrames(
+        BinaryColumns.toBlobs(Tables.documents(s, dir)), nFrames = 4, frameBytes = 16)
+      .toDF()
+      .select("doc_id", "frame_idx", "offset", "frame_bytes")
+      .orderBy("doc_id", "frame_idx")
+
   /** #60 Persistent-catalog partitioned table: externally-written
     * partition directories discovered via MSCK REPAIR (the reference's
     * Glue partition sync, process_data_glue.py:98-123), then queried by
@@ -728,6 +739,7 @@ object SparkEntry {
     "corpus_stats"        -> (corpusStats _),
     "etl_dq_quarantine"   -> (etlDqQuarantine _),
     "window_lead_lag"     -> (windowLeadLag _),
+    "mm_frame_sample"     -> (mmFrameSample _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1247,6 +1259,16 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(4)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(i * greatest(n // 4, 1) AS BIGINT) AS offset,
+        |       CAST(least(n, i * greatest(n // 4, 1) + 16)
+        |            - i * greatest(n // 4, 1) AS BIGINT) AS frame_bytes
+        |FROM f WHERE i * greatest(n // 4, 1) < n
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "etl_dq_quarantine" ->
       """WITH d AS (

@@ -347,6 +347,19 @@ object TxLog {
     out.toSeq
   }
 
+  /** OPTIMIZE: rewrite the current snapshot as one file per partition in
+    * a single ACID commit — small-file compaction that readers never see
+    * half-done, and that time travel sees as just another version. */
+  def optimize(spark: SparkSession, table: String): Unit = {
+    val snap = snapshot(spark, table, None)
+      .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
+    overwrite(read(spark, table), table, snap.meta.partitionCols)
+  }
+
+  /** Live file count of the current snapshot (compaction observability). */
+  def fileCount(spark: SparkSession, table: String): Int =
+    snapshot(spark, table, None).map(_.files.size).getOrElse(0)
+
   /** Fold the whole log into one equivalent commit (checkpoint analogue):
     * replay cost returns to O(live files) after many small commits. */
   def compactLog(spark: SparkSession, table: String): Unit = {

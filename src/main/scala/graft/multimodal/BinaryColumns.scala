@@ -54,4 +54,38 @@ object BinaryColumns {
     * metadata frame. */
   def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(toBlobs(docs)).toDF().orderBy("doc_id")
+
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
+                   frame_bytes: Long, frame_hash: Long)
+
+  /** Video-style frame sampling plumbing: slice each payload into
+    * `nFrames` evenly-spaced fixed-size frames (offset stride =
+    * payload/nFrames) and emit one typed row per frame, hashed for
+    * downstream dedup. A real pipeline decodes the container and seeks
+    * keyframes in the same per-partition loop; the stride math, explode
+    * shape, and one-row-per-frame schema are the production plumbing.
+    * Rows explode by a CONSTANT factor (nFrames), so the shuffle story
+    * is unchanged — this is a projection+generate, no join, no agg. */
+  def sampleFrames(blobs: Dataset[Blob], nFrames: Int, frameBytes: Int): Dataset[Frame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition: a real codec/demuxer handle would open here
+      it.flatMap { b =>
+        val n = b.payload.length
+        val stride = math.max(1L, n.toLong / nFrames)
+        (0 until nFrames).iterator
+          .map(i => (i.toLong, i * stride))
+          .takeWhile(_._2 < n)
+          .map { case (idx, off) =>
+            val end = math.min(n.toLong, off + frameBytes).toInt
+            // stub "decode": hash the frame span (stands in for pixels)
+            var h = 1125899906842597L
+            var p = off.toInt
+            while (p < end) { h = h * 31 + b.payload(p); p += 1 }
+            Frame(b.doc_id, idx, off, end - off, h)
+          }
+      }
+    }
+  }
 }

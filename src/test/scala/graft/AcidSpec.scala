@@ -88,6 +88,22 @@ class AcidSpec extends SparkSpec {
     assert(h.last._1 == 4L && h.last._4, "compaction commit carries meta")
   }
 
+  test("optimize compacts to one file per partition, preserving data and history") {
+    import spark.implicits._
+    val t = tmp()
+    val parts = Seq("fleet")
+    TxLog.overwrite(Seq(("a", 1.0)).toDF("fleet", "amt"), t, parts)
+    TxLog.append(Seq(("a", 2.0), ("b", 3.0)).toDF("fleet", "amt"), t)
+    TxLog.append(Seq(("b", 4.0)).toDF("fleet", "amt"), t)
+    val before = rows(TxLog.read(spark, t))
+    assert(TxLog.fileCount(spark, t) >= 4, "appends should accumulate files")
+    TxLog.optimize(spark, t)
+    assert(TxLog.fileCount(spark, t) == 2, "one file per live partition")
+    assert(rows(TxLog.read(spark, t)) == before, "OPTIMIZE must not change data")
+    // pre-optimize versions still travel
+    assert(rows(TxLog.read(spark, t, Some(1L))) == Set(Seq("a", 1.0)))
+  }
+
   test("crashed staging writes are invisible to readers") {
     import spark.implicits._
     val t = tmp()

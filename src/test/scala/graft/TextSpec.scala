@@ -87,6 +87,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: stride geometry and per-frame determinism") {
+    val frames = BinaryColumns.sampleFrames(
+      BinaryColumns.toBlobs(docs.limit(20)), nFrames = 4, frameBytes = 16).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      assert(fs.length <= 4)
+      assert(fs.map(_.frame_idx).sorted.sameElements(fs.indices.map(_.toLong)))
+      assert(fs.forall(f => f.frame_bytes > 0 && f.frame_bytes <= 16))
+    }
+    val again = BinaryColumns.sampleFrames(
+      BinaryColumns.toBlobs(docs.limit(20)), 4, 16).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet ==
+      again.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet)
+  }
+
   test("binary plumbing: metadata survives parquet round-trip") {
     val meta = BinaryColumns.binaryMeta(spark, docs)
     val path = java.nio.file.Files.createTempDirectory("graft_mm").toString
