@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("token_min_hash"),
       info("token_min_hash", "token_min_hash(text) - min xxhash64 over space tokens"),
       (e: Seq[Expression]) => TokenMinHash(e.head)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - distinct word n-gram shingles"),
+      (e: Seq[Expression]) => WordNgrams(e(0), e(1).eval().asInstanceOf[Int])))
   }
 }

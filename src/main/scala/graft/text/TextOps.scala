@@ -30,14 +30,13 @@ object TextOps {
        |  sequence(0, greatest(size($textCol) - $n, 0)),
        |  i -> concat_ws(' ', slice($textCol, i + 1, $n))))""".stripMargin)
 
-  /** Adds `shingles` derived from a once-per-row token projection.
-    * Catalyst keeps the intermediate `_toks` projection separate (split
-    * is not a collapse-cheap expression), so tokenization is not inlined
-    * into each shingle lambda. */
+  /** Adds `shingles` via the native [[graft.functions.WordNgrams]]
+    * expression — one JVM loop per row; the declarative [[shingleExpr]]
+    * form runs its lambdas interpreted per shingle and dominated the
+    * sf1 contamination/minhash profiles. Value-identical (spec-proven). */
   def withShingles(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("_toks", split(lower(col(textCol)), " "))
-      .withColumn("shingles", shingleExpr("_toks", n))
-      .drop("_toks")
+    df.withColumn("shingles", graft.functions.TextShingleFunctions
+      .word_ngrams(df.sparkSession, lower(col(textCol)), n))
 
   // ------------------------------------------------------------- lang id
 

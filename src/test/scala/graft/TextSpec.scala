@@ -49,6 +49,22 @@ class TextSpec extends SparkSpec {
     assert(scored.count() == docs.count(), "every doc gets a verdict")
   }
 
+  test("native word_ngrams matches the declarative shingle expression") {
+    val native = TextOps.withShingles(docs, "text", 3).select("doc_id", "shingles")
+    val legacy = docs
+      .withColumn("_toks", split(lower(col("text")), " "))
+      .withColumn("shingles", TextOps.shingleExpr("_toks", 3))
+      .select("doc_id", "shingles")
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val l = legacy.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n == l, "shingle arrays (values AND order) must be identical")
+    // short-doc edge: fewer tokens than n collapses to the full span
+    import spark.implicits._
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextOps.withShingles(short, "text", 3)
+      .select("shingles").collect()(0).getSeq[String](0) == Seq("a b"))
+  }
+
   test("native rolling/token-min hash expressions match the declarative forms") {
     val native = TextOps.rollingFingerprint(docs)
       .select("doc_id", "rolling_hash", "winnow_min")
