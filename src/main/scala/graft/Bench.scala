@@ -11,13 +11,32 @@ import org.apache.spark.sql.SparkSession
   * deployment amortizes (bucketed-table writes for join_bucketed) runs
   * untimed before the loop and is reported separately as `setup_sec`.
   *
-  * Two passes: the first (cold) pass pays whole-stage-codegen compiles
-  * and JIT warmup for whichever query happens to run a kernel first —
-  * charging that to the query is noise, not signal (measured ±10 s swings
-  * on per-row kernels). The reported per-query numbers are the second
-  * (warm) pass; the cold total is kept as `cold_total_sec`.
+  * Aggregation (self-described in the JSON as `aggregation`): one cold
+  * pass pays whole-stage-codegen compiles and JIT warmup for whichever
+  * query happens to run a kernel first — charging that to the query is
+  * noise, not signal (measured ±10 s swings on per-row kernels); it is
+  * reported only as `cold_total_sec`. Then two warm passes; the reported
+  * per-query number is the MIN of the warm passes — min is the
+  * right order statistic for wall-time (all contamination — GC, page
+  * cache misses, driver load — is additive, so the min is the least
+  * contaminated observation; round 2's single warm pass drifted ~20%
+  * between same-build runs).
+  *
+  * Failures are LOUD: a query that throws is retried never and recorded
+  * with `ok=false` plus the exception in `errors` — its wall time is the
+  * time-to-failure, which must not be read as a result. `failed` carries
+  * the count so a consumer can gate on it without parsing per-query maps.
   */
 object Bench {
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,19 +52,42 @@ object Bench {
     val t0setup = System.nanoTime()
     SparkEntry.ensureBucketedTables(spark, sfDir)
     val setupSec = (System.nanoTime() - t0setup) / 1e9
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+
+    def pass(): Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1)
+                .mkString.take(200))
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
+      }
+
     val cold = pass()
-    val results = pass()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val warm = Seq(pass(), pass())
+    val names = SparkEntry.queries.keys.toSeq
+    val best = names.map { n =>
+      n -> warm.map(_(n)._1).min
+    }.toMap
+    val errs = names.flatMap { n =>
+      (cold(n)._2.toSeq ++ warm.flatMap(_(n)._2)).headOption.map(n -> _)
+    }.toMap
+
+    val qs = names.map(n => jsonStr(n) + ":" + best(n)).mkString("{", ",", "}")
+    val oks = names.map(n => jsonStr(n) + ":" + !errs.contains(n))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val total = best.values.sum
+    val coldTotal = cold.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_ok":$oks,"errors":$errJson,"failed":${errs.size},"aggregation":"per-query min of 2 warm passes after 1 untimed cold pass","setup_sec":$setupSec,"cold_total_sec":$coldTotal,"sf":${jsonStr(sfDir)}}""")
     spark.stop()
+    if (errs.nonEmpty) {
+      System.err.println(s"bench: ${errs.size} queries FAILED: ${errs.keys.toSeq.sorted.mkString(", ")}")
+    }
   }
 }

@@ -567,14 +567,10 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val rules = Seq(DqRule.Positive("user_id"), DqRule.NonNegative("value"),
       DqRule.NotNull("ts"))
-    val bad = DataQuality.violations(ev, rules)
-      .select(col("event_id"), col("dq_failed_rules")(0).as("rule"),
-              lit("quarantine").as("disposition"))
-    val good = DataQuality.clean(ev, rules)
-      .select(col("event_id"), lit("none").as("rule"),
-              lit("clean").as("disposition"))
     val path = tempDir("quarantine")
-    bad.unionByName(good)
+    // single tagged scan of events — both dispositions from one pass
+    DataQuality.dispositions(ev, rules)
+      .select("event_id", "rule", "disposition")
       .repartition(col("disposition"))
       .write.mode("overwrite").partitionBy("disposition").parquet(path)
     s.read.parquet(path)

@@ -66,6 +66,23 @@ object DataQuality {
       .filter(size(col("dq_failed_rules")) > 0)
   }
 
+  /** Routes every row to exactly one disposition in ONE scan: `clean`
+    * rows pass all rules; `quarantine` rows carry their FIRST failed
+    * rule's name in `rule` (`none` for clean rows). The union-of-two-
+    * filters form costs a second scan of the input; this is a single
+    * projection, so the disposition split pushes one pass through the
+    * sink. */
+  def dispositions(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    val failed = filter(array(rules.map(r =>
+      when(!r.predicate || r.predicate.isNull, lit(r.name))): _*), _.isNotNull)
+    df.withColumn("dq_failed_rules", failed)
+      .withColumn("rule", coalesce(get(col("dq_failed_rules"), lit(0)), lit("none")))
+      .withColumn("disposition",
+        when(size(col("dq_failed_rules")) > 0, lit("quarantine"))
+          .otherwise(lit("clean")))
+      .drop("dq_failed_rules")
+  }
+
   /** One-pass per-rule violation counts + total row count.
     * Output: one row, columns `rows_total` and one `viol_<i>` per rule.
     */
