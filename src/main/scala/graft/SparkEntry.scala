@@ -299,14 +299,84 @@ object SparkEntry {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir))
 
-  /** #21 MinHash + LSH banding near-dup candidates (rows-only check:
-    * signature internals are engine-specific but fully deterministic). */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(s, dir))
+  /** #21 MinHash + LSH banding near-dup, bounded-oracle form. The
+    * emitted pair SET is hash-checked directly: on this corpus the
+    * est>=0.5 candidate set equals the exact-Jaccard>=0.2 pair set (the
+    * corpus separates cleanly — non-dup pairs max 0.067, dup pairs min
+    * 0.9 exact Jaccard, and 8-band/4-row banding recall at J>=0.9 is
+    * 1-3.5e-4 per pair), which DuckDB computes exactly. A missed or
+    * spurious candidate therefore breaks the row-set hash. The sketch
+    * ACCURACY contract rides along as `est_ok`: |signature-estimated −
+    * exact Jaccard| <= 0.2 per pair (32-perm MinHash std at J≈0.9 is
+    * 0.053; measured max deviation 0.067). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shingled = TextOps.withShingles(docs, "text", 3).select("doc_id", "shingles")
+    Dedup.minhashCandidates(docs)
+      .join(shingled.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(shingled.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard_raw")) <= 0.2).as("est_ok"))
+      .orderBy("doc_a", "doc_b")
+  }
 
-  /** #22 SimHash hamming-band near-dup (rows-only). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(Tables.documents(s, dir))
+  /** #22 SimHash hamming-band near-dup, bounded-oracle form. The pair
+    * set itself is NOT SQL-derivable (hamming<=3 on xxhash64-seeded
+    * bit-votes admits no closed form over token sets — and on this
+    * shared-vocabulary corpus token overlap of random pairs is high, so
+    * no overlap floor separates), so the oracle checks the operator's
+    * CONTRACT: (a) `n_exact_pairs` — the number of identical-token-SET
+    * pairs (the corpus's true near-dups: shuffled copies), computed
+    * independently by both engines, hash-checked; (b) `exact_covered` —
+    * every such pair is in the emitted set (identical token sets ⇒
+    * identical simhash ⇒ hamming 0 ⇒ band collision: recall 1.0 on true
+    * duplicates); (c) the SKETCH-ACCURACY claim — hamming estimates the
+    * token-indicator-vector angle, so per emitted pair
+    * |cos(pi*hamming/64) − cosExact| is bounded: p99 <= 0.25 and
+    * max <= 0.45 (measured deterministic values across sf0.001/0.01/0.1:
+    * p99 0.110-0.118, max 0.224-0.358). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.Caching.materialize(Dedup.simhashCandidates(docs))
+    val tokset = docs.select(col("doc_id"),
+      expr("sort_array(array_distinct(split(lower(text), ' ')))").as("tk"))
+    // estimate-vs-exact angular deviation on the (small) emitted pair set
+    val devStats = pairs
+      .join(tokset.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("tk", "tk_a"), Seq("doc_a"))
+      .join(tokset.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("tk", "tk_b"), Seq("doc_b"))
+      .select(abs(
+        cos(col("hamming").cast("double") * math.Pi / 64) -
+          size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+            sqrt(size(col("tk_a")).cast("double") * size(col("tk_b")).cast("double")))
+        .as("dev"))
+      .agg(expr("percentile(dev, 0.99)").as("p99_dev"), max(col("dev")).as("max_dev"))
+    // identical-token-set duplicate groups: one hash-shuffle on the
+    // token-set key; pairs within groups (duplicate groups are small)
+    val groups = tokset.groupBy("tk").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val exactPairs = groups
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a, b))))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val missed = exactPairs.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(missed)
+      .crossJoin(devStats)
+      .select(col("n_exact_pairs"),
+        (col("n_missed") === 0L).as("exact_covered"),
+        (col("p99_dev") <= 0.25).as("est_p99_ok"),
+        (col("max_dev") <= 0.45).as("est_max_ok"))
+  }
 
   /** #23 Exact n-gram Jaccard verify over LSH candidates (rows-only). */
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
@@ -404,11 +474,39 @@ object SparkEntry {
       .select("doc_id", "content_hash", "n_bytes")
       .orderBy("doc_id")
 
-  /** #30b Rolling/winnowing fingerprints (rows-only). */
-  def textFingerprintRoll(s: SparkSession, dir: String): DataFrame =
-    TextOps.rollingFingerprint(Tables.documents(s, dir))
-      .select("doc_id", "rolling_hash", "winnow_min")
+  /** #30b Rolling/winnowing fingerprints, bounded-oracle form. The hash
+    * VALUES are engine-specific (rolling polynomial over char codes,
+    * xxhash64 token minima), but their fingerprint CONTRACT is
+    * SQL-checkable per doc: `content_class` (min doc_id sharing this
+    * doc's exact content — what a fingerprint exists to identify) is
+    * computed from md5 by the oracle and must equal the class the
+    * ROLLING hash induces (`roll_class_ok`: consistent on duplicates AND
+    * collision-free across classes — both measured and deterministic);
+    * `winnow_fn_ok` asserts winnow_min is a pure function of content
+    * (winnow minima legitimately collide across classes — min token
+    * hash — so injectivity is not claimed); `n_windows` is the
+    * winnowing window-count geometry, derivable from token counts. */
+  def textFingerprintRoll(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fp = graft.Caching.materialize(
+      TextOps.rollingFingerprint(docs)
+        .withColumn("content_key", md5(col("text")))
+        .select("doc_id", "content_key", "rolling_hash", "winnow_min"))
+    val contentCls = fp.groupBy("content_key")
+      .agg(min(col("doc_id")).as("content_class"),
+           (count_distinct(col("winnow_min")) === 1L).as("winnow_fn_ok"))
+    val rollCls = fp.groupBy("rolling_hash")
+      .agg(min(col("doc_id")).as("roll_class"))
+    fp.join(contentCls, Seq("content_key"))
+      .join(rollCls, Seq("rolling_hash"))
+      .join(docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - lit(7), lit(1)).cast("long")
+          .as("n_windows")), Seq("doc_id"))
+      .select(col("doc_id"), col("content_class"), col("n_windows"),
+        (col("roll_class") === col("content_class")).as("roll_class_ok"),
+        col("winnow_fn_ok"))
       .orderBy("doc_id")
+  }
 
   /** #65 Within-document repetition features (Gopher-style boilerplate
     * signals). */
@@ -661,6 +759,62 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** #71 MERGE INTO (upsert) on the ACID table — the first thing a Delta
+    * user reaches for after partition overwrite (late trip corrections +
+    * newly arrived trips in one transaction). Copy-on-write: only files
+    * holding a matched key are rewritten; `partial_rewrite` proves the
+    * green fleet's files were never touched by a yellow-only correction
+    * batch. */
+  def deltaMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txmerge")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)
+    // late corrections: big yellow trips get a $10 adjustment (update);
+    // a re-keyed green batch arrives as brand-new trips (insert)
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val stats = graft.acid.TxLog.merge(
+      corrections.unionByName(arrivals), path, Seq("event_id"))
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("partial_rewrite",
+        lit(stats.filesRewritten > 0 &&
+            stats.filesRewritten < stats.filesTotalBefore))
+      .select("trip_type", "n_rows", "total", "partial_rewrite")
+      .orderBy("trip_type")
+  }
+
+  /** #72 File-level data skipping on a NON-partition predicate: the
+    * txlog records per-file min/max from parquet footers at commit time,
+    * so a selective `event_id` range over range-clustered files reads a
+    * few files, not every footer (`skipped_files` observes the index's
+    * listing: selected < total). */
+  def deltaDataSkipping(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txskip")
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      .repartitionByRange(16, col("event_id"))
+    graft.acid.TxLog.overwrite(ev, path)
+    val (table, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
+    val hit = table
+      .filter(col("event_id") >= 100 && col("event_id") < 200)
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .collect()(0)
+    val (sel, tot) = idx.lastListing.get
+    s.range(1).select(
+      lit(hit.getLong(0)).as("n_rows"),
+      lit(hit.getDouble(1)).as("total"),
+      lit(sel < tot).as("skipped_files"),
+      lit(sel >= 1).as("scanned_some"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -725,6 +879,8 @@ object SparkEntry {
     "delta_sink"          -> (deltaSink _),
     "delta_time_travel"   -> (deltaTimeTravel _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
+    "delta_merge"         -> (deltaMerge _),
+    "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
     "report_empty"        -> (reportEmpty _),
@@ -1302,7 +1458,41 @@ object SparkEntry {
     // Jaccard >= 0.89, where 8-band/4-row banding recall is 1 - 3.5e-4
     // per pair and the fixed-seed signatures are deterministic), so the
     // operator's output equals the full exact-Jaccard pair set — which
-    // DuckDB can compute directly.
+    // DuckDB can compute directly. Same argument gives dedup_minhash its
+    // pair-set oracle (see the query's Scaladoc for the bound rationale).
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |       FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                   len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard, true AS est_ok FROM p
+        |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_sort(list_distinct(string_split(lower(text), ' '))) AS tk
+        |           FROM documents),
+        |g AS (SELECT tk, count(*) AS g FROM t GROUP BY tk HAVING count(*) > 1)
+        |SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS n_exact_pairs,
+        |       true AS exact_covered, true AS est_p99_ok, true AS est_max_ok
+        |FROM g""".stripMargin,
+
+    "text_fingerprint_roll" ->
+      """WITH c AS (SELECT doc_id, md5(text) AS k,
+        |                  len(string_split(text, ' ')) AS nt
+        |           FROM documents),
+        |cls AS (SELECT k, min(doc_id) AS content_class FROM c GROUP BY k)
+        |SELECT doc_id, content_class,
+        |       CAST(greatest(nt - 7, 1) AS BIGINT) AS n_windows,
+        |       true AS roll_class_ok, true AS winnow_fn_ok
+        |FROM c JOIN cls USING (k) ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |           FROM documents),
@@ -1388,6 +1578,24 @@ object SparkEntry {
          |  FROM events
          |  WHERE event_type IN ('purchase', 'view') AND $dqSql)
          |ORDER BY version""".stripMargin,
+
+    "delta_merge" ->
+      s"""SELECT trip_type, count(*) AS n_rows, round(sum(total_amount), 2) AS total,
+         |       true AS partial_rewrite
+         |FROM (
+         |  SELECT event_type AS trip_type,
+         |         CASE WHEN event_type = 'purchase' AND value >= 100
+         |              THEN value + 10 ELSE value END AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |  UNION ALL
+         |  SELECT event_type, value FROM events
+         |  WHERE event_type = 'view' AND $dqSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_data_skipping" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
+        |       true AS skipped_files, true AS scanned_some
+        |FROM events WHERE event_id >= 100 AND event_id < 200""".stripMargin,
 
     "dedup_droplist" ->
       """WITH RECURSIVE
