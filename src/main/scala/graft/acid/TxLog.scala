@@ -5,8 +5,19 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One live data file of a txlog table: table-root-relative path, parsed
+  * partition values, physical size, and footer-derived column min/max
+  * ranges (the data-skipping input; absent entries mean "no bound"). */
+private[graft] case class AddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long = 0L,
+    numRecords: Long = -1L,
+    minValues: Map[String, Any] = Map.empty,
+    maxValues: Map[String, Any] = Map.empty)
 
 /** ACID table format on plain parquet — the consumer-layer semantics the
   * reference gets from Delta Lake (process_data_glue.py:186-190 writes
@@ -31,21 +42,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    the writer re-reads state and retries (optimistic concurrency).
   *
   * Scale: the log is O(files) metadata, not data; partition pruning
-  * happens against log metadata before any parquet footer is touched
-  * (reads build one branch per partition with literal partition values,
-  * so a partition filter constant-folds whole branches away). Snapshot
-  * replay is O(versions × actions); production Delta checkpoints the
-  * replay every N commits — the same applies here via `compactLog`.
+  * happens against log metadata before any parquet footer is touched —
+  * reads go through a snapshot-backed [[TxLogFileIndex]] (one scan node
+  * regardless of partition count), which also skips files on
+  * NON-partition predicates via per-file column min/max recorded in each
+  * add action at commit time ([[ParquetStats]], the Delta `add.stats`
+  * design). Snapshot replay is O(versions × actions); production Delta
+  * checkpoints the replay every N commits — the same applies here via
+  * `compactLog`.
   */
 object TxLog {
 
   private val LogDir = "_txlog"
-  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+  private[acid] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private case class Meta(schema: StructType, partitionCols: Seq[String])
-  private case class AddFile(path: String, partitionValues: Map[String, String])
 
   private case class Snapshot(version: Long, meta: Meta, files: Seq[AddFile])
+
+  /** MERGE observability: how much of the table was rewritten. */
+  case class MergeStats(filesRewritten: Int, filesTotalBefore: Int, filesAdded: Int)
 
   private def fs(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -71,12 +87,30 @@ object TxLog {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  private def actionJson(kind: String, f: AddFile): String =
-    JsonMethods.compact(JsonMethods.render(
-      JObject(kind -> JObject(
-        "path" -> JString(f.path),
-        "partitionValues" -> JObject(
-          f.partitionValues.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })))))
+  private def statValueJson(v: Any): JValue = v match {
+    case l: Long => JLong(l)
+    case d: Double => JDouble(d)
+    case s: String => JString(s)
+    case other => JString(String.valueOf(other))
+  }
+
+  private def statMapJson(m: Map[String, Any]): JObject =
+    JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> statValueJson(v) })
+
+  private def actionJson(kind: String, f: AddFile): String = {
+    val base = List(
+      "path" -> (JString(f.path): JValue),
+      "partitionValues" -> (JObject(
+        f.partitionValues.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }): JValue))
+    // stats ride only on adds; removes identify the file by path alone
+    val withStats = if (kind == "add") base ++ List(
+      "size" -> (JLong(f.size): JValue),
+      "numRecords" -> (JLong(f.numRecords): JValue),
+      "minValues" -> (statMapJson(f.minValues): JValue),
+      "maxValues" -> (statMapJson(f.maxValues): JValue))
+    else base
+    JsonMethods.compact(JsonMethods.render(JObject(kind -> JObject(withStats))))
+  }
 
   private def metaJson(m: Meta): String =
     JsonMethods.compact(JsonMethods.render(
@@ -99,7 +133,22 @@ object TxLog {
           val JString(p) = a \ "path"
           val pv = (a \ "partitionValues").asInstanceOf[JObject]
             .obj.collect { case (k, JString(v)) => k -> v }.toMap
-          adds += AddFile(p, pv)
+          def statMap(field: String): Map[String, Any] = a \ field match {
+            case JObject(fields) => fields.collect {
+              case (k, JInt(i)) => k -> (i.toLong: Any)
+              case (k, JLong(l)) => k -> (l: Any)
+              case (k, JDouble(d)) => k -> (d: Any)
+              case (k, JString(s)) => k -> (s: Any)
+            }.toMap
+            case _ => Map.empty
+          }
+          def longOf(field: String, dflt: Long): Long = a \ field match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case _ => dflt
+          }
+          adds += AddFile(p, pv, longOf("size", 0L), longOf("numRecords", -1L),
+            statMap("minValues"), statMap("maxValues"))
         case JObject(List(("remove", r))) =>
           val JString(p) = r \ "path"
           removes += p
@@ -180,10 +229,12 @@ object TxLog {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
     val qualified = hfs.makeQualified(staging).toString
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val it = hfs.listFiles(staging, true)
     val files = mutable.ArrayBuffer.empty[AddFile]
     while (it.hasNext) {
-      val f = it.next().getPath
+      val status = it.next()
+      val f = status.getPath
       if (f.getName.endsWith(".parquet")) {
         val rel = f.toString.stripPrefix(qualified).stripPrefix("/")
         val pv = rel.split("/").dropRight(1).flatMap { seg =>
@@ -193,7 +244,11 @@ object TxLog {
             case _ => None
           }
         }.toMap
-        files += AddFile(s"$stagingName/$rel", pv)
+        // footer metadata only (no data I/O) — the commit-time stats
+        // collection that buys read-time file skipping
+        val (numRecords, mins, maxs) = ParquetStats.readFooter(conf, f)
+        files += AddFile(s"$stagingName/$rel", pv, status.getLen, numRecords,
+          mins, maxs)
       }
     }
     files.toSeq
@@ -269,6 +324,61 @@ object TxLog {
     }
   }
 
+  /** Copy-on-write MERGE (upsert) keyed on `keyCols` — Delta's
+    * `MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *`:
+    *   1. find the files containing rows whose key matches the source
+    *      (file-granular: one semi-join over the snapshot with the
+    *      `_metadata.file_path` column the relation exposes);
+    *   2. rewrite ONLY those files, replacing matched rows wholesale
+    *      with their source row (a key matched by the source updates
+    *      every copy) and keeping unmatched neighbors byte-identical;
+    *   3. append source rows matching nothing as inserts;
+    *   4. one ACID commit: remove touched files, add rewritten ones.
+    * Untouched files are never read past their key column nor
+    * rewritten — at 100 TB a merge touching one partition's files costs
+    * that partition, not the table. Optimistic like every writer here:
+    * a lost commit race recomputes against the new snapshot. */
+  def merge(source: DataFrame, table: String, keyCols: Seq[String]): MergeStats = {
+    val spark = source.sparkSession
+    val (hfs, root) = fs(spark, table)
+    val qroot = hfs.makeQualified(root).toString
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
+        s"merge into non-existent table $table — overwrite first"))
+      requireCompatible(snap.meta.schema, source.schema, table)
+      val cols = snap.meta.schema.fieldNames.toSeq
+      val src = source.select(cols.map(col): _*)
+      val full = relationFor(spark, table, snap.meta, snap.files)._1
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      // file-granular match: which live files hold a matched key
+      val touchedPaths = relationFor(spark, table, snap.meta, snap.files)._1
+        .withColumn("__path", col("_metadata.file_path"))
+        .join(srcKeys, keyCols, "left_semi")
+        .select("__path").distinct().collect()
+        .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
+      val touched = snap.files.filter(f => touchedPaths.contains(f.path))
+      val touchedRows = relationFor(spark, table, snap.meta, touched)._1
+      val joinCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val updated = touchedRows.alias("t")
+        .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
+        .select(cols.map { c =>
+          if (keyCols.contains(c)) col(s"t.$c").as(c)
+          else when(col("s.__m").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        }: _*)
+      val inserts = src.join(
+        full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      val adds = stage(updated.unionByName(inserts), table, snap.meta.partitionCols)
+      val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(touched.size, snap.files.size, adds.size)
+      attempts += 1 // lost the race: recompute against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog merge on $table lost $attempts optimistic races; giving up")
+  }
+
   private def requireCompatible(table: StructType, incoming: StructType, name: String): Unit = {
     val want = table.fields.map(f => f.name -> f.dataType).toMap
     val got = incoming.fields.map(f => f.name -> f.dataType).toMap
@@ -285,31 +395,36 @@ object TxLog {
       .version
 
   /** Snapshot read, optionally of a historical version (time travel).
-    * One union branch per live partition with partition values as typed
-    * literals — a partition predicate constant-folds non-matching
-    * branches to empty relations (log-metadata pruning, no footer I/O). */
-  def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame = {
+    * One [[TxLogFileIndex]]-backed relation — a SINGLE scan node whose
+    * plan size is O(1) in partition count; partition pruning and
+    * min/max data skipping both run against log metadata inside
+    * `listFiles`, before any footer I/O. */
+  def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame =
+    readWithSkipInfo(spark, table, versionAsOf)._1
+
+  /** [[read]] plus the backing file index, whose `lastListing` exposes
+    * (files selected, files total) after the scan plans — the
+    * data-skipping observability hook. */
+  private[graft] def readWithSkipInfo(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): (DataFrame, TxLogFileIndex) = {
     val snap = snapshot(spark, table, versionAsOf)
       .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
-    val meta = snap.meta
-    val dataSchema = StructType(meta.schema.filterNot(f => meta.partitionCols.contains(f.name)))
-    val colOrder = meta.schema.fieldNames.map(col).toSeq
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    val root = new Path(table)
-    val groups = snap.files.groupBy(_.partitionValues).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).map(_._2).mkString("/"))
-    groups.map { case (pv, files) =>
-      val paths = files.map(f => new Path(root, f.path).toString)
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
-      meta.partitionCols.foldLeft(base) { (acc, c) =>
-        val raw = pv.getOrElse(c, NullPartition)
-        val typed = if (raw == NullPartition) lit(null)
-        else lit(raw).cast(meta.schema(c).dataType)
-        acc.withColumn(c, typed)
-      }.select(colOrder: _*)
-    }.reduce(_.unionByName(_))
+    relationFor(spark, table, snap.meta, snap.files)
+  }
+
+  private def relationFor(spark: SparkSession, table: String, meta: Meta,
+      files: Seq[AddFile]): (DataFrame, TxLogFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val (hfs, root) = fs(spark, table)
+    val partitionSchema = StructType(meta.partitionCols.map(c => meta.schema(c)))
+    val dataSchema = StructType(
+      meta.schema.filterNot(f => meta.partitionCols.contains(f.name)))
+    val idx = new TxLogFileIndex(spark, hfs.makeQualified(root), partitionSchema, files)
+    val rel = HadoopFsRelation(idx, partitionSchema, dataSchema,
+      bucketSpec = None, new ParquetFileFormat(), Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(rel)
+      .select(meta.schema.fieldNames.map(col).toSeq: _*), idx)
   }
 
   /** Table history: (version, n_adds, n_removes, schema_changed) per

@@ -104,6 +104,71 @@ class AcidSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, t, Some(1L))) == Set(Seq("a", 1.0)))
   }
 
+  test("read plan is O(1) in partition count: 500 partitions, one scan, no Union") {
+    import spark.implicits._
+    val t = tmp()
+    val df = spark.range(500).select(
+      col("id"), (col("id") % 500).cast("int").as("p"))
+    TxLog.overwrite(df.toDF(), t, Seq("p"))
+    val back = TxLog.read(spark, t)
+    val plan = back.queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(unions.isEmpty, "no union-per-partition branches")
+    assert(scans.size == 1, "exactly one relation node")
+    assert(back.count() == 500)
+    // partition pruning still runs against log metadata inside listFiles
+    val (pruned, idx) = TxLog.readWithSkipInfo(spark, t)
+    assert(pruned.filter(col("p") === 7).count() == 1)
+    assert(idx.lastListing.exists { case (sel, tot) => sel == 1 && tot == 500 })
+  }
+
+  test("min/max stats skip files on non-partition predicates") {
+    import spark.implicits._
+    val t = tmp()
+    // range-clustered unpartitioned files: disjoint id ranges per file
+    val df = spark.range(0, 10000).select(col("id"),
+      (col("id") * 2).as("v")).repartitionByRange(8, col("id"))
+    TxLog.overwrite(df.toDF(), t)
+    assert(TxLog.fileCount(spark, t) == 8)
+    val (back, idx) = TxLog.readWithSkipInfo(spark, t)
+    val narrow = back.filter(col("id") >= 100 && col("id") < 200)
+    assert(narrow.count() == 100)
+    val (sel, tot) = idx.lastListing.get
+    assert(tot == 8, s"expected 8 candidate files, saw $tot")
+    assert(sel < tot, s"selective filter must skip files (scanned $sel of $tot)")
+    // conservative on unknown shapes: a filter stats can't bound scans all
+    val (back2, idx2) = TxLog.readWithSkipInfo(spark, t)
+    assert(back2.filter((col("id") % 7) === 0).count() == 1429)
+    assert(idx2.lastListing.get._1 == 8)
+  }
+
+  test("merge upserts: updates matched rows, inserts new ones, rewrites only touched files") {
+    import spark.implicits._
+    val t = tmp()
+    val base = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0))
+      .toDF("fleet", "id", "amt")
+    TxLog.overwrite(base, t, Seq("fleet"))
+    val filesBefore = TxLog.fileCount(spark, t)
+    assert(filesBefore == 2, "one file per partition")
+    val source = Seq(
+      ("a", 2L, 99.0),  // update: touches only fleet=a's file
+      ("b", 9L, 90.0))  // insert: new key
+      .toDF("fleet", "id", "amt")
+    val stats = TxLog.merge(source, t, Seq("id"))
+    assert(stats.filesRewritten == 1, "only fleet=a's file holds a matched key")
+    assert(stats.filesTotalBefore == 2)
+    assert(rows(TxLog.read(spark, t).select("fleet", "id", "amt")) == Set(
+      Seq("a", 1L, 10.0), Seq("a", 2L, 99.0), Seq("b", 3L, 30.0),
+      Seq("b", 4L, 40.0), Seq("b", 9L, 90.0)))
+    // pre-merge version still travels
+    assert(rows(TxLog.read(spark, t, Some(1L)).select("id", "amt")) ==
+      rows(base.select("id", "amt")))
+  }
+
   test("crashed staging writes are invisible to readers") {
     import spark.implicits._
     val t = tmp()
