@@ -382,9 +382,12 @@ object SparkEntry {
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, dir))
 
-  /** #24 Embedding-cosine near-dup pairs (threshold 0.4). */
+  /** #24 Embedding-cosine near-dup pairs (threshold 0.4) — the EXACT
+    * all-pairs operator, quadratic by contract and explicitly opted in
+    * (`exactAllPairs=true`); the sub-quadratic production path is
+    * `dedup_pipeline`. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
-    Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+    Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4, exactAllPairs = true)
 
   /** #25 Brute-force cosine top-10 for queries vec_id < 8. */
   def annCosineTopk(s: SparkSession, dir: String): DataFrame =
@@ -539,11 +542,13 @@ object SparkEntry {
   }
 
   /** #46 Near-dup cluster assembly: connected components over the
-    * embedding near-dup pairs. */
+    * SUB-QUADRATIC candidate source (MinHash-LSH candidates verified by
+    * exact n-gram Jaccard) — the default wiring at scale; the quadratic
+    * embedding all-pairs variant requires the explicit
+    * `exactAllPairs=true` opt-in on [[Cosine.nearDupPairs]]. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      Dedup.ngramJaccard(Tables.documents(s, dir)).select("doc_a", "doc_b"))
 
   /** #47 Vocabulary / document-frequency stats: top-100 tokens by DF. */
   def textVocab(s: SparkSession, dir: String): DataFrame =
@@ -588,12 +593,20 @@ object SparkEntry {
   }
 
   /** #50 Keep-best drop list: for every near-dup cluster keep the min id,
-    * emit (node → keeper) for the rest — the rows a dedup pass deletes. */
+    * emit (node → keeper) for the rest — the rows a dedup pass deletes.
+    * Inherits #46's sub-quadratic candidate source. */
   def dedupDroplist(s: SparkSession, dir: String): DataFrame =
     dedupClusters(s, dir)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as("drop_id"), col("cluster").as("keeper"))
       .orderBy("drop_id")
+
+  /** #73 The composed production dedup pipeline end-to-end: exact dedup
+    * → (on keepers) MinHash-LSH candidates → exact n-gram verify →
+    * connected components → keep-best drop list with reasons. Every
+    * stage sub-quadratic; see [[Dedup.pipeline]]. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame =
+    Dedup.pipeline(Tables.documents(s, dir))
 
   /** #31 Multimodal binary plumbing with stub decode. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -892,6 +905,7 @@ object SparkEntry {
     "etl_dq_quarantine"   -> (etlDqQuarantine _),
     "window_lead_lag"     -> (windowLeadLag _),
     "mm_frame_sample"     -> (mmFrameSample _),
+    "dedup_pipeline"      -> (dedupPipeline _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1260,12 +1274,19 @@ object SparkEntry {
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // clusters/droplist/pipeline ride the same justification as
+    // dedup_ngram: the LSH candidate set equals the exact-Jaccard>=0.2
+    // pair set on this corpus, so DuckDB rebuilds the identical graph
+    // from exact Jaccard and closes it with a recursive CTE.
     "dedup_clusters" ->
       """WITH RECURSIVE
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        |          FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),
+        |pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                len(list_distinct(a.sh || b.sh)) >= 0.2),
         |bidir AS (SELECT va AS a, vb AS b FROM pairs
         |          UNION SELECT vb, va FROM pairs),
         |reach(a, b) AS (SELECT a, b FROM bidir
@@ -1599,10 +1620,13 @@ object SparkEntry {
 
     "dedup_droplist" ->
       """WITH RECURSIVE
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-        |          FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),
+        |pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                len(list_distinct(a.sh || b.sh)) >= 0.2),
         |bidir AS (SELECT va AS a, vb AS b FROM pairs
         |          UNION SELECT vb, va FROM pairs),
         |reach(a, b) AS (SELECT a, b FROM bidir
@@ -1612,5 +1636,34 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN reach ON reach.a = node GROUP BY node)
         |SELECT node AS drop_id, cluster AS keeper FROM cc
         |WHERE node <> cluster ORDER BY drop_id""".stripMargin,
+
+    "dedup_pipeline" ->
+      """WITH RECURSIVE
+        |c AS (SELECT doc_id, md5(lower(trim(text))) AS k FROM documents),
+        |ck AS (SELECT k, min(doc_id) AS keeper FROM c GROUP BY k),
+        |exact_drops AS (
+        |  SELECT c.doc_id AS drop_id, ck.keeper, 'exact' AS reason
+        |  FROM c JOIN ck USING (k) WHERE c.doc_id <> ck.keeper),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |      FROM documents WHERE doc_id IN (SELECT keeper FROM ck)),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),
+        |pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                len(list_distinct(a.sh || b.sh)) >= 0.2),
+        |bidir AS (SELECT va AS a, vb AS b FROM pairs
+        |          UNION SELECT vb, va FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM bidir
+        |                UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS node FROM bidir),
+        |cc AS (SELECT node, least(node, min(b)) AS cluster
+        |       FROM nodes LEFT JOIN reach ON reach.a = node GROUP BY node),
+        |near_drops AS (
+        |  SELECT node AS drop_id, cluster AS keeper, 'near' AS reason
+        |  FROM cc WHERE node <> cluster)
+        |SELECT * FROM (SELECT * FROM exact_drops UNION ALL
+        |               SELECT * FROM near_drops)
+        |ORDER BY drop_id""".stripMargin,
   )
 }

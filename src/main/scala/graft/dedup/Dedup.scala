@@ -210,6 +210,50 @@ object Dedup {
     spark.createDataFrame(out).toDF("node", "cluster").orderBy("node")
   }
 
+  // --------------------------------------------------- composed pipeline
+
+  /** THE production near-dup entry point — the composed pipeline a
+    * training-data curation run executes, every stage sub-quadratic:
+    *
+    *   1. exact dedup (one hash shuffle on the normalized-content key):
+    *      duplicates drop against the min-id keeper, reason `exact`;
+    *   2. on the exact KEEPERS only: MinHash-LSH candidates (shuffle
+    *      O(docs × bands)) → exact n-gram-Jaccard verify on candidate
+    *      pairs only → connected components → min-id keeper per
+    *      cluster; the rest drop with reason `near`.
+    *
+    * Exact-first matters: replicated corpora make band-collision volume
+    * Θ(Σ group²), so removing exact copies before banding collapses the
+    * dominant term (SCALE.md). The quadratic embedding all-pairs join is
+    * deliberately NOT in this path — it is a bounded-corpus tool gated
+    * behind `exactAllPairs=true` (see
+    * [[graft.similarity.Cosine.nearDupPairs]]); at realistic near-dup
+    * thresholds LSH-candidates → exact-verify is the 100 TB shape.
+    *
+    * A `near` drop's keeper can itself be an `exact` keeper that a
+    * larger cluster dropped — consumers resolve keeper chains
+    * transitively, exactly as with Delta-style tombstone chains. */
+  def pipeline(docs: DataFrame, textCol: String = "text",
+               minJaccard: Double = 0.2): DataFrame = {
+    val keyed = graft.Caching.materialize(
+      docs.select(col("doc_id"),
+        md5(lower(trim(col(textCol)))).as("content_key")))
+    val keepers = keyed.groupBy("content_key").agg(min(col("doc_id")).as("keeper"))
+    val exactDrops = keyed.join(keepers, Seq("content_key"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id").as("drop_id"), col("keeper"),
+              lit("exact").as("reason"))
+    val keeperDocs = docs.join(
+      keepers.select(col("keeper").as("doc_id")), Seq("doc_id"), "left_semi")
+    val nearPairs = ngramJaccard(keeperDocs, textCol, minJaccard)
+      .select("doc_a", "doc_b")
+    val nearDrops = connectedComponents(nearPairs)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("drop_id"), col("cluster").as("keeper"),
+              lit("near").as("reason"))
+    exactDrops.unionByName(nearDrops).orderBy("drop_id")
+  }
+
   // ------------------------------------------------- exact n-gram verify
 
   /** Exact word-3-gram Jaccard over the MinHash candidate pairs — the

@@ -62,9 +62,20 @@ object Cosine {
     * recall 1.0 would need ~54 tables at 4 bits, i.e. MORE candidate
     * pairs than all-pairs. LSH (recall < 1 by design) is the right tool
     * for high-sim thresholds and is exposed via [[lshTopK]]; the exact
-    * operator stays exact. */
+    * operator stays exact.
+    *
+    * Quadratic BY CONTRACT, so the call is gated: pass
+    * `exactAllPairs = true` to acknowledge O(n²) flops and O(n·B)
+    * shuffle — a bounded-corpus tool. The production near-dup default is
+    * the sub-quadratic LSH-candidates → exact-verify pipeline
+    * ([[graft.dedup.Dedup.pipeline]]). */
   def nearDupPairs(emb: DataFrame, threshold: Double,
-                   maxBlockRows: Int = 65536): DataFrame = {
+                   maxBlockRows: Int = 65536,
+                   exactAllPairs: Boolean = false): DataFrame = {
+    require(exactAllPairs,
+      "nearDupPairs is an EXACT all-pairs threshold join: O(n²) flops by " +
+      "contract. Pass exactAllPairs=true for a bounded corpus, or use " +
+      "Dedup.pipeline (LSH candidates + exact verify) at scale.")
     val spark = emb.sparkSession
     val p = prepared(emb)
     val n = p.count()

@@ -47,7 +47,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
-    val p = Cosine.nearDupPairs(Tables.embeddings(spark, sf), 0.4)
+    val p = Cosine.nearDupPairs(Tables.embeddings(spark, sf), 0.4, exactAllPairs = true)
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(p.filter(col("sim") < 0.4).count() == 0)
   }

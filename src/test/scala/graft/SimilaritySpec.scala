@@ -66,7 +66,7 @@ class SimilaritySpec extends SparkSpec {
   test("block-partitioned nearDupPairs matches an in-test exact kernel") {
     // tiny maxBlockRows forces MANY blocks — every block-pair code path
     // (same-block, cross-block, least/greatest normalization) is exercised
-    val got = Cosine.nearDupPairs(emb, 0.35, maxBlockRows = 16).collect()
+    val got = Cosine.nearDupPairs(emb, 0.35, maxBlockRows = 16, exactAllPairs = true).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -85,7 +85,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("nearDupPairs plan has no driver-side materialization of the corpus") {
-    val plan = Cosine.nearDupPairs(emb, 0.4).queryExecution.optimizedPlan
+    val plan = Cosine.nearDupPairs(emb, 0.4, exactAllPairs = true).queryExecution.optimizedPlan
     // the old scale-killer surfaced as LogicalRDD (collect + parallelize
     // of the full corpus); the block path must be a pure declarative plan
     val rdds = plan.collect {
