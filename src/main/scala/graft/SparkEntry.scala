@@ -649,8 +649,10 @@ object SparkEntry {
       .orderBy("trip_month")
   }
 
-  /** #61 Streaming stateful sessionization (flatMapGroupsWithState) as a
-    * registry query: closed sessions from one AvailableNow-style pass. */
+  /** #61 Streaming stateful sessionization (flatMapGroupsWithState +
+    * EventTimeTimeout) as a registry query: ALL sessions emit — gap
+    * closes mid-stream ones, the watermark-driven state timeout closes
+    * each user's final one — so the oracle is simply every session. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame =
     EventsStream.runSessionizeStream(s, Tables.events(s, dir))
       .select("user_id", "session_start", "session_end", "n_events")
@@ -1556,8 +1558,6 @@ object SparkEntry {
         |  FROM sess GROUP BY 1, 2)
         |SELECT user_id, session_start, session_end, n_events
         |FROM agg
-        |WHERE session_id < (SELECT max(session_id) FROM agg a2
-        |                    WHERE a2.user_id = agg.user_id)
         |ORDER BY user_id, session_start""".stripMargin,
 
     "report_empty" ->

@@ -47,15 +47,21 @@ object EventsStream {
   /** Custom streaming state: gap-based sessionization via
     * flatMapGroupsWithState. Per user, events are folded into an open
     * session; a gap > `gapMinutes` closes it and emits. State is one
-    * (start, last, count) triple per user — O(users), bounded further by
-    * the state timeout at cluster scale. The final open session stays in
-    * state (emitted on timeout in production; tests read closed ones). */
+    * (start, last, count) triple per user, and BOUNDED: every update
+    * arms an `EventTimeTimeout` at `last + gap`, so once the watermark
+    * passes a session's gap horizon the state fires, the open session is
+    * emitted as closed, and the user's state is removed — idle users
+    * cost nothing, and the final session of every user is emitted rather
+    * than parked forever (the round-2 `NoTimeout` shape kept one state
+    * entry per user for the life of the query and never emitted the last
+    * session). */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
                          gapMinutes: Int = 30): org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    val gapMs = gapMinutes.toLong * 60 * 1000
 
     // µs-precision round trip: Timestamp(ms) alone would truncate the
     // microsecond component the events carry
@@ -67,6 +73,13 @@ object EventsStream {
 
     def fold(userId: Long, it: Iterator[SessionEvent],
              state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        // watermark passed last + gap: no event can reopen this session
+        val s = state.get
+        state.remove()
+        return Iterator(UserSession(userId,
+          usToTs(s.openStartUs), usToTs(s.openLastUs), s.openCount))
+      }
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
       var closed = List.newBuilder[UserSession]
       var cur = state.getOption
@@ -83,31 +96,47 @@ object EventsStream {
             cur = Some(SessionState(us, us, 1))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.openLastUs / 1000 + gapMs)
+      }
       closed.result().iterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+    events.withWatermark("ts", "0 seconds").groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
   /** End-to-end stateful sessionization as an actual STREAMING query:
     * stage the events as a file-source directory, run
     * [[sessionizeStateful]] over `readStream` into a memory sink, and
-    * return the emitted (closed) sessions. Each user's final session
-    * stays open in the state store — production emits it via a state
-    * timeout; the batch-oracle equivalent is "all sessions minus each
-    * user's last". */
+    * return ALL emitted sessions — gap-closed ones and, via the
+    * event-time state timeout, each user's final session once the
+    * watermark passes its gap horizon. The stream's end is modeled the
+    * way production streams experience it: later data advances the
+    * watermark. Two sentinel batches (a far-future tick from a reserved
+    * user id, filtered from the result) push the watermark past every
+    * real session's horizon — two because a batch's timeout processing
+    * uses the watermark committed by the PREVIOUS batch. */
   def runSessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
-    events.select("user_id", "ts").write.mode("overwrite").parquet(dir)
+    val ev = events.select("user_id", "ts")
+    ev.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val name = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = sessionizeStateful(
         spark.readStream.schema(schema).parquet(dir).as[SessionEvent])
       .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    try {
+      q.processAllAvailable()
+      Seq(30, 60).foreach { days =>
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
+          .toDF("user_id", "ts").write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
   }
 }

@@ -40,23 +40,18 @@ class ExtrasSpec extends SparkSpec {
     assert(back.schema == schema)
   }
 
-  test("stateful streaming sessionization closes sessions on gaps") {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
-    Tables.events(spark, sf).select("user_id", "ts").write.mode("overwrite").parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .as[EventsStream.SessionEvent]
-    val q = EventsStream.sessionizeStateful(stream)
-      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
-    try q.processAllAvailable() finally q.stop()
-    val closed = spark.table("sessions")
-    // batch sessionization gives the ground truth: closed streaming
-    // sessions = all batch sessions minus each user's final (still-open) one
+  test("stateful streaming sessionization emits ALL sessions via event-time timeout") {
+    val emitted = EventsStream.runSessionizeStream(spark, Tables.events(spark, sf))
+    // batch sessionization is the ground truth: with EventTimeTimeout the
+    // stream emits every session, including each user's final one (the
+    // NoTimeout shape parked it in state forever)
     val batch = graft.analytics.Queries.windowSessionize(spark, sf)
-    val expected = batch.count() - batch.select("user_id").distinct().count()
-    assert(closed.count() == expected)
-    assert(closed.filter(col("session_start") > col("session_end")).count() == 0)
+    assert(emitted.count() == batch.count())
+    assert(emitted.filter(col("session_start") > col("session_end")).count() == 0)
+    // state for every real user was removed on timeout — the re-keyed
+    // session set matches batch exactly, so nothing was double-emitted
+    assert(emitted.select("user_id", "session_start").distinct().count() ==
+      emitted.count())
   }
 
   test("incremental overwrite keeps untouched partitions") {
