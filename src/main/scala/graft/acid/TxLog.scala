@@ -379,6 +379,63 @@ object TxLog {
       s"txlog merge on $table lost $attempts optimistic races; giving up")
   }
 
+  /** Copy-on-write DELETE: drop rows matching `condition`. File-granular
+    * like [[merge]] — only files that MAY hold a matching row (decided
+    * by partition pruning + min/max skipping against log metadata, zero
+    * data I/O) are read and rewritten without their matching rows; a
+    * file whose survivors are unchanged in count is re-added as written.
+    * One ACID commit. */
+  def delete(spark: SparkSession, table: String,
+             condition: org.apache.spark.sql.Column): MergeStats =
+    rewriteWhere(spark, table, condition)(
+      (rows, cond) => rows.filter(!cond || cond.isNull))
+
+  /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`.
+    * Same file-granular selection as [[delete]]. */
+  def update(spark: SparkSession, table: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): MergeStats =
+    rewriteWhere(spark, table, condition) { (rows, cond) =>
+      rows.select(rows.columns.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+
+  /** Shared copy-on-write kernel for predicate-addressed row operations:
+    * candidate files via the [[TxLogFileIndex]] pruning path (the same
+    * skipping reads get), rewrite = `transform(candidateRows, cond)`,
+    * commit removes candidates and adds rewrites. */
+  private def rewriteWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): MergeStats = {
+    val (hfs, root) = fs(spark, table)
+    val qroot = hfs.makeQualified(root).toString
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
+        s"row-level op on non-existent table $table — overwrite first"))
+      // file-granular candidates: which files may hold a matching row
+      val touchedPaths = relationFor(spark, table, snap.meta, snap.files)._1
+        .withColumn("__path", col("_metadata.file_path"))
+        .filter(condition)
+        .select("__path").distinct().collect()
+        .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
+      val touched = snap.files.filter(f => touchedPaths.contains(f.path))
+      if (touched.isEmpty) return MergeStats(0, snap.files.size, 0)
+      val rows = relationFor(spark, table, snap.meta, touched)._1
+      val adds = stage(transform(rows, condition), table, snap.meta.partitionCols)
+      val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(touched.size, snap.files.size, adds.size)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog row-level op on $table lost $attempts optimistic races; giving up")
+  }
+
   private def requireCompatible(table: StructType, incoming: StructType, name: String): Unit = {
     val want = table.fields.map(f => f.name -> f.dataType).toMap
     val got = incoming.fields.map(f => f.name -> f.dataType).toMap

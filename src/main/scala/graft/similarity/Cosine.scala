@@ -77,7 +77,9 @@ object Cosine {
       "contract. Pass exactAllPairs=true for a bounded corpus, or use " +
       "Dedup.pipeline (LSH candidates + exact verify) at scale.")
     val spark = emb.sparkSession
-    val p = prepared(emb)
+    // materialized: the sizing count below plus BOTH join sides read it —
+    // unmaterialized that is three full prepare scans of the corpus
+    val p = graft.Caching.materialize(prepared(emb))
     val n = p.count()
     // enough blocks to (a) bound SMJ buffering to maxBlockRows and
     // (b) keep all cores busy: B(B+1)/2 tasks >= default parallelism

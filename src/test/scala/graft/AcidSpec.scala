@@ -169,6 +169,32 @@ class AcidSpec extends SparkSpec {
       rows(base.select("id", "amt")))
   }
 
+  test("delete/update rewrite only files that hold matching rows") {
+    import spark.implicits._
+    val t = tmp()
+    val base = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0))
+      .toDF("fleet", "id", "amt")
+    TxLog.overwrite(base, t, Seq("fleet"))
+    // DELETE hits only fleet=a's file (partition pruning via the index)
+    val del = TxLog.delete(spark, t, col("fleet") === "a" && col("id") === 1L)
+    assert(del.filesRewritten == 1 && del.filesTotalBefore == 2)
+    assert(rows(TxLog.read(spark, t).select("id", "amt")) ==
+      Set(Seq(2L, 20.0), Seq(3L, 30.0), Seq(4L, 40.0)))
+    // UPDATE only b's file; a's file from the delete commit is untouched
+    val upd = TxLog.update(spark, t, col("id") === 4L,
+      Map("amt" -> (col("amt") + 1.0)))
+    assert(upd.filesRewritten == 1)
+    assert(rows(TxLog.read(spark, t).select("id", "amt")) ==
+      Set(Seq(2L, 20.0), Seq(3L, 30.0), Seq(4L, 41.0)))
+    // no-match predicates commit nothing
+    assert(TxLog.delete(spark, t, col("id") === 99L).filesRewritten == 0)
+    assert(TxLog.currentVersion(spark, t) == 3L)
+    // every prior version still travels
+    assert(rows(TxLog.read(spark, t, Some(1L)).select("id", "amt")) ==
+      rows(base.select("id", "amt")))
+  }
+
   test("crashed staging writes are invisible to readers") {
     import spark.implicits._
     val t = tmp()
