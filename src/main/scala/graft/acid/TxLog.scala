@@ -218,12 +218,14 @@ object TxLog {
 
   /** Stage `df` as immutable parquet files under a fresh per-commit dir;
     * returns add actions with table-root-relative paths and parsed
-    * partition values. */
-  private def stage(df: DataFrame, table: String, partitionCols: Seq[String]): Seq[AddFile] = {
+    * partition values. `rearrange=false` keeps the caller's physical
+    * layout (clustered optimize arranges its own range partitioning). */
+  private def stage(df: DataFrame, table: String, partitionCols: Seq[String],
+                    rearrange: Boolean = true): Seq[AddFile] = {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"data-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
-    val writer = (if (partitionCols.nonEmpty)
+    val writer = (if (partitionCols.nonEmpty && rearrange)
       df.repartition(partitionCols.map(col): _*) // one file per partition
     else df).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -274,8 +276,12 @@ object TxLog {
     * deleted — that is `vacuum`). `overwriteSchema=true` permits an
     * incompatible schema, mirroring Delta's option of the same name. */
   def overwrite(df: DataFrame, table: String, partitionCols: Seq[String] = Seq.empty,
-                overwriteSchema: Boolean = false): Unit = {
-    val adds = stage(df, table, partitionCols)
+                overwriteSchema: Boolean = false): Unit =
+    overwriteImpl(df, table, partitionCols, overwriteSchema, rearrange = true)
+
+  private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
+                            overwriteSchema: Boolean, rearrange: Boolean): Unit = {
+    val adds = stage(df, table, partitionCols, rearrange)
     retryCommit(df.sparkSession, table) { snap =>
       snap.foreach { s =>
         if (!overwriteSchema) requireCompatible(s.meta.schema, df.schema, table)
@@ -521,11 +527,33 @@ object TxLog {
 
   /** OPTIMIZE: rewrite the current snapshot as one file per partition in
     * a single ACID commit — small-file compaction that readers never see
-    * half-done, and that time travel sees as just another version. */
-  def optimize(spark: SparkSession, table: String): Unit = {
+    * half-done, and that time travel sees as just another version.
+    *
+    * With `clusterBy`, the rewrite range-partitions and sorts rows by
+    * the given columns (Delta's `OPTIMIZE ... ZORDER BY` for the
+    * single-column/prefix case): each rewritten file then covers a tight
+    * min/max range on those columns, so the footer stats recorded in the
+    * new add actions make data skipping on them near-perfect. `nFiles`
+    * bounds the clustered file count (per table, pre-partitioning). */
+  def optimize(spark: SparkSession, table: String,
+               clusterBy: Seq[String] = Seq.empty, nFiles: Int = 16): Unit = {
     val snap = snapshot(spark, table, None)
       .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
-    overwrite(read(spark, table), table, snap.meta.partitionCols)
+    val current = read(spark, table)
+    val pcols = snap.meta.partitionCols
+    if (clusterBy.isEmpty)
+      overwrite(current, table, pcols)
+    else if (pcols.isEmpty)
+      // range-clustered files: each covers a tight clusterBy range
+      overwriteImpl(current.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*),
+        table, pcols, overwriteSchema = false, rearrange = false)
+    else
+      // one file per partition, rows sorted by clusterBy inside it —
+      // parquet row-group stats then prune within the file
+      overwriteImpl(current.repartition(pcols.map(col): _*)
+          .sortWithinPartitions((pcols ++ clusterBy).map(col): _*),
+        table, pcols, overwriteSchema = false, rearrange = false)
   }
 
   /** Live file count of the current snapshot (compaction observability). */

@@ -195,6 +195,29 @@ class AcidSpec extends SparkSpec {
       rows(base.select("id", "amt")))
   }
 
+  test("clustered optimize tightens file ranges so skipping improves") {
+    import spark.implicits._
+    val t = tmp()
+    // hash-scattered layout: every file spans nearly the full id range,
+    // so min/max skipping is useless before clustering
+    val df = spark.range(0, 10000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(8)
+    TxLog.overwrite(df.toDF(), t)
+    def scanned(): (Int, Int) = {
+      val (back, idx) = TxLog.readWithSkipInfo(spark, t)
+      assert(back.filter(col("id") >= 100 && col("id") < 200).count() == 100)
+      idx.lastListing.get
+    }
+    val (selBefore, totBefore) = scanned()
+    assert(selBefore == totBefore, "hash layout: no file can be skipped")
+    TxLog.optimize(spark, t, clusterBy = Seq("id"), nFiles = 8)
+    val (selAfter, totAfter) = scanned()
+    assert(totAfter == 8)
+    assert(selAfter < totAfter,
+      s"clustered layout must skip files (scanned $selAfter of $totAfter)")
+    assert(rows(TxLog.read(spark, t)).size == 10000, "OPTIMIZE must not change data")
+  }
+
   test("crashed staging writes are invisible to readers") {
     import spark.implicits._
     val t = tmp()
