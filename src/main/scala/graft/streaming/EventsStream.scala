@@ -120,15 +120,21 @@ object EventsStream {
     * uses the watermark committed by the PREVIOUS batch. */
   def runSessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val dir = s"$base/src"
     val ev = events.select("user_id", "ts")
     ev.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    val name = s"graft_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // durable FILE sink, not a memory sink: emitted sessions are O(corpus)
+    // rows and belong on executors/disk, never on the driver heap (the
+    // round-2 lesson from stream_dedup, applied here)
     val q = sessionizeStateful(
         spark.readStream.schema(schema).parquet(dir).as[SessionEvent])
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", s"$base/out")
+      .start()
     try {
       q.processAllAvailable()
       Seq(30, 60).foreach { days =>
@@ -137,6 +143,6 @@ object EventsStream {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+    spark.read.parquet(s"$base/out").filter(col("user_id") >= 0)
   }
 }
