@@ -57,6 +57,28 @@ class StreamingSinkSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming CDC upserts merge transactionally, one commit per batch") {
+    import spark.implicits._
+    import graft.acid.TxLog
+    val t = java.nio.file.Files.createTempDirectory("graft_cdcacid").toString
+    val base = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+      .toDF("fleet", "id", "amt")
+    TxLog.overwrite(base, t, Seq("fleet"))
+    val cdc1 = Seq(("a", 2L, 99.0), ("b", 4L, 40.0),
+                   ("b", 4L, 40.0)) // within-batch replay collapses
+      .toDF("fleet", "id", "amt")
+    val cdc2 = Seq(("b", 4L, 44.0)) // later batch updates batch-1's insert
+      .toDF("fleet", "id", "amt")
+    graft.streaming.StreamMerge.upsertStream(spark, Seq(cdc1, cdc2), t, Seq("id"))
+    assert(TxLog.read(spark, t).collect().map(_.toSeq).toSet == Set(
+      Seq("a", 1L, 10.0), Seq("a", 2L, 99.0), Seq("b", 3L, 30.0),
+      Seq("b", 4L, 44.0)))
+    // one ACID commit per micro-batch, and the intermediate state travels
+    assert(TxLog.currentVersion(spark, t) == 3L)
+    assert(TxLog.read(spark, t, Some(2L)).filter(col("id") === 4L)
+      .select("amt").collect()(0).getDouble(0) == 40.0)
+  }
+
   test("compaction reduces file count and preserves data") {
     val base = java.nio.file.Files.createTempDirectory("graft_comp").toString
     val c = ConsumerPipeline.consumer(spark, sf).select("event_id", "total_amount")
