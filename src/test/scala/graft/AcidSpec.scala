@@ -145,6 +145,27 @@ class AcidSpec extends SparkSpec {
     assert(idx2.lastListing.get._1 == 8)
   }
 
+  test("string min/max stats skip files; null-heavy columns stay conservative") {
+    import spark.implicits._
+    val t = tmp()
+    // two files with disjoint ASCII string ranges + a column whose
+    // footer stats are absent in one file (all-null chunk)
+    val part1 = Seq(("apple", Some(1.0)), ("banana", Some(2.0)))
+      .toDF("word", "score").coalesce(1)
+    val part2 = Seq(("melon", None: Option[Double]), ("zebra", None))
+      .toDF("word", "score").coalesce(1)
+    TxLog.overwrite(part1, t)
+    TxLog.append(part2, t)
+    assert(TxLog.fileCount(spark, t) == 2)
+    val (back, idx) = TxLog.readWithSkipInfo(spark, t)
+    assert(back.filter(col("word") === "apple").count() == 1)
+    assert(idx.lastListing.get == ((1, 2)), "string equality should skip the z-range file")
+    // a filter on the all-null-stats column must not skip that file
+    val (back2, idx2) = TxLog.readWithSkipInfo(spark, t)
+    assert(back2.filter(col("score") > 0.5).count() == 2)
+    assert(idx2.lastListing.get._1 >= 1)
+  }
+
   test("merge upserts: updates matched rows, inserts new ones, rewrites only touched files") {
     import spark.implicits._
     val t = tmp()
