@@ -53,8 +53,17 @@ object Bench {
     SparkEntry.ensureBucketedTables(spark, sfDir)
     val setupSec = (System.nanoTime() - t0setup) / 1e9
 
+    // self-test hook: prove the failure path end-to-end — with
+    // SPARK_GRAFT_BENCH_SELFTEST set, one deliberately broken query runs
+    // and MUST surface as ok:false / failed:1 in the JSON
+    val registry = SparkEntry.queries ++
+      (if (sys.env.contains("SPARK_GRAFT_BENCH_SELFTEST"))
+        Map("_selftest_broken" -> ((s: SparkSession, _: String) =>
+          s.sql("SELECT * FROM graft_nonexistent_selftest_table")))
+      else Map.empty)
+
     def pass(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+      registry.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -68,7 +77,7 @@ object Bench {
 
     val cold = pass()
     val warm = Seq(pass(), pass())
-    val names = SparkEntry.queries.keys.toSeq
+    val names = registry.keys.toSeq
     val best = names.map { n =>
       n -> warm.map(_(n)._1).min
     }.toMap

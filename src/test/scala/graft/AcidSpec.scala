@@ -239,6 +239,24 @@ class AcidSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, t)).size == 10000, "OPTIMIZE must not change data")
   }
 
+  test("concurrent appends both land via optimistic retry") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((0L, 0.0)).toDF("id", "amt"), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two writers race for the same next version; the loser must re-read
+    // and retry, not fail or clobber
+    val writes = (1 to 4).map { i => Future {
+      TxLog.append(Seq((i.toLong, i.toDouble)).toDF("id", "amt"), t)
+    }}
+    Await.result(Future.sequence(writes), 120.seconds)
+    assert(TxLog.currentVersion(spark, t) == 5L, "one commit per writer")
+    assert(rows(TxLog.read(spark, t).select("id")).flatten.toSet ==
+      Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("crashed staging writes are invisible to readers") {
     import spark.implicits._
     val t = tmp()
