@@ -872,6 +872,7 @@ object SparkEntry {
     "join_salted"         -> (joinSalted _),
     "sql_interface"       -> (sqlInterface _),
     "agg_quantiles"       -> (Queries.aggQuantiles _),
+    "agg_quantiles_approx" -> (Queries.aggQuantilesApprox _),
     "join_outer"          -> (Queries.joinOuter _),
     "set_ops"             -> (Queries.setOps _),
     "report_pivot"        -> (reportPivot _),
@@ -1208,6 +1209,14 @@ object SparkEntry {
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS med_value,
         |       round(quantile_cont(value, 0.9), 4) AS p90_value,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_quantiles_approx" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS med_value,
+        |       round(quantile_cont(value, 0.9), 4) AS p90_value,
+        |       true AS med_approx_ok, true AS p90_approx_ok,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -203,6 +203,29 @@ object Queries {
            round(percentile(col("value"), lit(0.9)), 4).as("p90_value"),
            count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** #37b Sketch quantiles (percentile_approx, accuracy 10000) with a
+    * bounded oracle — THE 100 TB quantile path: exact `percentile`
+    * buffers every group's values, while the approx sketch is a
+    * fixed-size mergeable summary (map-side partials, constant memory).
+    * Exact values hash-check against DuckDB; the sketch rides along as
+    * accuracy booleans, |approx − exact| <= max(1.0, 2% of exact) —
+    * rank error at accuracy 10000 is <= n/10000, generous against the
+    * measured deviations, and percentile_approx is deterministic. */
+  def aggQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    def ok(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= greatest(lit(1.0), exact * 0.02)
+    val med = percentile(col("value"), lit(0.5))
+    val p90 = percentile(col("value"), lit(0.9))
+    val medA = percentile_approx(col("value"), lit(0.5), lit(10000))
+    val p90A = percentile_approx(col("value"), lit(0.9), lit(10000))
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(med, 4).as("med_value"), round(p90, 4).as("p90_value"),
+           ok(medA, med).as("med_approx_ok"), ok(p90A, p90).as("p90_approx_ok"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
 
   /** #38 Left outer join with null-aware counting: suppliers per nation
     * including supplier-less nations (count(col) skips nulls). */
