@@ -56,7 +56,8 @@ object TxLog {
   private val LogDir = "_txlog"
   private[acid] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  private case class Meta(schema: StructType, partitionCols: Seq[String])
+  private case class Meta(schema: StructType, partitionCols: Seq[String],
+                          constraints: Map[String, String] = Map.empty)
 
   private case class Snapshot(version: Long, meta: Meta, files: Seq[AddFile])
 
@@ -116,7 +117,9 @@ object TxLog {
     JsonMethods.compact(JsonMethods.render(
       JObject("meta" -> JObject(
         "schema" -> JString(m.schema.json),
-        "partitionCols" -> JArray(m.partitionCols.toList.map(JString))))))
+        "partitionCols" -> JArray(m.partitionCols.toList.map(JString)),
+        "constraints" -> JObject(
+          m.constraints.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))))
 
   private def parseCommit(text: String): (Option[Meta], Seq[AddFile], Seq[String]) = {
     var meta: Option[Meta] = None
@@ -128,7 +131,12 @@ object TxLog {
           val JString(schemaJson) = m \ "schema"
           val cols = (m \ "partitionCols").asInstanceOf[JArray]
             .arr.collect { case JString(s) => s }
-          meta = Some(Meta(DataType.fromJson(schemaJson).asInstanceOf[StructType], cols))
+          val cons = m \ "constraints" match {
+            case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          meta = Some(Meta(
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons))
         case JObject(List(("add", a))) =>
           val JString(p) = a \ "path"
           val pv = (a \ "partitionValues").asInstanceOf[JObject]
@@ -288,7 +296,12 @@ object TxLog {
         require(s.meta.partitionCols == partitionCols || overwriteSchema,
           s"partitioning change on $table requires overwriteSchema=true")
       }
-      metaJson(Meta(df.schema, partitionCols)) +:
+      // constraints survive overwrites; overwriteSchema drops them (the
+      // predicate may no longer resolve against the new schema)
+      val kept = if (overwriteSchema) Map.empty[String, String]
+                 else snap.map(_.meta.constraints).getOrElse(Map.empty)
+      requireConstraintsSatisfied(df, kept, table)
+      metaJson(Meta(df.schema, partitionCols, kept)) +:
         (snap.toSeq.flatMap(_.files.map(f => actionJson("remove", f))) ++
           adds.map(actionJson("add", _)))
     }
@@ -300,6 +313,7 @@ object TxLog {
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"append to non-existent table $table — overwrite first"))
       requireCompatible(snap.meta.schema, df.schema, table)
+      requireConstraintsSatisfied(df, snap.meta.constraints, table)
       // staged inside the retry: partition columns come from table meta
       stage(df, table, snap.meta.partitionCols).map(actionJson("add", _))
     }
@@ -319,6 +333,7 @@ object TxLog {
       val pcols = snap.meta.partitionCols
       require(pcols.nonEmpty, s"$table is not partitioned")
       requireCompatible(snap.meta.schema, df.schema, table)
+      requireConstraintsSatisfied(df, snap.meta.constraints, table)
       val replaced = partitionSource.getOrElse(df)
         .select(pcols.map(col): _*).distinct().collect() // O(partitions)
         .map(r => pcols.zipWithIndex.map { case (c, i) =>
@@ -375,7 +390,9 @@ object TxLog {
         }: _*)
       val inserts = src.join(
         full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      val adds = stage(updated.unionByName(inserts), table, snap.meta.partitionCols)
+      val staged = updated.unionByName(inserts)
+      requireConstraintsSatisfied(staged, snap.meta.constraints, table)
+      val adds = stage(staged, table, snap.meta.partitionCols)
       val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)
@@ -432,7 +449,9 @@ object TxLog {
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
       if (touched.isEmpty) return MergeStats(0, snap.files.size, 0)
       val rows = relationFor(spark, table, snap.meta, touched)._1
-      val adds = stage(transform(rows, condition), table, snap.meta.partitionCols)
+      val rewritten = transform(rows, condition)
+      requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
+      val adds = stage(rewritten, table, snap.meta.partitionCols)
       val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)
@@ -441,6 +460,42 @@ object TxLog {
     throw new IllegalStateException(
       s"txlog row-level op on $table lost $attempts optimistic races; giving up")
   }
+
+  /** CHECK-constraint enforcement (Delta `ALTER TABLE ADD CONSTRAINT`):
+    * one filter-count scan of the written frame per constrained commit —
+    * a violation aborts BEFORE the commit, so constrained tables never
+    * contain a row failing their invariants. */
+  private def requireConstraintsSatisfied(df: DataFrame,
+      constraints: Map[String, String], table: String): Unit =
+    constraints.foreach { case (name, sql) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.expr(sql) ||
+        org.apache.spark.sql.functions.expr(sql).isNull).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint `$name` ($sql) violated by $bad row(s) — commit aborted on $table")
+    }
+
+  /** Register a CHECK constraint after validating the CURRENT snapshot
+    * satisfies it; every subsequent write validates against it. */
+  def addCheckConstraint(spark: SparkSession, table: String,
+                         name: String, predicateSql: String): Unit = {
+    val (hfs, root) = fs(spark, table)
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      requireConstraintsSatisfied(
+        relationFor(spark, table, snap.meta, snap.files)._1,
+        Map(name -> predicateSql), table)
+      Seq(metaJson(snap.meta.copy(
+        constraints = snap.meta.constraints + (name -> predicateSql))))
+    }
+  }
+
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      Seq(metaJson(snap.meta.copy(constraints = snap.meta.constraints - name)))
+    }
 
   private def requireCompatible(table: StructType, incoming: StructType, name: String): Unit = {
     val want = table.fields.map(f => f.name -> f.dataType).toMap

@@ -239,6 +239,35 @@ class AcidSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, t)).size == 10000, "OPTIMIZE must not change data")
   }
 
+  test("CHECK constraints gate every write path transactionally") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq(("a", 1L, 10.0), ("b", 2L, 20.0)).toDF("fleet", "id", "amt"), t)
+    // adding a constraint the current data violates is rejected
+    intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraint(spark, t, "big", "amt >= 15")
+    }
+    TxLog.addCheckConstraint(spark, t, "nonneg", "amt >= 0")
+    val vBefore = TxLog.currentVersion(spark, t)
+    // violating append aborts BEFORE commit: no version, no rows
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq(("c", 3L, -1.0)).toDF("fleet", "id", "amt"), t)
+    }
+    assert(TxLog.currentVersion(spark, t) == vBefore)
+    assert(TxLog.read(spark, t).count() == 2)
+    // valid append lands; violating UPDATE aborts too
+    TxLog.append(Seq(("c", 3L, 30.0)).toDF("fleet", "id", "amt"), t)
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, col("id") === 3L, Map("amt" -> lit(-5.0)))
+    }
+    assert(TxLog.read(spark, t).filter(col("id") === 3L)
+      .select("amt").collect()(0).getDouble(0) == 30.0)
+    // dropping the constraint re-opens the path
+    TxLog.dropCheckConstraint(spark, t, "nonneg")
+    TxLog.append(Seq(("d", 4L, -9.0)).toDF("fleet", "id", "amt"), t)
+    assert(TxLog.read(spark, t).count() == 4)
+  }
+
   test("concurrent appends both land via optimistic retry") {
     import spark.implicits._
     val t = tmp()
