@@ -61,10 +61,38 @@ private[acid] object ParquetStats {
       : Option[(Any, Any)] = t match {
     case PrimitiveTypeName.INT32 =>
       val st = s.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
-      Some((st.getMin.toLong, st.getMax.toLong))
+      logical match {
+        // plain ints and DATE (days) are already Catalyst's internal values;
+        // TIME(MILLIS)/DECIMAL(int32) are not — no skipping on those
+        case null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation |
+             _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some((st.getMin.toLong, st.getMax.toLong))
+        case _ => None
+      }
     case PrimitiveTypeName.INT64 =>
       val st = s.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
-      Some((st.getMin, st.getMax))
+      logical match {
+        case null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          Some((st.getMin, st.getMax))
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // Catalyst timestamp literals are MICROS since epoch; footer
+          // stats carry the file's own unit — normalize or refuse. A raw
+          // compare under outputTimestampType=TIMESTAMP_MILLIS would skip
+          // files 1000× too eagerly (silent missing rows).
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some((st.getMin, st.getMax))
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              try Some((Math.multiplyExact(st.getMin, 1000L),
+                        Math.multiplyExact(st.getMax, 1000L)))
+              catch { case _: ArithmeticException => None }
+            // NANOS may surface as a raw Long column (nanosAsLong) or a
+            // truncated timestamp depending on reader config — ambiguous,
+            // so never skip on it
+            case _ => None
+          }
+        case _ => None // TIME/DECIMAL(int64): units/scale differ
+      }
     case PrimitiveTypeName.DOUBLE =>
       val st = s.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
       Some((st.getMin, st.getMax))

@@ -5,16 +5,20 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One live data file of a txlog table: table-root-relative path, parsed
   * partition values, physical size, and footer-derived column min/max
-  * ranges (the data-skipping input; absent entries mean "no bound"). */
+  * ranges (the data-skipping input; absent entries mean "no bound").
+  * `size = -1` means the log predates size recording; the snapshot
+  * reader fills it by stat-ing the file — a 0 would silently produce
+  * zero splits (an EMPTY read) and a 0 `sizeInBytes` (inviting
+  * broadcast of an arbitrarily large table). */
 private[graft] case class AddFile(
     path: String,
     partitionValues: Map[String, String],
-    size: Long = 0L,
+    size: Long = -1L,
     numRecords: Long = -1L,
     minValues: Map[String, Any] = Map.empty,
     maxValues: Map[String, Any] = Map.empty)
@@ -155,7 +159,7 @@ object TxLog {
             case JLong(l) => l
             case _ => dflt
           }
-          adds += AddFile(p, pv, longOf("size", 0L), longOf("numRecords", -1L),
+          adds += AddFile(p, pv, longOf("size", -1L), longOf("numRecords", -1L),
             statMap("minValues"), statMap("maxValues"))
         case JObject(List(("remove", r))) =>
           val JString(p) = r \ "path"
@@ -196,9 +200,16 @@ object TxLog {
       removes.foreach(live.remove)
       adds.foreach(a => live(a.path) = a)
     }
+    // legacy logs (pre-size actions) parse as size=-1: fill by stat-ing
+    // once per snapshot, loudly (FileNotFound surfaces) — never a silent
+    // 0 that reads as empty (see [[AddFile]])
+    val files = live.values.toSeq.map { f =>
+      if (f.size >= 0) f
+      else f.copy(size = hfs.getFileStatus(new Path(root, f.path)).getLen)
+    }
     Some(Snapshot(versions.last._1,
       meta.getOrElse(throw new IllegalStateException(s"no meta action in $table log")),
-      live.values.toSeq))
+      files))
   }
 
   // -------------------------------------------------------------- commit
@@ -359,11 +370,27 @@ object TxLog {
     * Untouched files are never read past their key column nor
     * rewritten — at 100 TB a merge touching one partition's files costs
     * that partition, not the table. Optimistic like every writer here:
-    * a lost commit race recomputes against the new snapshot. */
+    * a lost commit race recomputes against the new snapshot.
+    *
+    * The source must be key-unique: two source rows with the same key
+    * would each claim the same target row, so the result would depend on
+    * join order — like Delta's MERGE, that is an error here, detected
+    * up-front (one groupBy-count of the source keys), never silent row
+    * multiplication. All three key joins (touched-file semi, update,
+    * insert anti) use plain `=` SQL-MERGE equality: a NULL-keyed source
+    * row matches nothing and inserts; a NULL-keyed target row is never
+    * updated. */
   def merge(source: DataFrame, table: String, keyCols: Seq[String]): MergeStats = {
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keyCols.map(col): _*).take(3)
+    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
+      s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
+      s"e.g. ${dupKeys.mkString("; ")}. Collapse the source to one row per key " +
+      "(StreamMerge does this per micro-batch) before merging.")
     var attempts = 0
     while (attempts < 10) {
       val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
@@ -381,7 +408,7 @@ object TxLog {
         .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
       val touchedRows = relationFor(spark, table, snap.meta, touched)._1
-      val joinCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       val updated = touchedRows.alias("t")
         .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
         .select(cols.map { c =>

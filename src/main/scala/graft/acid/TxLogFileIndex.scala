@@ -82,9 +82,17 @@ private[graft] class TxLogFileIndex(
     }.filter(_._2.nonEmpty)
     lastListing = Some((selected.map(_._2.size).sum, addFiles.size))
     selected.map { case (row, fs) =>
-      PartitionDirectory(row, fs.map(f => FileStatusWithMetadata(
-        new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
-          new Path(root, f.path)))))
+      PartitionDirectory(row, fs.map { f =>
+        // a 0-length entry would yield ZERO splits — the file silently
+        // vanishes from the scan. No real parquet file is 0 bytes
+        // (snapshot stats legacy entries), so this is always corruption.
+        if (f.size <= 0) throw new IllegalStateException(
+          s"txlog add action for ${f.path} carries size ${f.size}; " +
+          "refusing a scan that would silently read the file as empty")
+        FileStatusWithMetadata(
+          new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
+            new Path(root, f.path)))
+      })
     }
   }
 

@@ -114,10 +114,12 @@ object EventsStream {
     * event-time state timeout, each user's final session once the
     * watermark passes its gap horizon. The stream's end is modeled the
     * way production streams experience it: later data advances the
-    * watermark. Two sentinel batches (a far-future tick from a reserved
-    * user id, filtered from the result) push the watermark past every
-    * real session's horizon — two because a batch's timeout processing
-    * uses the watermark committed by the PREVIOUS batch. */
+    * watermark. Two sentinel batches (a far-future tick from
+    * `Long.MinValue` — outside any realistic id domain, removed by an
+    * EXACT match so genuinely negative user ids still sessionize) push
+    * the watermark past every real session's horizon — two because a
+    * batch's timeout processing uses the watermark committed by the
+    * PREVIOUS batch. */
   def runSessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
@@ -138,11 +140,11 @@ object EventsStream {
     try {
       q.processAllAvailable()
       Seq(30, 60).foreach { days =>
-        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
+        Seq((Long.MinValue, new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
           .toDF("user_id", "ts").write.mode("append").parquet(dir)
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+    spark.read.parquet(s"$base/out").filter(col("user_id") =!= Long.MinValue)
   }
 }

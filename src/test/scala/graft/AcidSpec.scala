@@ -295,4 +295,85 @@ class AcidSpec extends SparkSpec {
       .parquet(s"$t/data-deadbeef-crashed")
     assert(rows(TxLog.read(spark, t)) == Set(Seq(1L, 1.0)))
   }
+
+  test("merge rejects duplicate source keys instead of multiplying rows") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), t)
+    // two DIFFERENT images of id=1: applying both would make the result
+    // join-order-dependent — must fail like Delta, not silently duplicate
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.merge(Seq((1L, 11.0), (1L, 12.0)).toDF("id", "amt"), t, Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // the table is untouched — detection happens before any commit
+    assert(TxLog.currentVersion(spark, t) == 1L)
+    assert(rows(TxLog.read(spark, t)) == Set(Seq(1L, 10.0), Seq(2L, 20.0)))
+  }
+
+  test("merge uses SQL-MERGE equality: NULL keys insert, never update") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((Some(1L), 10.0), (None, 50.0)).toDF("id", "amt"), t)
+    TxLog.merge(Seq((Some(1L), 11.0), (None, 99.0)).toDF("id", "amt"), t, Seq("id"))
+    // NULL = NULL is not a match: the null-keyed target row survives
+    // untouched and the null-keyed source row inserts (and never both
+    // updates AND re-inserts, the round-3 mixed <=> / = inconsistency)
+    assert(rows(TxLog.read(spark, t)) == Set(
+      Seq(1L, 11.0), Seq(null, 50.0), Seq(null, 99.0)))
+  }
+
+  test("legacy add actions without size read fully (stat-filled, never empty)") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val t = tmp()
+    TxLog.overwrite(spark.range(0, 1000).select(col("id"),
+      (col("id") * 2).as("v")).toDF(), t)
+    // rewrite the log as a pre-stats-era format: add actions carry only
+    // path + partitionValues (no size/numRecords/min/max)
+    val logDir = new java.io.File(s"$t/_txlog")
+    for (f <- logDir.listFiles() if f.getName.endsWith(".json")) {
+      val legacy = scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { ln =>
+        JsonMethods.parse(ln) match {
+          case JObject(List(("add", JObject(fields)))) =>
+            JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(
+              fields.filter(kv => kv._1 == "path" || kv._1 == "partitionValues")))))
+          case _ => ln
+        }
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(f.toPath, legacy.getBytes("UTF-8"))
+      // the rewrite bypasses Hadoop's ChecksumFileSystem — drop the stale crc
+      new java.io.File(logDir, s".${f.getName}.crc").delete()
+    }
+    // a size-0 FileStatus would yield zero splits: the round-3 bug read
+    // such tables as silently EMPTY and sized them 0 (broadcast bait)
+    val (back, idx) = TxLog.readWithSkipInfo(spark, t)
+    assert(back.count() == 1000)
+    assert(idx.sizeInBytes > 0)
+  }
+
+  test("timestamp stats skip correctly across parquet timestamp units") {
+    import spark.implicits._
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.get(key)
+    try {
+      for (unit <- Seq("TIMESTAMP_MILLIS", "TIMESTAMP_MICROS")) {
+        spark.conf.set(key, unit)
+        val t = tmp()
+        val df = spark.range(0, 8000)
+          .select(timestamp_seconds(col("id")).as("ts"), col("id"))
+          .repartitionByRange(8, col("ts"))
+        TxLog.overwrite(df.toDF(), t)
+        val (back, idx) = TxLog.readWithSkipInfo(spark, t)
+        // under MILLIS, round-3's raw compare saw footer maxima 1000×
+        // smaller than the micros literal and skipped EVERY file here
+        val n = back.filter(col("ts") >= timestamp_seconds(lit(7000))).count()
+        assert(n == 1000, s"$unit: wrong row count $n — files skipped wrongly")
+        val (sel, tot) = idx.lastListing.get
+        assert(tot == 8, s"$unit: expected 8 files, saw $tot")
+        assert(sel < tot, s"$unit: stats must still SKIP files ($sel of $tot)")
+      }
+    } finally spark.conf.set(key, old)
+  }
 }

@@ -79,6 +79,37 @@ class StreamingSinkSpec extends SparkSpec {
       .select("amt").collect()(0).getDouble(0) == 40.0)
   }
 
+  test("CDC batches with conflicting images collapse deterministically on seqCol") {
+    import spark.implicits._
+    import graft.acid.TxLog
+    val t = java.nio.file.Files.createTempDirectory("graft_cdcseq").toString
+    TxLog.overwrite(Seq((1L, 10.0, 0L), (2L, 20.0, 0L)).toDF("id", "amt", "seq"), t)
+    // one micro-batch carries TWO different images of id=2: without a
+    // sequence column this is an arbitrary pick; with one, latest wins
+    val cdc = Seq((2L, 100.0, 5L), (2L, 200.0, 9L), (3L, 30.0, 1L))
+      .toDF("id", "amt", "seq")
+    graft.streaming.StreamMerge.upsertStream(spark, Seq(cdc), t, Seq("id"),
+      seqCol = Some("seq"))
+    assert(TxLog.read(spark, t).collect().map(_.toSeq).toSet == Set(
+      Seq(1L, 10.0, 0L), Seq(2L, 200.0, 9L), Seq(3L, 30.0, 1L)))
+  }
+
+  test("sessionize stream keeps genuinely negative user ids") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // user -5 (a legitimate id in a signed domain) with two sessions
+    // separated by a 2-hour gap; the watermark sentinel must not eat it
+    val ev = Seq(
+      (-5L, ts("2023-01-01 00:00:00")), (-5L, ts("2023-01-01 00:10:00")),
+      (-5L, ts("2023-01-01 02:30:00")),
+      (7L, ts("2023-01-01 01:00:00")))
+      .toDF("user_id", "ts")
+    val out = EventsStream.runSessionizeStream(spark, ev)
+    val neg = out.filter(col("user_id") === -5L)
+    assert(neg.count() == 2, "both of user -5's sessions must emit")
+    assert(out.filter(col("user_id") === 7L).count() == 1)
+  }
+
   test("compaction reduces file count and preserves data") {
     val base = java.nio.file.Files.createTempDirectory("graft_comp").toString
     val c = ConsumerPipeline.consumer(spark, sf).select("event_id", "total_amount")
