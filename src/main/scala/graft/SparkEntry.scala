@@ -807,6 +807,36 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #75 Change data feed (Delta CDF): after a MERGE (late corrections +
+    * new arrivals) and a DELETE (low-value trip purge), the feed lists
+    * exactly the changed rows per commit — pre/post images for updates,
+    * the deleted rows, the inserts — without rescanning untouched files
+    * (MERGE/DELETE write O(changed rows) cdc files at commit time). */
+  def deltaCdf(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txcdf")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts) // v1: out of feed range
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    graft.acid.TxLog.merge(
+      corrections.unionByName(arrivals), path, Seq("event_id"))  // v2
+    graft.acid.TxLog.delete(s, path, col("total_amount") < 20)   // v3
+    graft.acid.TxLog.readChangeFeed(s, path, fromVersion = 2L)
+      .groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .select(col("_commit_version").as("commit_version"),
+              col("_change_type").as("change_type"),
+              col("n_rows"), col("total"))
+      .orderBy("commit_version", "change_type")
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -896,6 +926,7 @@ object SparkEntry {
     "delta_time_travel"   -> (deltaTimeTravel _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "delta_merge"         -> (deltaMerge _),
+    "delta_cdf"           -> (deltaCdf _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -1621,6 +1652,33 @@ object SparkEntry {
          |  SELECT event_type, value FROM events
          |  WHERE event_type = 'view' AND $dqSql)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_cdf" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |SELECT * FROM (
+         |  SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         |         count(*) AS n_rows, round(sum(total_amount), 2) AS total
+         |  FROM c WHERE trip_type = 'view'
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'update_preimage',
+         |         count(*), round(sum(total_amount), 2)
+         |  FROM c WHERE trip_type = 'purchase' AND total_amount >= 100
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'update_postimage',
+         |         count(*), round(sum(total_amount + 10), 2)
+         |  FROM c WHERE trip_type = 'purchase' AND total_amount >= 100
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'delete',
+         |         count(*), round(sum(total_amount), 2)
+         |  FROM (SELECT total_amount FROM c
+         |        WHERE trip_type = 'purchase' AND total_amount < 20
+         |        UNION ALL SELECT total_amount FROM c
+         |        WHERE trip_type = 'view' AND total_amount < 20
+         |        UNION ALL SELECT total_amount FROM c
+         |        WHERE trip_type = 'view' AND total_amount < 20))
+         |ORDER BY commit_version, change_type""".stripMargin,
 
     "delta_data_skipping" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,

@@ -125,10 +125,31 @@ object TxLog {
         "constraints" -> JObject(
           m.constraints.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))))
 
-  private def parseCommit(text: String): (Option[Meta], Seq[AddFile], Seq[String]) = {
+  /** Per-commit operation marker (Delta `commitInfo.operation`): lets the
+    * change feed classify a commit without guessing from its action shape
+    * (an optimize and an overwrite carry identical remove+add actions but
+    * only one of them changes data). */
+  private def commitInfoJson(op: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject("commitInfo" -> JObject("op" -> JString(op)))))
+
+  /** Change-data file reference (Delta `cdc` action): rows describing the
+    * commit's row-level changes, tagged `_change_type`, stored OUTSIDE the
+    * live-file set — snapshot reads never see them. */
+  private def cdcJson(path: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject("cdc" -> JObject("path" -> JString(path)))))
+
+  private case class ParsedCommit(meta: Option[Meta], adds: Seq[AddFile],
+                                  removes: Seq[String], cdcs: Seq[String],
+                                  op: Option[String])
+
+  private def parseCommit(text: String): ParsedCommit = {
     var meta: Option[Meta] = None
+    var op: Option[String] = None
     val adds = mutable.ArrayBuffer.empty[AddFile]
     val removes = mutable.ArrayBuffer.empty[String]
+    val cdcs = mutable.ArrayBuffer.empty[String]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       JsonMethods.parse(line) match {
         case JObject(List(("meta", m))) =>
@@ -164,11 +185,16 @@ object TxLog {
         case JObject(List(("remove", r))) =>
           val JString(p) = r \ "path"
           removes += p
+        case JObject(List(("cdc", c))) =>
+          val JString(p) = c \ "path"
+          cdcs += p
+        case JObject(List(("commitInfo", i))) =>
+          i \ "op" match { case JString(o) => op = Some(o); case _ => () }
         case other =>
           throw new IllegalStateException(s"unknown txlog action: $other")
       }
     }
-    (meta, adds.toSeq, removes.toSeq)
+    ParsedCommit(meta, adds.toSeq, removes.toSeq, cdcs.toSeq, op)
   }
 
   // ------------------------------------------------------------ snapshot
@@ -195,10 +221,10 @@ object TxLog {
     var meta: Option[Meta] = None
     val live = mutable.LinkedHashMap.empty[String, AddFile]
     versions.foreach { case (_, p) =>
-      val (m, adds, removes) = parseCommit(readText(hfs, p))
-      m.foreach(mm => meta = Some(mm))
-      removes.foreach(live.remove)
-      adds.foreach(a => live(a.path) = a)
+      val c = parseCommit(readText(hfs, p))
+      c.meta.foreach(mm => meta = Some(mm))
+      c.removes.foreach(live.remove)
+      c.adds.foreach(a => live(a.path) = a)
     }
     // legacy logs (pre-size actions) parse as size=-1: fill by stat-ing
     // once per snapshot, loudly (FileNotFound surfaces) — never a silent
@@ -275,6 +301,26 @@ object TxLog {
     files.toSeq
   }
 
+  /** Stage a change-data frame (table columns + `_change_type`) as
+    * immutable parquet under a `cdc-` dir; returns the relative paths for
+    * cdc actions. Unpartitioned on purpose: partition columns ride as
+    * ordinary columns, so feed reads are plain parquet scans. */
+  private def stageCdc(df: DataFrame, table: String): Seq[String] = {
+    val (hfs, root) = fs(df.sparkSession, table)
+    val stagingName = s"cdc-${java.util.UUID.randomUUID()}"
+    val staging = new Path(root, stagingName)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val qualified = hfs.makeQualified(staging).toString
+    val it = hfs.listFiles(staging, true)
+    val files = mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet"))
+        files += s"$stagingName/${f.toString.stripPrefix(qualified).stripPrefix("/")}"
+    }
+    files.toSeq
+  }
+
   private def retryCommit(spark: SparkSession, table: String)(
       mkLines: Option[Snapshot] => Seq[String]): Unit = {
     val (hfs, root) = fs(spark, table)
@@ -296,10 +342,12 @@ object TxLog {
     * incompatible schema, mirroring Delta's option of the same name. */
   def overwrite(df: DataFrame, table: String, partitionCols: Seq[String] = Seq.empty,
                 overwriteSchema: Boolean = false): Unit =
-    overwriteImpl(df, table, partitionCols, overwriteSchema, rearrange = true)
+    overwriteImpl(df, table, partitionCols, overwriteSchema, rearrange = true,
+      op = "overwrite")
 
   private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
-                            overwriteSchema: Boolean, rearrange: Boolean): Unit = {
+                            overwriteSchema: Boolean, rearrange: Boolean,
+                            op: String): Unit = {
     val adds = stage(df, table, partitionCols, rearrange)
     retryCommit(df.sparkSession, table) { snap =>
       snap.foreach { s =>
@@ -312,7 +360,7 @@ object TxLog {
       val kept = if (overwriteSchema) Map.empty[String, String]
                  else snap.map(_.meta.constraints).getOrElse(Map.empty)
       requireConstraintsSatisfied(df, kept, table)
-      metaJson(Meta(df.schema, partitionCols, kept)) +:
+      commitInfoJson(op) +: metaJson(Meta(df.schema, partitionCols, kept)) +:
         (snap.toSeq.flatMap(_.files.map(f => actionJson("remove", f))) ++
           adds.map(actionJson("add", _)))
     }
@@ -326,7 +374,8 @@ object TxLog {
       requireCompatible(snap.meta.schema, df.schema, table)
       requireConstraintsSatisfied(df, snap.meta.constraints, table)
       // staged inside the retry: partition columns come from table meta
-      stage(df, table, snap.meta.partitionCols).map(actionJson("add", _))
+      commitInfoJson("append") +:
+        stage(df, table, snap.meta.partitionCols).map(actionJson("add", _))
     }
   }
 
@@ -351,8 +400,9 @@ object TxLog {
           c -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
         }.toMap).toSet
       val removes = snap.files.filter(f => replaced.contains(f.partitionValues))
-      removes.map(actionJson("remove", _)) ++
-        stage(df, table, pcols).map(actionJson("add", _))
+      commitInfoJson("overwritePartitions") +:
+        (removes.map(actionJson("remove", _)) ++
+          stage(df, table, pcols).map(actionJson("add", _)))
     }
   }
 
@@ -409,8 +459,9 @@ object TxLog {
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
       val touchedRows = relationFor(spark, table, snap.meta, touched)._1
       val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      val updated = touchedRows.alias("t")
+      val wide = touchedRows.alias("t")
         .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
+      val updated = wide
         .select(cols.map { c =>
           if (keyCols.contains(c)) col(s"t.$c").as(c)
           else when(col("s.__m").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
@@ -420,7 +471,20 @@ object TxLog {
       val staged = updated.unionByName(inserts)
       requireConstraintsSatisfied(staged, snap.meta.constraints, table)
       val adds = stage(staged, table, snap.meta.partitionCols)
-      val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
+      // change feed (Delta CDF): pre/post images of genuinely matched
+      // rows + inserts, written as cdc files the snapshot never sees
+      val matched = wide.filter(col("s.__m").isNotNull)
+      val cdcFrame = matched
+        .select(cols.map(c => col(s"t.$c").as(c)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(matched.select(cols.map { c =>
+          if (keyCols.contains(c)) col(s"t.$c").as(c) else col(s"s.$c").as(c)
+        }: _*).withColumn("_change_type", lit("update_postimage")))
+        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+      val cdcFiles = stageCdc(cdcFrame, table)
+      val lines = commitInfoJson("merge") +:
+        (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+          cdcFiles.map(cdcJson))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)
       attempts += 1 // lost the race: recompute against the new snapshot
@@ -437,21 +501,28 @@ object TxLog {
     * One ACID commit. */
   def delete(spark: SparkSession, table: String,
              condition: org.apache.spark.sql.Column): MergeStats =
-    rewriteWhere(spark, table, condition)(
-      (rows, cond) => rows.filter(!cond || cond.isNull))
+    rewriteWhere(spark, table, condition, op = "delete")(
+      (rows, cond) => rows.filter(!cond || cond.isNull))(
+      (rows, cond) => rows.filter(cond).withColumn("_change_type", lit("delete")))
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`.
     * Same file-granular selection as [[delete]]. */
   def update(spark: SparkSession, table: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): MergeStats =
-    rewriteWhere(spark, table, condition) { (rows, cond) =>
+    rewriteWhere(spark, table, condition, op = "update") { (rows, cond) =>
       rows.select(rows.columns.toSeq.map { c =>
         set.get(c) match {
           case Some(e) => when(cond, e).otherwise(col(c)).as(c)
           case None => col(c)
         }
       }: _*)
+    } { (rows, cond) =>
+      val pre = rows.filter(cond)
+      pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(pre.select(pre.columns.toSeq.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*).withColumn("_change_type", lit("update_postimage")))
     }
 
   /** Shared copy-on-write kernel for predicate-addressed row operations:
@@ -459,8 +530,9 @@ object TxLog {
     * skipping reads get), rewrite = `transform(candidateRows, cond)`,
     * commit removes candidates and adds rewrites. */
   private def rewriteWhere(spark: SparkSession, table: String,
-      condition: org.apache.spark.sql.Column)(
-      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): MergeStats = {
+      condition: org.apache.spark.sql.Column, op: String)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)(
+      cdcOf: (DataFrame, org.apache.spark.sql.Column) => DataFrame): MergeStats = {
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
     var attempts = 0
@@ -479,7 +551,10 @@ object TxLog {
       val rewritten = transform(rows, condition)
       requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
       val adds = stage(rewritten, table, snap.meta.partitionCols)
-      val lines = touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _))
+      val cdcFiles = stageCdc(cdcOf(rows, condition), table)
+      val lines = commitInfoJson(op) +:
+        (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+          cdcFiles.map(cdcJson))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)
       attempts += 1
@@ -512,7 +587,7 @@ object TxLog {
       requireConstraintsSatisfied(
         relationFor(spark, table, snap.meta, snap.files)._1,
         Map(name -> predicateSql), table)
-      Seq(metaJson(snap.meta.copy(
+      Seq(commitInfoJson("setConstraint"), metaJson(snap.meta.copy(
         constraints = snap.meta.constraints + (name -> predicateSql))))
     }
   }
@@ -521,7 +596,8 @@ object TxLog {
     retryCommit(spark, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"no txlog table at $table"))
-      Seq(metaJson(snap.meta.copy(constraints = snap.meta.constraints - name)))
+      Seq(commitInfoJson("dropConstraint"),
+        metaJson(snap.meta.copy(constraints = snap.meta.constraints - name)))
     }
 
   private def requireCompatible(table: StructType, incoming: StructType, name: String): Unit = {
@@ -572,13 +648,92 @@ object TxLog {
       .select(meta.schema.fieldNames.map(col).toSeq: _*), idx)
   }
 
+  /** Change data feed (Delta CDF `table_changes`): every row-level change
+    * in commits `fromVersion..toVersion` (inclusive; default = latest),
+    * as table rows tagged `_change_type` — `insert`, `delete`,
+    * `update_preimage`, `update_postimage` — plus `_commit_version`.
+    *
+    * Sources per commit, cheapest first (the Delta design):
+    *  - MERGE / DELETE / UPDATE wrote explicit `cdc` files at commit time
+    *    (O(changed rows), never rescanned from data files);
+    *  - appends derive from the commit's add files (all inserts);
+    *  - overwrites derive deletes from the previous snapshot's removed
+    *    files and inserts from the added ones;
+    *  - OPTIMIZE / compactLog / constraint commits rearrange or annotate,
+    *    so they contribute nothing.
+    * At 100 TB a CDC consumer therefore reads only what changed — the
+    * feed never scans untouched files. Vacuum keeps cdc files of
+    * retained versions; older feed reads fail like older time travel.
+    * Commits predating op markers are readable only if they are blind
+    * appends; anything ambiguous fails loudly rather than guessing. */
+  def readChangeFeed(spark: SparkSession, table: String, fromVersion: Long,
+                     toVersion: Option[Long] = None): DataFrame = {
+    val (hfs, root) = fs(spark, table)
+    val all = listVersions(hfs, root)
+    require(all.nonEmpty, s"no txlog table at $table")
+    val hi = toVersion.getOrElse(all.last._1)
+    val versions = all.filter { case (v, _) => v >= fromVersion && v <= hi }
+
+    def addsOf(v: Long, c: ParsedCommit, tag: String): Option[DataFrame] =
+      if (c.adds.isEmpty) None
+      else {
+        val meta = snapshot(spark, table, Some(v)).get.meta
+        Some(relationFor(spark, table, meta, c.adds)._1
+          .withColumn("_change_type", lit(tag))
+          .withColumn("_commit_version", lit(v)))
+      }
+    def removesOf(v: Long, c: ParsedCommit): Option[DataFrame] =
+      if (c.removes.isEmpty) None
+      else {
+        val prev = snapshot(spark, table, Some(v - 1)).getOrElse(
+          throw new IllegalStateException(
+            s"cannot resolve files removed by $table v$v"))
+        val removed = c.removes.toSet
+        Some(relationFor(spark, table, prev.meta,
+            prev.files.filter(f => removed.contains(f.path)))._1
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
+      }
+
+    val frames: Seq[DataFrame] = versions.flatMap { case (v, p) =>
+      val c = parseCommit(readText(hfs, p))
+      if (c.cdcs.nonEmpty)
+        Seq(spark.read
+          .parquet(c.cdcs.map(rel => new Path(root, rel).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      else c.op match {
+        case Some("append") => addsOf(v, c, "insert").toSeq
+        case Some("overwrite") | Some("overwritePartitions") =>
+          removesOf(v, c).toSeq ++ addsOf(v, c, "insert").toSeq
+        case Some("optimize") | Some("compactLog") |
+             Some("setConstraint") | Some("dropConstraint") => Seq.empty
+        case Some("merge") | Some("delete") | Some("update") =>
+          Seq.empty // committed with no matching rows: nothing changed
+        case Some(other) => throw new IllegalStateException(
+          s"unknown commit op `$other` in $table v$v")
+        case None if c.meta.isEmpty && c.removes.isEmpty =>
+          addsOf(v, c, "insert").toSeq // pre-marker log: blind append only
+        case None => throw new IllegalStateException(
+          s"change feed unavailable for pre-CDF commit v$v of $table")
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      val cur = snapshot(spark, table, None).getOrElse(
+        throw new IllegalStateException(s"no txlog table at $table")).meta.schema
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(cur.fields :+ StructField("_change_type", StringType) :+
+          StructField("_commit_version", LongType)))
+    }
+  }
+
   /** Table history: (version, n_adds, n_removes, schema_changed) per
     * commit — the DESCRIBE HISTORY surface. */
   def history(spark: SparkSession, table: String): Seq[(Long, Int, Int, Boolean)] = {
     val (hfs, root) = fs(spark, table)
     listVersions(hfs, root).map { case (v, p) =>
-      val (m, adds, removes) = parseCommit(readText(hfs, p))
-      (v, adds.size, removes.size, m.isDefined)
+      val c = parseCommit(readText(hfs, p))
+      (v, c.adds.size, c.removes.size, c.meta.isDefined)
     }
   }
 
@@ -586,10 +741,13 @@ object TxLog {
     * Delta VACUUM (time travel before `retainVersion` stops working). */
   def vacuum(spark: SparkSession, table: String, retainVersion: Long): Unit = {
     val (hfs, root) = fs(spark, table)
-    val versions = listVersions(hfs, root).map(_._1)
-    val referenced = versions.filter(_ >= retainVersion)
+    val versions = listVersions(hfs, root)
+    val referenced = versions.map(_._1).filter(_ >= retainVersion)
       .flatMap(v => snapshot(spark, table, Some(v)).toSeq.flatMap(_.files.map(_.path)))
-      .toSet
+      .toSet ++
+      // cdc files of retained commits stay readable via the change feed
+      versions.filter(_._1 >= retainVersion)
+        .flatMap { case (_, p) => parseCommit(readText(hfs, p)).cdcs }
     val all = snapshotAllPaths(hfs, root)
     all.filterNot(referenced.contains)
       .foreach(rel => hfs.delete(new Path(root, rel), false))
@@ -624,18 +782,19 @@ object TxLog {
     val current = read(spark, table)
     val pcols = snap.meta.partitionCols
     if (clusterBy.isEmpty)
-      overwrite(current, table, pcols)
+      overwriteImpl(current, table, pcols, overwriteSchema = false,
+        rearrange = true, op = "optimize")
     else if (pcols.isEmpty)
       // range-clustered files: each covers a tight clusterBy range
       overwriteImpl(current.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*),
-        table, pcols, overwriteSchema = false, rearrange = false)
+        table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
     else
       // one file per partition, rows sorted by clusterBy inside it —
       // parquet row-group stats then prune within the file
       overwriteImpl(current.repartition(pcols.map(col): _*)
           .sortWithinPartitions((pcols ++ clusterBy).map(col): _*),
-        table, pcols, overwriteSchema = false, rearrange = false)
+        table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
   }
 
   /** Live file count of the current snapshot (compaction observability). */
@@ -648,7 +807,8 @@ object TxLog {
     val snap = snapshot(spark, table, None)
       .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
     val (hfs, root) = fs(spark, table)
-    val lines = metaJson(snap.meta) +: snap.files.map(actionJson("add", _))
+    val lines = commitInfoJson("compactLog") +: metaJson(snap.meta) +:
+      snap.files.map(actionJson("add", _))
     if (!tryCommit(hfs, root, snap.version, lines))
       throw new IllegalStateException(s"compactLog lost a race on $table")
   }

@@ -353,6 +353,36 @@ class AcidSpec extends SparkSpec {
     assert(idx.sizeInBytes > 0)
   }
 
+  test("change data feed reports row-level changes per commit, nothing else") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), t) // v1
+    TxLog.append(Seq((3L, 30.0)).toDF("id", "amt"), t)                // v2
+    TxLog.merge(Seq((2L, 25.0), (4L, 40.0)).toDF("id", "amt"), t, Seq("id")) // v3
+    TxLog.delete(spark, t, col("id") === 1L)                          // v4
+    TxLog.optimize(spark, t)                                          // v5: rearranges only
+    val feed = TxLog.readChangeFeed(spark, t, 1L)
+      .select("id", "amt", "_change_type", "_commit_version")
+    assert(rows(feed) == Set(
+      Seq(1L, 10.0, "insert", 1L), Seq(2L, 20.0, "insert", 1L),
+      Seq(3L, 30.0, "insert", 2L),
+      Seq(2L, 20.0, "update_preimage", 3L), Seq(2L, 25.0, "update_postimage", 3L),
+      Seq(4L, 40.0, "insert", 3L),
+      Seq(1L, 10.0, "delete", 4L)))
+    // bounded ranges: only the asked-for commits contribute
+    assert(rows(TxLog.readChangeFeed(spark, t, 3L, Some(3L))
+        .select("id", "_change_type")) ==
+      Set(Seq(2L, "update_preimage"), Seq(2L, "update_postimage"),
+          Seq(4L, "insert")))
+    // the optimize rewrite is movement, not change — an empty tail feed
+    assert(TxLog.readChangeFeed(spark, t, 5L).count() == 0)
+    // CDC survives vacuum of retained versions; the merged state agrees
+    // with replaying the feed over the v2 snapshot
+    TxLog.vacuum(spark, t, retainVersion = 3L)
+    assert(rows(TxLog.readChangeFeed(spark, t, 3L, Some(3L))
+      .select("id")) == Set(Seq(2L), Seq(4L)))
+  }
+
   test("timestamp stats skip correctly across parquet timestamp units") {
     import spark.implicits._
     val key = "spark.sql.parquet.outputTimestampType"
