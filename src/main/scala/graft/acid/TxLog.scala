@@ -648,6 +648,28 @@ object TxLog {
       .select(meta.schema.fieldNames.map(col).toSeq: _*), idx)
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): roll the table
+    * back to `version` as ONE metadata commit — remove the files that
+    * arrived since, re-add the target version's files that were dropped,
+    * restore its schema/constraints. No data file is copied or rewritten
+    * (O(files) metadata at 100 TB), history keeps every intermediate
+    * version, and the restore itself is just another version — it can be
+    * restored away from too. As in Delta, restoring past a `vacuum`
+    * horizon fails at read time: vacuum physically deleted those files. */
+  def restore(spark: SparkSession, table: String, version: Long): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      val target = snapshot(spark, table, Some(version)).getOrElse(
+        throw new IllegalStateException(s"version $version not found in $table"))
+      val tgt = target.files.map(_.path).toSet
+      val cur = snap.files.map(_.path).toSet
+      val removes = snap.files.filterNot(f => tgt.contains(f.path))
+      val adds = target.files.filterNot(f => cur.contains(f.path))
+      commitInfoJson("restore") +: metaJson(target.meta) +:
+        (removes.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
+    }
+
   /** Change data feed (Delta CDF `table_changes`): every row-level change
     * in commits `fromVersion..toVersion` (inclusive; default = latest),
     * as table rows tagged `_change_type` — `insert`, `delete`,
@@ -703,7 +725,7 @@ object TxLog {
           .withColumn("_commit_version", lit(v)))
       else c.op match {
         case Some("append") => addsOf(v, c, "insert").toSeq
-        case Some("overwrite") | Some("overwritePartitions") =>
+        case Some("overwrite") | Some("overwritePartitions") | Some("restore") =>
           removesOf(v, c).toSeq ++ addsOf(v, c, "insert").toSeq
         case Some("optimize") | Some("compactLog") |
              Some("setConstraint") | Some("dropConstraint") => Seq.empty

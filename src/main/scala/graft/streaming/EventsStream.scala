@@ -128,23 +128,26 @@ object EventsStream {
     ev.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val nRows = spark.read.parquet(dir).count() // footer metadata count
     // durable FILE sink, not a memory sink: emitted sessions are O(corpus)
     // rows and belong on executors/disk, never on the driver heap (the
     // round-2 lesson from stream_dedup, applied here)
-    val q = sessionizeStateful(
-        spark.readStream.schema(schema).parquet(dir).as[SessionEvent])
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .format("parquet").option("path", s"$base/out")
-      .start()
-    try {
-      q.processAllAvailable()
-      Seq(30, 60).foreach { days =>
-        Seq((Long.MinValue, new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
-          .toDF("user_id", "ts").write.mode("append").parquet(dir)
+    StateSizing.withStatePartitions(spark, nRows) {
+      val q = sessionizeStateful(
+          spark.readStream.schema(schema).parquet(dir).as[SessionEvent])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
+        Seq(30, 60).foreach { days =>
+          Seq((Long.MinValue, new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
+            .toDF("user_id", "ts").write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.read.parquet(s"$base/out").filter(col("user_id") =!= Long.MinValue)
   }
 }

@@ -30,17 +30,20 @@ object StreamDedup {
       b.write.mode("overwrite").parquet(s"$dir/batch_$i")
     }
     val schema = spark.read.parquet(s"$dir/batch_0").schema
+    val nRows = spark.read.parquet(s"$dir/batch_*").count() // footer count
     val name = s"graft_sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val deduped = spark.readStream.schema(schema)
-      .parquet(s"$dir/batch_*")
-      .dropDuplicates(keyCols)
-    val out = agg(deduped)
-    val mode = if (out.isStreaming && out.queryExecution.analyzed
-        .collectFirst { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
-        .isDefined) "complete" else "append"
-    val q = out.writeStream.outputMode(mode).format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    StateSizing.withStatePartitions(spark, nRows) {
+      val deduped = spark.readStream.schema(schema)
+        .parquet(s"$dir/batch_*")
+        .dropDuplicates(keyCols)
+      val out = agg(deduped)
+      val mode = if (out.isStreaming && out.queryExecution.analyzed
+          .collectFirst { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+          .isDefined) "complete" else "append"
+      val q = out.writeStream.outputMode(mode).format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 

@@ -383,6 +383,53 @@ class AcidSpec extends SparkSpec {
       .select("id")) == Set(Seq(2L), Seq(4L)))
   }
 
+  test("restore rolls back to an old version as one metadata commit") {
+    import spark.implicits._
+    val t = tmp()
+    // one file for v1 so the file-granular restore diff is deterministic
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt").coalesce(1)
+    TxLog.overwrite(v1, t)                                            // v1
+    TxLog.append(Seq((3L, 30.0)).toDF("id", "amt"), t)                // v2
+    TxLog.delete(spark, t, col("id") === 1L)                          // v3
+    TxLog.restore(spark, t, 1L)                                       // v4
+    assert(rows(TxLog.read(spark, t)) == rows(v1))
+    assert(TxLog.currentVersion(spark, t) == 4L)
+    // intermediate history still travels; the restore is itself a version
+    assert(rows(TxLog.read(spark, t, Some(3L)).select("id")) ==
+      Set(Seq(2L), Seq(3L)))
+    // restore classifies in the feed as FILE-level delete+insert: the
+    // re-added v1 file inserts {1,2}; the dropped post-delete rewrite
+    // ({2}) and the dropped append ({3}) delete
+    val feed = TxLog.readChangeFeed(spark, t, 4L)
+      .select("id", "_change_type")
+    assert(rows(feed.filter(col("_change_type") === "insert")) ==
+      Set(Seq(1L, "insert"), Seq(2L, "insert")))
+    assert(rows(feed.filter(col("_change_type") === "delete")) ==
+      Set(Seq(2L, "delete"), Seq(3L, "delete")))
+  }
+
+  test("change feed cursor delivers each commit's changes exactly once") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), t) // v1
+    val cur = graft.streaming.ChangeFeedStream.cursor(spark, t,
+      TxLog.currentVersion(spark, t) + 1)
+    assert(cur.poll().isEmpty, "nothing new after open")
+    TxLog.merge(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "amt"), t, Seq("id")) // v2
+    val Some((lo1, hi1, b1)) = cur.poll()
+    assert(lo1 == 2L && hi1 == 2L)
+    assert(rows(b1.select("id", "_change_type")) == Set(
+      Seq(2L, "update_preimage"), Seq(2L, "update_postimage"),
+      Seq(3L, "insert")))
+    assert(cur.poll().isEmpty, "batch must not replay")
+    TxLog.delete(spark, t, col("id") === 1L)                          // v3
+    TxLog.append(Seq((9L, 90.0)).toDF("id", "amt"), t)                // v4
+    val Some((lo2, hi2, b2)) = cur.poll()
+    assert(lo2 == 3L && hi2 == 4L, "one batch spans both pending commits")
+    assert(rows(b2.select("id", "_change_type", "_commit_version")) == Set(
+      Seq(1L, "delete", 3L), Seq(9L, "insert", 4L)))
+  }
+
   test("timestamp stats skip correctly across parquet timestamp units") {
     import spark.implicits._
     val key = "spark.sql.parquet.outputTimestampType"
