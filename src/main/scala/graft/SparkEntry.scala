@@ -837,6 +837,27 @@ object SparkEntry {
       .orderBy("commit_version", "change_type")
   }
 
+  /** #76 RESTORE TO VERSION AS OF: a bad reprocess (here: a destructive
+    * low-value purge) is rolled back as ONE metadata commit — no data
+    * file copied — and the table reads exactly as before the purge;
+    * history retains the bad version and the restore itself. */
+  def deltaRestore(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txrestore")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)           // v1
+    graft.acid.TxLog.delete(s, path, col("total_amount") < 50)  // v2: oops
+    graft.acid.TxLog.restore(s, path, 1L)                       // v3: undo
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("n_versions",
+        lit(graft.acid.TxLog.currentVersion(s, path)))
+      .select("trip_type", "n_rows", "total", "n_versions")
+      .orderBy("trip_type")
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -927,6 +948,7 @@ object SparkEntry {
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "delta_merge"         -> (deltaMerge _),
     "delta_cdf"           -> (deltaCdf _),
+    "delta_restore"       -> (deltaRestore _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -1679,6 +1701,13 @@ object SparkEntry {
          |        UNION ALL SELECT total_amount FROM c
          |        WHERE trip_type = 'view' AND total_amount < 20))
          |ORDER BY commit_version, change_type""".stripMargin,
+
+    "delta_restore" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total, CAST(3 AS BIGINT) AS n_versions
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_data_skipping" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,

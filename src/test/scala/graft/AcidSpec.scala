@@ -370,10 +370,15 @@ class AcidSpec extends SparkSpec {
       Seq(4L, 40.0, "insert", 3L),
       Seq(1L, 10.0, "delete", 4L)))
     // bounded ranges: only the asked-for commits contribute
-    assert(rows(TxLog.readChangeFeed(spark, t, 3L, Some(3L))
-        .select("id", "_change_type")) ==
+    val mergeFeed = TxLog.readChangeFeed(spark, t, 3L, Some(3L))
+    assert(rows(mergeFeed.select("id", "_change_type")) ==
       Set(Seq(2L, "update_preimage"), Seq(2L, "update_postimage"),
           Seq(4L, "insert")))
+    // cost shape: a row-level commit's feed reads ONLY its cdc files —
+    // never the table's data files (O(changed rows) at any table size)
+    assert(mergeFeed.inputFiles.nonEmpty &&
+      mergeFeed.inputFiles.forall(_.contains("/cdc-")),
+      s"feed scanned non-cdc files: ${mergeFeed.inputFiles.mkString(", ")}")
     // the optimize rewrite is movement, not change — an empty tail feed
     assert(TxLog.readChangeFeed(spark, t, 5L).count() == 0)
     // CDC survives vacuum of retained versions; the merged state agrees
