@@ -881,6 +881,54 @@ object SparkEntry {
       lit(sel >= 1).as("scanned_some"))
   }
 
+  /** #77 Incremental materialized view: a per-fleet revenue rollup over
+    * the ACID consumer table is maintained from the CHANGE FEED — two
+    * refreshes fold a MERGE batch (late corrections + green arrivals)
+    * and a green-fleet purge into the view as O(changed rows) deltas,
+    * never rescanning the base table; the purge drives the green group's
+    * count to zero, which the merge's `deleteWhen` clause drops from the
+    * view in the same commit. `matches_recompute` proves the maintained
+    * view is BIT-equal (exact decimal sums) to a full recompute of the
+    * final base state — the 100 TB rollup pattern: apply the day's cdc
+    * files, don't rescan the table. */
+  def deltaMvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("mvbase"); val mv = tempDir("mvview")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, base, parts)                // v1
+    val spec = graft.acid.MvSpec(Seq("trip_type"), Seq("total_amount"))
+    var cursor = graft.acid.MaterializedView.initialize(s, base, mv, spec)
+    // batch 1: late corrections (big yellow trips +10) + re-keyed green
+    // arrivals, one MERGE commit on the base
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    graft.acid.TxLog.merge(
+      corrections.unionByName(arrivals), base, Seq("event_id"))      // v2
+    cursor = graft.acid.MaterializedView.refresh(s, base, mv, spec, cursor)
+    // batch 2: the green fleet is purged entirely — its group must vanish
+    graft.acid.TxLog.delete(s, base,
+      col("trip_type") === ConsumerPipeline.GreenType)               // v3
+    cursor = graft.acid.MaterializedView.refresh(s, base, mv, spec, cursor)
+    val viewNow = graft.acid.TxLog.read(s, mv)
+    val recomputed = graft.acid.MaterializedView.compute(
+      graft.acid.TxLog.read(s, base), spec)
+    val matches = viewNow.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(viewNow).isEmpty
+    val greenGone = viewNow
+      .filter(col("trip_type") === ConsumerPipeline.GreenType).isEmpty
+    viewNow
+      .select(col("trip_type"), col("n_rows"),
+        round(col("sum_total_amount").cast("double"), 2).as("total"),
+        lit(matches).as("matches_recompute"),
+        lit(greenGone).as("group_deleted"))
+      .orderBy("trip_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -949,6 +997,7 @@ object SparkEntry {
     "delta_merge"         -> (deltaMerge _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
+    "delta_mv_incremental" -> (deltaMvIncremental _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -1707,6 +1756,15 @@ object SparkEntry {
          |       round(sum(value), 2) AS total, CAST(3 AS BIGINT) AS n_versions
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_mv_incremental" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(CASE WHEN value >= 100 THEN value + 10
+         |                      ELSE value END), 2) AS total,
+         |       true AS matches_recompute, true AS group_deleted
+         |FROM events
+         |WHERE event_type = 'purchase' AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_data_skipping" ->

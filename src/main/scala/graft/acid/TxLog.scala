@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One live data file of a txlog table: table-root-relative path, parsed
@@ -429,8 +429,17 @@ object TxLog {
     * multiplication. All three key joins (touched-file semi, update,
     * insert anti) use plain `=` SQL-MERGE equality: a NULL-keyed source
     * row matches nothing and inserts; a NULL-keyed target row is never
-    * updated. */
-  def merge(source: DataFrame, table: String, keyCols: Seq[String]): MergeStats = {
+    * updated.
+    *
+    * `deleteWhen` is Delta's `WHEN MATCHED AND cond THEN DELETE` clause,
+    * evaluated against the SOURCE row: a matched pair whose source
+    * satisfies it removes the target row instead of updating it (change
+    * feed tags the preimage `delete`); an UNMATCHED source row satisfying
+    * it is a no-op — delete-marked rows are never inserted. This is what
+    * makes a single MERGE commit able to express "upsert live groups,
+    * drop emptied ones" (see [[MaterializedView.refresh]]). */
+  def merge(source: DataFrame, table: String, keyCols: Seq[String],
+            deleteWhen: Option[org.apache.spark.sql.Column] = None): MergeStats = {
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
@@ -445,9 +454,17 @@ object TxLog {
     while (attempts < 10) {
       val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
         s"merge into non-existent table $table — overwrite first"))
-      requireCompatible(snap.meta.schema, source.schema, table)
       val cols = snap.meta.schema.fieldNames.toSeq
-      val src = source.select(cols.map(col): _*)
+      // the source may carry EXTRA columns for the deleteWhen clause to
+      // reference (Delta's MERGE condition sees the whole source row);
+      // only the table's columns are written, and they must be compatible
+      requireCompatible(snap.meta.schema,
+        org.apache.spark.sql.types.StructType(
+          cols.map(c => source.schema(source.schema.fieldIndex(c)))), table)
+      // __del is computed BEFORE projecting the extras away; null
+      // (unmatched join side) and absent clause both mean "not a delete"
+      val src = source.select(
+        cols.map(col) :+ coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
       val full = relationFor(spark, table, snap.meta, snap.files)._1
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       // file-granular match: which live files hold a matched key
@@ -461,25 +478,33 @@ object TxLog {
       val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       val wide = touchedRows.alias("t")
         .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
+      val matchedDel = col("s.__m").isNotNull && coalesce(col("s.__del"), lit(false))
       val updated = wide
+        .filter(!matchedDel) // WHEN MATCHED AND deleteWhen THEN DELETE
         .select(cols.map { c =>
           if (keyCols.contains(c)) col(s"t.$c").as(c)
           else when(col("s.__m").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
         }: _*)
-      val inserts = src.join(
+      val inserts = src.filter(!col("__del")).join(
         full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .select(cols.map(col): _*)
       val staged = updated.unionByName(inserts)
       requireConstraintsSatisfied(staged, snap.meta.constraints, table)
       val adds = stage(staged, table, snap.meta.partitionCols)
       // change feed (Delta CDF): pre/post images of genuinely matched
-      // rows + inserts, written as cdc files the snapshot never sees
+      // rows + deletes + inserts, written as cdc files the snapshot
+      // never sees
       val matched = wide.filter(col("s.__m").isNotNull)
-      val cdcFrame = matched
+      val matchedUpd = matched.filter(!coalesce(col("s.__del"), lit(false)))
+      val cdcFrame = matchedUpd
         .select(cols.map(c => col(s"t.$c").as(c)): _*)
         .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(matched.select(cols.map { c =>
+        .unionByName(matchedUpd.select(cols.map { c =>
           if (keyCols.contains(c)) col(s"t.$c").as(c) else col(s"s.$c").as(c)
         }: _*).withColumn("_change_type", lit("update_postimage")))
+        .unionByName(matched.filter(coalesce(col("s.__del"), lit(false)))
+          .select(cols.map(c => col(s"t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("delete")))
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
       val cdcFiles = stageCdc(cdcFrame, table)
       val lines = commitInfoJson("merge") +:
