@@ -881,6 +881,36 @@ object SparkEntry {
       lit(sel >= 1).as("scanned_some"))
   }
 
+  /** #78 Z-ORDER clustering (Delta's `OPTIMIZE ... ZORDER BY (a, b)`):
+    * after one Morton-curve rewrite over quantile-bucket ids, a
+    * selective predicate on EITHER dimension skips files — a plain sort
+    * by `event_id` would leave `user_id` stats useless. Both probes
+    * observe the skip through the FileIndex listing (selected < total),
+    * and the curve costs one shuffle — same as any clustered rewrite. */
+  def deltaZorder(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txzorder")
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+    graft.acid.TxLog.overwrite(ev.repartition(16), path)
+    graft.acid.TxLog.optimize(s, path,
+      zorderBy = Seq("event_id", "user_id"), nFiles = 16)
+    def probe(cond: org.apache.spark.sql.Column): (Long, Double, Boolean, Long) = {
+      val (table, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
+      val hit = table.filter(cond)
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("t"))
+        .collect()(0)
+      val (sel, tot) = idx.lastListing.get
+      (hit.getLong(0), hit.getDouble(1), sel < tot, tot.toLong)
+    }
+    val (nId, tId, skipId, total) =
+      probe(col("event_id") >= 100 && col("event_id") < 200)
+    val (nUser, tUser, skipUser, _) = probe(col("user_id") < 2)
+    s.range(1).select(
+      lit(nId).as("n_rows_id"), lit(tId).as("total_id"),
+      lit(nUser).as("n_rows_user"), lit(tUser).as("total_user"),
+      lit(skipId).as("skipped_on_id"), lit(skipUser).as("skipped_on_user"),
+      lit(total > 1L).as("multi_file"))
+  }
+
   /** #77 Incremental materialized view: a per-fleet revenue rollup over
     * the ACID consumer table is maintained from the CHANGE FEED — two
     * refreshes fold a MERGE batch (late corrections + green arrivals)
@@ -998,6 +1028,7 @@ object SparkEntry {
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
+    "delta_zorder"        -> (deltaZorder _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -1757,6 +1788,16 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_zorder" ->
+      """SELECT a.n AS n_rows_id, a.t AS total_id,
+        |       b.n AS n_rows_user, b.t AS total_user,
+        |       true AS skipped_on_id, true AS skipped_on_user,
+        |       true AS multi_file
+        |FROM (SELECT count(*) AS n, round(sum(value), 2) AS t
+        |      FROM events WHERE event_id >= 100 AND event_id < 200) a,
+        |     (SELECT count(*) AS n, round(sum(value), 2) AS t
+        |      FROM events WHERE user_id < 2) b""".stripMargin,
 
     "delta_mv_incremental" ->
       s"""SELECT event_type AS trip_type, count(*) AS n_rows,

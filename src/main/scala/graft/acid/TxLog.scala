@@ -821,14 +821,34 @@ object TxLog {
     * single-column/prefix case): each rewritten file then covers a tight
     * min/max range on those columns, so the footer stats recorded in the
     * new add actions make data skipping on them near-perfect. `nFiles`
-    * bounds the clustered file count (per table, pre-partitioning). */
+    * bounds the clustered file count (per table, pre-partitioning).
+    *
+    * With `zorderBy` (two or more NUMERIC columns), the rewrite lays
+    * rows on a Morton curve over quantile-bucket ids ([[ZOrder]]) —
+    * Delta's `OPTIMIZE ... ZORDER BY (a, b)` — so selective predicates
+    * on EACH of the given columns skip files, not just the sort prefix. */
   def optimize(spark: SparkSession, table: String,
-               clusterBy: Seq[String] = Seq.empty, nFiles: Int = 16): Unit = {
+               clusterBy: Seq[String] = Seq.empty, nFiles: Int = 16,
+               zorderBy: Seq[String] = Seq.empty): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
     val snap = snapshot(spark, table, None)
       .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
     val current = read(spark, table)
     val pcols = snap.meta.partitionCols
-    if (clusterBy.isEmpty)
+    if (zorderBy.nonEmpty) {
+      if (pcols.isEmpty)
+        overwriteImpl(ZOrder.cluster(current, zorderBy, nFiles), table, pcols,
+          overwriteSchema = false, rearrange = false, op = "optimize")
+      else
+        // one file per partition dir, z-sorted inside it: partition
+        // values stay the outer pruning level, z row-groups the inner
+        overwriteImpl(current.withColumn("__z", ZOrder.zvalue(current, zorderBy))
+            .repartition(pcols.map(col): _*)
+            .sortWithinPartitions((pcols :+ "__z").map(col): _*).drop("__z"),
+          table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
+    }
+    else if (clusterBy.isEmpty)
       overwriteImpl(current, table, pcols, overwriteSchema = false,
         rearrange = true, op = "optimize")
     else if (pcols.isEmpty)
