@@ -881,6 +881,40 @@ object SparkEntry {
       lit(sel >= 1).as("scanned_some"))
   }
 
+  /** #79 Bloom-filter file skipping (Delta's bloom filter index): on a
+    * hash-id column every file's min/max spans the whole domain, so
+    * range stats never skip (`range_scans_all` observes the full scan);
+    * after `setBloomFilter` + rewrite, an equality probe consults each
+    * file's bloom and reads only files that may hold the key.
+    * Correctness is conservative by construction — a bloom false
+    * positive costs a scan, never a wrong row. */
+  def deltaBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txbloom")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), md5(col("event_id").cast("string")).as("uid"),
+              col("value"))
+    graft.acid.TxLog.overwrite(ev.repartition(16), path)
+    val probe = md5(lit("123"))
+    def run(): (Long, Double, Int, Int) = {
+      val (t, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
+      val hit = t.filter(col("uid") === probe)
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("t"))
+        .collect()(0)
+      val (sel, tot) = idx.lastListing.get
+      (hit.getLong(0), hit.getDouble(1), sel, tot)
+    }
+    val (n0, t0, sel0, tot0) = run() // min/max only: reads every file
+    graft.acid.TxLog.setBloomFilter(s, path, Seq("uid"))
+    graft.acid.TxLog.overwrite(ev.repartition(16), path) // rewrite = indexed
+    val (n1, t1, sel1, tot1) = run()
+    s.range(1).select(
+      lit(n1).as("n_rows"), lit(t1).as("total"),
+      lit(n0 == n1 && t0 == t1).as("same_answer"),
+      lit(sel0 == tot0).as("range_scans_all"),
+      lit(sel1 < tot1).as("bloom_skips"),
+      lit(tot1 > 1).as("multi_file"))
+  }
+
   /** #78 Z-ORDER clustering (Delta's `OPTIMIZE ... ZORDER BY (a, b)`):
     * after one Morton-curve rewrite over quantile-bucket ids, a
     * selective predicate on EITHER dimension skips files — a plain sort
@@ -1029,6 +1063,7 @@ object SparkEntry {
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
     "delta_zorder"        -> (deltaZorder _),
+    "delta_bloom_skip"    -> (deltaBloomSkip _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -1788,6 +1823,12 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_bloom_skip" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
+        |       true AS same_answer, true AS range_scans_all,
+        |       true AS bloom_skips, true AS multi_file
+        |FROM events WHERE event_id = 123""".stripMargin,
 
     "delta_zorder" ->
       """SELECT a.n AS n_rows_id, a.t AS total_id,

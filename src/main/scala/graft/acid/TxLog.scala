@@ -21,7 +21,8 @@ private[graft] case class AddFile(
     size: Long = -1L,
     numRecords: Long = -1L,
     minValues: Map[String, Any] = Map.empty,
-    maxValues: Map[String, Any] = Map.empty)
+    maxValues: Map[String, Any] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 
 /** ACID table format on plain parquet — the consumer-layer semantics the
   * reference gets from Delta Lake (process_data_glue.py:186-190 writes
@@ -61,7 +62,8 @@ object TxLog {
   private[acid] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private case class Meta(schema: StructType, partitionCols: Seq[String],
-                          constraints: Map[String, String] = Map.empty)
+                          constraints: Map[String, String] = Map.empty,
+                          bloomCols: Seq[String] = Seq.empty)
 
   private case class Snapshot(version: Long, meta: Meta, files: Seq[AddFile])
 
@@ -112,7 +114,10 @@ object TxLog {
       "size" -> (JLong(f.size): JValue),
       "numRecords" -> (JLong(f.numRecords): JValue),
       "minValues" -> (statMapJson(f.minValues): JValue),
-      "maxValues" -> (statMapJson(f.maxValues): JValue))
+      "maxValues" -> (statMapJson(f.maxValues): JValue)) ++
+      (if (f.blooms.isEmpty) Nil else List(
+        "blooms" -> (JObject(f.blooms.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }): JValue)))
     else base
     JsonMethods.compact(JsonMethods.render(JObject(kind -> JObject(withStats))))
   }
@@ -123,7 +128,8 @@ object TxLog {
         "schema" -> JString(m.schema.json),
         "partitionCols" -> JArray(m.partitionCols.toList.map(JString)),
         "constraints" -> JObject(
-          m.constraints.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))))
+          m.constraints.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+        "bloomCols" -> JArray(m.bloomCols.toList.map(JString))))))
 
   /** Per-commit operation marker (Delta `commitInfo.operation`): lets the
     * change feed classify a commit without guessing from its action shape
@@ -160,8 +166,12 @@ object TxLog {
             case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
             case _ => Map.empty[String, String]
           }
+          val blooms = m \ "bloomCols" match {
+            case JArray(arr) => arr.collect { case JString(c) => c }
+            case _ => Seq.empty[String]
+          }
           meta = Some(Meta(
-            DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons))
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons, blooms))
         case JObject(List(("add", a))) =>
           val JString(p) = a \ "path"
           val pv = (a \ "partitionValues").asInstanceOf[JObject]
@@ -180,8 +190,12 @@ object TxLog {
             case JLong(l) => l
             case _ => dflt
           }
+          val bl = a \ "blooms" match {
+            case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
           adds += AddFile(p, pv, longOf("size", -1L), longOf("numRecords", -1L),
-            statMap("minValues"), statMap("maxValues"))
+            statMap("minValues"), statMap("maxValues"), bl)
         case JObject(List(("remove", r))) =>
           val JString(p) = r \ "path"
           removes += p
@@ -261,12 +275,63 @@ object TxLog {
     won
   }
 
+  /** One distributed pass over freshly staged files building a bloom
+    * filter per (file, bloom column): RDD aggregation of mergeable
+    * sketches keyed by `_metadata.file_path` — the legitimate
+    * per-partition-imperative use, exactly how Delta collects its bloom
+    * indexes at write time. Values are canonicalized through Spark's own
+    * cast-to-string so the read-side literal probe (Catalyst `Cast` to
+    * string) sees identical bytes. Driver cost: O(files × bloom bits).
+    * Sized from each file's footer row count at ~1% fpp (a false
+    * positive only costs a scan, never correctness). */
+  private def computeBlooms(spark: SparkSession, staging: Path,
+      bloomCols: Seq[String], expectedByName: Map[String, Long])
+      : Map[String, Map[String, String]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val df = spark.read.parquet(staging.toString)
+    val cols0 = bloomCols.filter(df.columns.contains)
+    if (cols0.isEmpty) return Map.empty
+    val sel = df.select(col("_metadata.file_path").cast("string").as("__p") +:
+      cols0.map(c => col(c).cast("string").as(c)): _*)
+    val n = cols0.size
+    val perFile = sel.rdd.mapPartitions { it =>
+      val acc = mutable.Map.empty[(String, String), BloomFilter]
+      it.foreach { row =>
+        val full = row.getString(0)
+        val fname = full.substring(full.lastIndexOf('/') + 1)
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i + 1)) {
+            val bf = acc.getOrElseUpdate((fname, cols0(i)),
+              BloomFilter.create(expectedByName.getOrElse(fname, 4096L).max(64L), 0.01))
+            bf.putString(row.getString(i + 1))
+          }
+          i += 1
+        }
+      }
+      acc.iterator
+    }.reduceByKey { (a, b) => a.mergeInPlace(b); a }.collect()
+    perFile.groupBy(_._1._1).map { case (fname, kvs) =>
+      fname -> kvs.map { case ((_, c), bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      }.toMap
+    }
+  }
+
+  private def fileName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
   /** Stage `df` as immutable parquet files under a fresh per-commit dir;
     * returns add actions with table-root-relative paths and parsed
     * partition values. `rearrange=false` keeps the caller's physical
-    * layout (clustered optimize arranges its own range partitioning). */
+    * layout (clustered optimize arranges its own range partitioning).
+    * With `bloomCols`, each add action additionally records a per-file
+    * bloom filter per column ([[computeBlooms]]). */
   private def stage(df: DataFrame, table: String, partitionCols: Seq[String],
-                    rearrange: Boolean = true): Seq[AddFile] = {
+                    rearrange: Boolean = true,
+                    bloomCols: Seq[String] = Seq.empty): Seq[AddFile] = {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"data-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
@@ -298,7 +363,13 @@ object TxLog {
           mins, maxs)
       }
     }
-    files.toSeq
+    if (bloomCols.isEmpty) files.toSeq
+    else {
+      val expected = files.map(f => fileName(f.path) -> f.numRecords.max(1L)).toMap
+      val blooms = computeBlooms(df.sparkSession, staging, bloomCols, expected)
+      files.toSeq.map(f =>
+        f.copy(blooms = blooms.getOrElse(fileName(f.path), Map.empty)))
+    }
   }
 
   /** Stage a change-data frame (table columns + `_change_type`) as
@@ -348,19 +419,26 @@ object TxLog {
   private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
                             overwriteSchema: Boolean, rearrange: Boolean,
                             op: String): Unit = {
-    val adds = stage(df, table, partitionCols, rearrange)
+    // bloom config is read pre-stage (files are staged once, outside the
+    // commit retry); a concurrent setBloomFilter applies from the next write
+    val priorBloomCols =
+      if (overwriteSchema) Seq.empty
+      else snapshot(df.sparkSession, table, None).map(_.meta.bloomCols)
+        .getOrElse(Seq.empty)
+    val adds = stage(df, table, partitionCols, rearrange, priorBloomCols)
     retryCommit(df.sparkSession, table) { snap =>
       snap.foreach { s =>
         if (!overwriteSchema) requireCompatible(s.meta.schema, df.schema, table)
         require(s.meta.partitionCols == partitionCols || overwriteSchema,
           s"partitioning change on $table requires overwriteSchema=true")
       }
-      // constraints survive overwrites; overwriteSchema drops them (the
-      // predicate may no longer resolve against the new schema)
+      // constraints + bloom config survive overwrites; overwriteSchema
+      // drops them (they may no longer resolve against the new schema)
       val kept = if (overwriteSchema) Map.empty[String, String]
                  else snap.map(_.meta.constraints).getOrElse(Map.empty)
       requireConstraintsSatisfied(df, kept, table)
-      commitInfoJson(op) +: metaJson(Meta(df.schema, partitionCols, kept)) +:
+      commitInfoJson(op) +:
+        metaJson(Meta(df.schema, partitionCols, kept, priorBloomCols)) +:
         (snap.toSeq.flatMap(_.files.map(f => actionJson("remove", f))) ++
           adds.map(actionJson("add", _)))
     }
@@ -375,7 +453,8 @@ object TxLog {
       requireConstraintsSatisfied(df, snap.meta.constraints, table)
       // staged inside the retry: partition columns come from table meta
       commitInfoJson("append") +:
-        stage(df, table, snap.meta.partitionCols).map(actionJson("add", _))
+        stage(df, table, snap.meta.partitionCols,
+          bloomCols = snap.meta.bloomCols).map(actionJson("add", _))
     }
   }
 
@@ -402,7 +481,8 @@ object TxLog {
       val removes = snap.files.filter(f => replaced.contains(f.partitionValues))
       commitInfoJson("overwritePartitions") +:
         (removes.map(actionJson("remove", _)) ++
-          stage(df, table, pcols).map(actionJson("add", _)))
+          stage(df, table, pcols,
+            bloomCols = snap.meta.bloomCols).map(actionJson("add", _)))
     }
   }
 
@@ -490,7 +570,8 @@ object TxLog {
         .select(cols.map(col): _*)
       val staged = updated.unionByName(inserts)
       requireConstraintsSatisfied(staged, snap.meta.constraints, table)
-      val adds = stage(staged, table, snap.meta.partitionCols)
+      val adds = stage(staged, table, snap.meta.partitionCols,
+        bloomCols = snap.meta.bloomCols)
       // change feed (Delta CDF): pre/post images of genuinely matched
       // rows + deletes + inserts, written as cdc files the snapshot
       // never sees
@@ -575,7 +656,8 @@ object TxLog {
       val rows = relationFor(spark, table, snap.meta, touched)._1
       val rewritten = transform(rows, condition)
       requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
-      val adds = stage(rewritten, table, snap.meta.partitionCols)
+      val adds = stage(rewritten, table, snap.meta.partitionCols,
+        bloomCols = snap.meta.bloomCols)
       val cdcFiles = stageCdc(cdcOf(rows, condition), table)
       val lines = commitInfoJson(op) +:
         (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
@@ -616,6 +698,24 @@ object TxLog {
         constraints = snap.meta.constraints + (name -> predicateSql))))
     }
   }
+
+  /** Configure bloom-filter indexing (Delta's `CREATE BLOOMFILTER INDEX`):
+    * every SUBSEQUENT write records a per-file bloom over each listed
+    * column, and equality/IN predicates on them skip files whose bloom
+    * excludes the value — the skipping min/max stats cannot provide when
+    * the column is high-cardinality and uncorrelated with file layout
+    * (hash ids: every file's range spans the whole domain). Existing
+    * files stay bloom-less (read conservatively) until rewritten — run
+    * `optimize` to index them. One metadata commit. */
+  def setBloomFilter(spark: SparkSession, table: String, cols: Seq[String]): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      cols.foreach(c => require(snap.meta.schema.fieldNames.contains(c),
+        s"bloom column $c is not a column of $table"))
+      Seq(commitInfoJson("setBloomFilter"),
+        metaJson(snap.meta.copy(bloomCols = cols)))
+    }
 
   def dropCheckConstraint(spark: SparkSession, table: String, name: String): Unit =
     retryCommit(spark, table) { snapOpt =>
@@ -752,8 +852,8 @@ object TxLog {
         case Some("append") => addsOf(v, c, "insert").toSeq
         case Some("overwrite") | Some("overwritePartitions") | Some("restore") =>
           removesOf(v, c).toSeq ++ addsOf(v, c, "insert").toSeq
-        case Some("optimize") | Some("compactLog") |
-             Some("setConstraint") | Some("dropConstraint") => Seq.empty
+        case Some("optimize") | Some("compactLog") | Some("setConstraint") |
+             Some("dropConstraint") | Some("setBloomFilter") => Seq.empty
         case Some("merge") | Some("delete") | Some("update") =>
           Seq.empty // committed with no matching rows: nothing changed
         case Some(other) => throw new IllegalStateException(

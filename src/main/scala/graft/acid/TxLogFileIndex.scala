@@ -103,10 +103,10 @@ private[graft] class TxLogFileIndex(
   private def mayMatch(e: Expression, f: AddFile): Boolean = e match {
     case And(l, r) => mayMatch(l, f) && mayMatch(r, f)
     case Or(l, r) => mayMatch(l, f) || mayMatch(r, f)
-    case EqualTo(a: AttributeReference, Literal(v, _)) =>
-      rangeMay(f, a.name, lo = Some(v), hi = Some(v))
-    case EqualTo(Literal(v, _), a: AttributeReference) =>
-      rangeMay(f, a.name, lo = Some(v), hi = Some(v))
+    case EqualTo(a: AttributeReference, l @ Literal(v, _)) =>
+      rangeMay(f, a.name, lo = Some(v), hi = Some(v)) && bloomMay(f, a.name, l)
+    case EqualTo(l @ Literal(v, _), a: AttributeReference) =>
+      rangeMay(f, a.name, lo = Some(v), hi = Some(v)) && bloomMay(f, a.name, l)
     case GreaterThan(a: AttributeReference, Literal(v, _)) =>
       rangeMay(f, a.name, lo = Some(v), hi = None, loStrict = true)
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -124,10 +124,45 @@ private[graft] class TxLogFileIndex(
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
       rangeMay(f, a.name, lo = Some(v), hi = None)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) =>
-        rangeMay(f, a.name, lo = Some(v), hi = Some(v)) }
+      vs.exists { case l @ Literal(v, _) =>
+        rangeMay(f, a.name, lo = Some(v), hi = Some(v)) && bloomMay(f, a.name, l) }
     case _ => true
   }
+
+  // --------------------------------------------------- bloom file skipping
+
+  private val bloomCache = scala.collection.mutable.Map
+    .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  /** Bloom probe for an equality literal: false ONLY when the file has a
+    * bloom for the column and it excludes the value. The canonical form
+    * must match the write side's `cast(col as string)` byte-for-byte, so
+    * only literal types whose Catalyst string cast is stable are probed
+    * (integral, string, boolean, double/float); anything else —
+    * date/timestamp/decimal formatting — conservatively keeps the file. */
+  private def bloomMay(f: AddFile, colName: String, l: Literal): Boolean =
+    f.blooms.get(colName) match {
+      case None => true
+      case Some(b64) =>
+        import org.apache.spark.sql.types._
+        val probeable = l.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               BooleanType | DoubleType | FloatType => true
+          case _ => false
+        }
+        if (!probeable || l.value == null) true
+        else bloomCache.getOrElseUpdate((f.path, colName),
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64))))
+          catch { case _: Exception => None } // unreadable bloom: no skipping
+        ).forall { bf =>
+          val canonical = Cast(l, StringType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+            .eval(null).asInstanceOf[UTF8String].toString
+          bf.mightContainString(canonical)
+        }
+    }
 
   /** May the file's [min,max] for `col` intersect [lo, hi]? */
   private def rangeMay(f: AddFile, col: String, lo: Option[Any], hi: Option[Any],
