@@ -705,6 +705,16 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** #80 Daily resample with gap fill: one row per (user, day) over each
+    * user's active span — zero-filled gap days, last observed value
+    * carried forward. The time-series normalization step before any
+    * model training; grid generation is `sequence`+`explode` per key
+    * (distributed, span-bounded), never a driver loop or calendar cross
+    * join. */
+  def eventsResample(s: SparkSession, dir: String): DataFrame =
+    analytics.Temporal.resampleDaily(Tables.events(s, dir), "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+
   // ------------------------------------------------- ACID table surface
 
   private def consumerSlim(s: SparkSession, dir: String): DataFrame =
@@ -1075,6 +1085,7 @@ object SparkEntry {
     "corpus_stats"        -> (corpusStats _),
     "etl_dq_quarantine"   -> (etlDqQuarantine _),
     "window_lead_lag"     -> (windowLeadLag _),
+    "events_resample"     -> (eventsResample _),
     "mm_frame_sample"     -> (mmFrameSample _),
     "dedup_pipeline"      -> (dedupPipeline _),
   )
@@ -1634,6 +1645,26 @@ object SparkEntry {
         |         AS disposition,
         |       rule, count(*) AS n_rows
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         round(sum(value), 2) AS day_total,
+        |         arg_max(value, CAST(ts AS TIMESTAMP)) AS day_last
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM spans)
+        |SELECT g.user_id, g.day,
+        |       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+        |       coalesce(d.day_total, 0) AS day_total,
+        |       last_value(d.day_last IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.day) AS last_seen_value
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     "window_lead_lag" ->
       """SELECT event_id, user_id, value,

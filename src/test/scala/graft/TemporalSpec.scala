@@ -25,6 +25,26 @@ class TemporalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("resample: dense per-key day grid, zero-filled gaps, forward fill") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0), (1L, "2024-01-01 11:00:00", 7.0),
+      (1L, "2024-01-04 09:00:00", 2.0), // days 2-3 are gaps
+      (2L, "2024-01-02 08:00:00", 9.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = analytics.Temporal.resampleDaily(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+                 r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 12.0, 7.0), // last of day 1 is the 11:00 event
+      (1L, "2024-01-02", 0L, 0.0, 7.0),  // gap: zero count, value carried
+      (1L, "2024-01-03", 0L, 0.0, 7.0),
+      (1L, "2024-01-04", 1L, 2.0, 2.0),
+      (2L, "2024-01-02", 1L, 9.0, 9.0))) // span is per key, not global
+  }
+
   test("bucketed join plans without shuffle on either join side") {
     // force sort-merge joins so bucketing (not broadcast) decides the plan
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
