@@ -123,6 +123,19 @@ object SparkEntry {
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
     EventsStream.hourlyAggBatch(Tables.events(s, dir))
 
+  /** #81 Stream-static enrichment join: the event stream joins a
+    * broadcast user-tier dimension inside each micro-batch, then a
+    * watermarked tumbling window aggregates per (window, tier) — run as
+    * a real streaming query; only the aggregate state crosses to the
+    * sink. The oracle is the batch equivalent over the same inputs. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("tier_"), col("user_id") % 3))
+    EventsStream.runStreamStaticJoin(s, ev, dim)
+      .orderBy("window_start", "tier")
+  }
+
   /** #32 Semi-structured extraction: JSON props → typed column → agg. */
   def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1086,6 +1099,7 @@ object SparkEntry {
     "etl_dq_quarantine"   -> (etlDqQuarantine _),
     "window_lead_lag"     -> (windowLeadLag _),
     "events_resample"     -> (eventsResample _),
+    "stream_static_join"  -> (streamStaticJoin _),
     "mm_frame_sample"     -> (mmFrameSample _),
     "dedup_pipeline"      -> (dedupPipeline _),
   )
@@ -1276,6 +1290,13 @@ object SparkEntry {
         |       count(DISTINCT l_orderkey) AS n_orders,
         |       count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

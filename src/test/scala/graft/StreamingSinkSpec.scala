@@ -50,6 +50,21 @@ class StreamingSinkSpec extends SparkSpec {
     assert(back.select("event_type").distinct().count() == 5)
   }
 
+  test("stream-static join matches its batch equivalent exactly") {
+    val ev = Tables.events(spark, sf)
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("tier_"), col("user_id") % 3))
+    val streamed = EventsStream.runStreamStaticJoin(spark, ev, dim)
+    val batch = ev.join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("tier"),
+              col("n_events"), col("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup drops a fully re-delivered batch") {
     val ev = Tables.events(spark, sf).select("event_id", "event_type", "user_id")
     val out = graft.streaming.StreamDedup.dedupStream(spark, Seq(ev, ev), Seq("event_id"))
