@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Queries
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, IncrementalDedup}
 import graft.etl._
 import graft.multimodal.BinaryColumns
 import graft.reporting.Reports
@@ -621,6 +621,23 @@ object SparkEntry {
   def dedupPipeline(s: SparkSession, dir: String): DataFrame =
     Dedup.pipeline(Tables.documents(s, dir))
 
+  /** #82 Incremental corpus dedup: a new batch dedups against the
+    * persisted LSH band index (and itself) without re-reading the
+    * historical corpus — candidates from an index join, exact n-gram
+    * verify reading historical text ONLY for matched docs, and the
+    * batch's bands appended to the index in one transaction so the next
+    * batch sees them. Per-batch cost O(batch + candidates), never
+    * O(corpus). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val idx = tempDir("lshidx")
+    IncrementalDedup.initIndex(corpus, idx)
+    IncrementalDedup.dedupBatch(batch, corpus, idx)
+      .orderBy("new_doc", "matched_doc")
+  }
+
   /** #31 Multimodal binary plumbing with stub decode. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
@@ -1102,6 +1119,7 @@ object SparkEntry {
     "stream_static_join"  -> (streamStaticJoin _),
     "mm_frame_sample"     -> (mmFrameSample _),
     "dedup_pipeline"      -> (dedupPipeline _),
+    "dedup_incremental"   -> (dedupIncremental _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1924,6 +1942,24 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN reach ON reach.a = node GROUP BY node)
         |SELECT node AS drop_id, cluster AS keeper FROM cc
         |WHERE node <> cluster ORDER BY drop_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |       FROM t),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                   len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT CASE WHEN da % 4 = 0 AND db % 4 != 0 THEN da ELSE db END AS new_doc,
+        |       CASE WHEN da % 4 = 0 AND db % 4 != 0 THEN db ELSE da END AS matched_doc,
+        |       jaccard
+        |FROM p
+        |WHERE jaccard >= 0.2 AND (da % 4 = 0 OR db % 4 = 0)
+        |ORDER BY new_doc, matched_doc""".stripMargin,
 
     "dedup_pipeline" ->
       """WITH RECURSIVE

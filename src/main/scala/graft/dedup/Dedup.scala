@@ -61,14 +61,21 @@ object Dedup {
     * `Bands` band-hashes. Only (doc_id, band) tuples travel through the
     * self-join — signatures (512-byte arrays) would force the pair dedup
     * into a SortAggregate and bloat the shuffle. */
-  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sigs = cachedSignatures(docs, textCol)
-    val banded = sigs.select(
+  /** Band hashes from a signature frame: (doc_id, band_idx, band_hash),
+    * one row per band — the LSH index row format shared by the batch
+    * self-join below and the persisted incremental index
+    * ([[IncrementalDedup]]). */
+  private[dedup] def bandsOfSignatures(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
         s"j -> xxhash64(concat_ws('|', transform(slice(sig, j * $RowsPerBand + 1, $RowsPerBand), x -> cast(x as string))), j))"))
         .as(Seq("band_idx", "band_hash")))
+
+  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sigs = cachedSignatures(docs, textCol)
+    val banded = bandsOfSignatures(sigs)
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&

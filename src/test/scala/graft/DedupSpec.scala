@@ -2,13 +2,38 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, IncrementalDedup}
 import graft.similarity.Cosine
 import graft.text.TextOps
 
 class DedupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf)
+
+  test("incremental dedup: matches history AND earlier batches via the growing index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    IncrementalDedup.initIndex(corpus, idx)
+    // batch 1: 10 duplicates corpus doc 1; 11 duplicates 10 (intra-batch)
+    val b1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val r1 = IncrementalDedup.dedupBatch(b1, corpus, idx)
+      .select("new_doc", "matched_doc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == Set((10L, 1L), (11L, 1L), (11L, 10L)))
+    // batch 2: 20 duplicates doc 1's content — the index must now also
+    // surface batch-1 docs 10 and 11 as matches (it grew transactionally)
+    val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val r2 = IncrementalDedup.dedupBatch(b2, corpus.unionByName(b1), idx)
+      .select("new_doc", "matched_doc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r2 == Set((20L, 1L), (20L, 10L), (20L, 11L)))
+    // unique docs never match; the index holds bands for every doc seen
+    assert(graft.acid.TxLog.read(spark, idx).select("doc_id").distinct().count() == 6L)
+  }
 
   test("exact dedup: keepers unique, copies sum to corpus size") {
     val d = Dedup.exact(docs)
