@@ -653,6 +653,17 @@ object SparkEntry {
       .select("doc_id", "frame_idx", "offset", "frame_bytes")
       .orderBy("doc_id", "frame_idx")
 
+  /** #83 Multimodal image-resize plumbing: aspect-preserving fit into a
+    * 32x32 box over the stub-decoded dimensions — geometry math is real
+    * (identical IEEE expression on both sides of the oracle), pixel
+    * kernel stubbed, output buffer sized honestly at dst_w*dst_h. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    BinaryColumns.resizeImages(
+        BinaryColumns.toBlobs(Tables.documents(s, dir)), maxW = 32, maxH = 32)
+      .toDF()
+      .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_bytes")
+      .orderBy("doc_id")
+
   /** #60 Persistent-catalog partitioned table: externally-written
     * partition directories discovered via MSCK REPAIR (the reference's
     * Glue partition sync, process_data_glue.py:98-123), then queried by
@@ -1118,6 +1129,7 @@ object SparkEntry {
     "events_resample"     -> (eventsResample _),
     "stream_static_join"  -> (streamStaticJoin _),
     "mm_frame_sample"     -> (mmFrameSample _),
+    "mm_resize"           -> (mmResize _),
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_incremental"   -> (dedupIncremental _),
   )
@@ -1661,6 +1673,22 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |                  1 + strlen(text) % 64 AS src_w,
+        |                  1 + strlen(text) % 48 AS src_h
+        |           FROM documents),
+        |s AS (SELECT doc_id, src_w, src_h,
+        |             least(1.0, least(32.0 / src_w, 32.0 / src_h)) AS sc
+        |      FROM g)
+        |SELECT doc_id, CAST(src_w AS BIGINT) AS src_w,
+        |       CAST(src_h AS BIGINT) AS src_h,
+        |       greatest(1, CAST(floor(src_w * sc) AS BIGINT)) AS dst_w,
+        |       greatest(1, CAST(floor(src_h * sc) AS BIGINT)) AS dst_h,
+        |       greatest(1, CAST(floor(src_w * sc) AS BIGINT)) *
+        |         greatest(1, CAST(floor(src_h * sc) AS BIGINT)) AS out_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

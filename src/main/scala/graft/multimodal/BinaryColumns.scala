@@ -55,6 +55,42 @@ object BinaryColumns {
   def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(toBlobs(docs)).toDF().orderBy("doc_id")
 
+  case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
+                          dst_w: Long, dst_h: Long, out_bytes: Long,
+                          resized: Array[Byte])
+
+  /** Image-resize plumbing: aspect-preserving fit into a `maxW × maxH`
+    * box. The GEOMETRY is real — `scale = min(1, maxW/w, maxH/h)`,
+    * `dst = max(1, floor(src * scale))`, never upscaled — and written as
+    * the same IEEE double expression the SQL oracle uses, so both sides
+    * agree bit-for-bit. The pixel kernel is the stub (no codec in this
+    * container): it emits a `dst_w*dst_h`-byte buffer cyclically sampled
+    * from the payload, honest about output SIZE so downstream batching /
+    * memory math is exercised for real. Per-partition mapPartitions is
+    * where a real resampler handle would open once per batch — the
+    * Scala analogue of a mapInPandas batch UDF. */
+  def resizeImages(blobs: Dataset[Blob], maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition: codec + resample kernel handle opens here
+      it.map { b =>
+        val (w, h, _) = StubDecoder.decode(b.payload)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val dw = math.max(1L, math.floor(w * scale).toLong)
+        val dh = math.max(1L, math.floor(h * scale).toLong)
+        // ??? real resample goes here — stub fills the correctly-sized
+        // buffer by cyclic sampling so output size/schema stay honest
+        val out = new Array[Byte]((dw * dh).toInt)
+        if (b.payload.nonEmpty) {
+          var i = 0
+          while (i < out.length) { out(i) = b.payload(i % b.payload.length); i += 1 }
+        }
+        ResizedImage(b.doc_id, w, h, dw, dh, out.length.toLong, out)
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
                    frame_bytes: Long, frame_hash: Long)
 

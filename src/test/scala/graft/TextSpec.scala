@@ -118,6 +118,26 @@ class TextSpec extends SparkSpec {
       again.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet)
   }
 
+  test("resize plumbing: aspect preserved, never upscaled, buffer sized dst_w*dst_h") {
+    val rs = BinaryColumns.resizeImages(
+      BinaryColumns.toBlobs(docs.limit(50)), maxW = 32, maxH = 32).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.dst_w <= 32 && r.dst_h <= 32, "must fit the box")
+      assert(r.dst_w <= r.src_w && r.dst_h <= r.src_h, "never upscale")
+      assert(r.resized.length.toLong == r.dst_w * r.dst_h, "honest buffer size")
+      // within-box inputs pass through unscaled
+      if (r.src_w <= 32 && r.src_h <= 32)
+        assert(r.dst_w == r.src_w && r.dst_h == r.src_h)
+      // aspect ratio preserved up to floor rounding
+      if (r.src_w > 32 || r.src_h > 32) {
+        val sc = math.min(32.0 / r.src_w, 32.0 / r.src_h)
+        assert(r.dst_w == math.max(1L, math.floor(r.src_w * sc).toLong))
+        assert(r.dst_h == math.max(1L, math.floor(r.src_h * sc).toLong))
+      }
+    }
+  }
+
   test("binary plumbing: metadata survives parquet round-trip") {
     val meta = BinaryColumns.binaryMeta(spark, docs)
     val path = java.nio.file.Files.createTempDirectory("graft_mm").toString
