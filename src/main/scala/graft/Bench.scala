@@ -63,6 +63,7 @@ object Bench {
   private[graft] def renderCompact(
       best: Map[String, Double], errs: Map[String, String],
       setupSec: Double, coldTotal: Double, sf: String,
+      buildTotal: Double = 0.0,
       maxChars: Int = MaxLineChars): String = {
     val good = best.filterNot { case (n, _) => errs.contains(n) }
     val total = good.values.sum
@@ -77,7 +78,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted =
         if (keep >= ranked.size) "" else s""","queries_omitted":${ranked.size - keep}"""
-      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs$omitted,"failed":${errs.size},"errors":$errJson,"agg":"min2warm","setup_sec":${fmtSec(setupSec)},"cold_total_sec":${fmtSec(coldTotal)},"sf":${jsonStr(sf)}}"""
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs$omitted,"failed":${errs.size},"errors":$errJson,"agg":"min2warm","setup_sec":${fmtSec(setupSec)},"cold_total_sec":${fmtSec(coldTotal)},"build_total_sec":${fmtSec(buildTotal)},"sf":${jsonStr(sf)}}"""
     }
     var keep = ranked.size
     var out = line(keep)
@@ -100,6 +101,9 @@ object Bench {
     val t0setup = System.nanoTime()
     SparkEntry.ensureBucketedTables(spark, sfDir)
     val setupSec = (System.nanoTime() - t0setup) / 1e9
+    // the bucketed-table dirs live for the whole run — take them out of
+    // the reclamation queue so per-query cleanup can't delete them
+    SparkEntry.drainTempDirs()
 
     // self-test hook: prove the failure path end-to-end — with
     // SPARK_GRAFT_BENCH_SELFTEST set, one deliberately broken query runs
@@ -110,36 +114,56 @@ object Bench {
           s.sql("SELECT * FROM graft_nonexistent_selftest_table")))
       else Map.empty)
 
-    def pass(): Map[String, (Double, Option[String])] =
+    /** One timed invocation: BUILD = the eager scenario work inside the
+      * registry function (ACID table writes, MERGEs, index training —
+      * zero for lazy queries), PROBE = materializing the returned frame
+      * through the noop sink. Scratch dirs the scenario created are
+      * deleted AFTER the probe so the next pass (and the next query)
+      * measures the query, not /tmp contention from prior passes. */
+    case class Timing(build: Double, probe: Double, err: Option[String]) {
+      def total: Double = build + probe
+    }
+    def pass(): Map[String, Timing] =
       registry.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable =>
-            Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").linesIterator.take(1)
-                .mkString.take(200))
+        val timing =
+          try {
+            val df = fn(spark, sfDir)
+            val t1 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val t2 = System.nanoTime()
+            Timing((t1 - t0) / 1e9, (t2 - t1) / 1e9, None)
+          } catch { case e: Throwable =>
+            Timing((System.nanoTime() - t0) / 1e9, 0.0,
+              Some(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").linesIterator.take(1)
+                  .mkString.take(200)))
           }
-        name -> ((System.nanoTime() - t0) / 1e9, err)
+        SparkEntry.cleanupTempDirs()
+        name -> timing
       }
 
     val cold = pass()
     val warm = Seq(pass(), pass())
     val names = registry.keys.toSeq
-    val best = names.map { n => n -> warm.map(_(n)._1).min }.toMap
+    val best = names.map { n => n -> warm.map(_(n).total).min }.toMap
     val errs = names.flatMap { n =>
-      (cold(n)._2.toSeq ++ warm.flatMap(_(n)._2)).headOption.map(n -> _)
+      (cold(n).err.toSeq ++ warm.flatMap(_(n).err)).headOption.map(n -> _)
     }.toMap
-    val coldTotal = cold.values.map(_._1).sum
+    val coldTotal = cold.values.map(_.total).sum
+    val buildTotal = names.filterNot(errs.contains)
+      .map(n => warm.map(_(n).build).min).sum
 
     // full-precision sidecar for humans (the compact line is the contract)
     val detail = names.sorted.map { n =>
       jsonStr(n) + ":{" +
-        s""""cold":${cold(n)._1},"warm":[${warm.map(_(n)._1).mkString(",")}]""" +
+        s""""cold":${cold(n).total},"warm":[${warm.map(_(n).total).mkString(",")}],""" +
+        s""""build":[${(cold(n) +: warm.map(_(n))).map(_.build).mkString(",")}],""" +
+        s""""probe":[${(cold(n) +: warm.map(_(n))).map(_.probe).mkString(",")}]""" +
         errs.get(n).map(e => s""","error":${jsonStr(e)}""").getOrElse("") + "}"
     }.mkString("{\"queries\":{", ",", "},") +
-      s""""setup_sec":$setupSec,"cold_total_sec":$coldTotal,""" +
-      s""""agg":"per-query min of 2 warm passes after 1 untimed cold pass",""" +
+      s""""setup_sec":$setupSec,"cold_total_sec":$coldTotal,"build_total_sec":$buildTotal,""" +
+      s""""agg":"per-query min of 2 warm passes after 1 untimed cold pass; build/probe arrays are [cold,warm1,warm2]; build = eager scenario setup inside the registry fn, probe = noop-sink materialization of the returned frame; scenario tempdirs deleted after each query's probe",""" +
       s""""sf":${jsonStr(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -150,6 +174,6 @@ object Bench {
       System.err.println(s"bench: ${errs.size} queries FAILED: ${errs.keys.toSeq.sorted.mkString(", ")}")
     }
     // the compact contract line is the LAST stdout of the run
-    println(renderCompact(best, errs, setupSec, coldTotal, sfDir))
+    println(renderCompact(best, errs, setupSec, coldTotal, sfDir, buildTotal))
   }
 }

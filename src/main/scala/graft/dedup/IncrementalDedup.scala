@@ -1,9 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.acid.TxLog
 import graft.text.TextOps
 
 /** Incremental corpus dedup — the production flow for a GROWING corpus:
@@ -11,60 +10,93 @@ import graft.text.TextOps
   * before it WITHOUT re-reading (let alone re-hashing) the historical
   * corpus.
   *
-  * The state is a persisted LSH band index: an ACID table of
-  * `(doc_id, band_idx, band_hash)` rows ([[Dedup.bandsOfSignatures]]'s
-  * format, `Bands` rows per document — O(docs) metadata, tiny next to
-  * the text). A batch is processed as:
+  * The state is a persisted LSH band index: `(doc_id, band_idx,
+  * band_hash)` rows ([[Dedup.bandsOfSignatures]]'s format, `Bands` rows
+  * per document — O(docs) metadata, tiny next to the text), stored as a
+  * BUCKETED catalog table clustered by `band_hash`. Bucketing is the
+  * load-bearing choice: the per-batch candidate join reads the index
+  * through its bucket layout (HashPartitioning on `band_hash`), so only
+  * the SMALL batch side shuffles — round 4 stored the index in a txlog
+  * table and re-shuffled the ENTIRE O(corpus × bands) index on every
+  * batch, which at 100 TB is a nightly corpus-sized shuffle for a
+  * batch-sized question. The index is derived data (rebuildable from the
+  * corpus by [[initIndex]]), so bucket co-location is worth more here
+  * than the txlog's versioned snapshots.
+  *
+  * `band_hash` already encodes the band ordinal (it is
+  * `xxhash64(band values..., band_idx)`), so the join needs only the one
+  * bucketed key; cross-band 64-bit collisions are possible in principle
+  * but land in the exact-verify stage like any other candidate.
+  *
+  * A batch is processed as:
   *   1. shingle + minhash + band the NEW docs only (per-row codegen,
   *      zero shuffle);
-  *   2. candidates = new bands ⋈ index bands on (band_idx, band_hash)
-  *      — a shuffle of O(batch bands + index bands touched), plus the
+  *   2. candidates = new bands ⋈ index bands on `band_hash` — the index
+  *      side scans in bucket order with NO shuffle, the batch side
+  *      shuffles O(batch bands) into the bucket layout; plus the
   *      intra-batch self-join;
   *   3. exact n-gram Jaccard verify: the historical TEXT is read only
   *      for matched candidate docs (semi-join pruning; with the doc
   *      store in a txlog table, min/max + bloom skipping cut that to
   *      the files holding them);
-  *   4. the batch's bands are APPENDED to the index in one transaction,
-  *      so the next batch dedups against this one too.
-  * Per-batch cost is O(batch + candidates), never O(corpus) — at 100 TB
-  * the alternative (re-run corpus-wide LSH nightly) rescans everything
-  * to discover pairs that can only involve new documents.
+  *   4. the batch's bands are APPENDED to the index (bucket spec
+  *      preserved), so the next batch dedups against this one too.
+  * Per-batch cost is O(batch + candidates) on every side of every join —
+  * the index contributes a co-located scan, never a shuffle.
   *
   * Pair orientation is (new_doc, matched_doc): the new document matches
   * an older one — for intra-batch pairs "older" is the smaller doc_id,
   * mirroring keep-first dedup. */
 object IncrementalDedup {
 
+  /** Bucket fan-out of the index table. Local tests use few; a 100 TB
+    * corpus index would use O(corpus bands / target partition size). */
+  val IndexBuckets = 8
+
   /** LSH index rows for a document frame. */
   def bands(docs: DataFrame, textCol: String = "text"): DataFrame =
     Dedup.bandsOfSignatures(Dedup.minhashSignatures(docs, textCol))
 
-  /** Create the index table from the current corpus (one-time backfill). */
-  def initIndex(docs: DataFrame, indexTable: String,
+  /** Create the index table from the current corpus (one-time backfill):
+    * a parquet catalog table at `path`, bucketed+sorted by `band_hash`. */
+  def initIndex(docs: DataFrame, indexTable: String, path: String,
                 textCol: String = "text"): Unit =
-    TxLog.overwrite(bands(docs, textCol), indexTable)
+    graft.etl.Bucketing.writeBucketed(
+      bands(docs, textCol), indexTable, path, "band_hash", IndexBuckets)
+
+  /** Candidate (new_doc, matched_doc) pairs of `newBands` against the
+    * bucketed index, EXCLUDING index rows whose doc_id is in the batch
+    * itself (`batchIds`). The exclusion makes the result independent of
+    * whether this batch's own bands have been appended yet — correctness
+    * never rides on file-listing snapshot timing — and it is a broadcast
+    * anti-join, so the index side's bucket partitioning flows through to
+    * the candidate join unshuffled. */
+  private[graft] def candidatesVsIndex(spark: SparkSession, newBands: DataFrame,
+                                       batchIds: DataFrame,
+                                       indexTable: String): DataFrame = {
+    val indexBands = spark.table(indexTable)
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    newBands.as("n").join(indexBands.as("o"),
+        col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("new_doc"), col("o.doc_id").as("matched_doc"))
+  }
 
   /** Verified near-dup pairs of `batch` against the index (historical
     * corpus) and against earlier docs of the batch itself; exact
     * word-3-gram Jaccard ≥ `minJaccard`. Appends the batch's bands to
-    * the index transactionally — the candidate scan is pinned to the
-    * PRE-append snapshot, so a doc never matches itself through the
-    * index. `corpusText` supplies text for matched historical docs only
+    * the index (bucket spec preserved) so the next batch sees them.
+    * `corpusText` supplies text for matched historical docs only
     * (pruned by a semi join on the candidate ids). */
   def dedupBatch(batch: DataFrame, corpusText: DataFrame, indexTable: String,
                  textCol: String = "text",
                  minJaccard: Double = 0.2): DataFrame = {
     val spark = batch.sparkSession
     val newBands = graft.Caching.materialize(bands(batch, textCol))
-    val indexBands = TxLog.read(spark, indexTable) // pre-append snapshot
-    // candidates vs history: every index doc is by definition older
-    val vsIndex = newBands.as("n").join(indexBands.as("o"),
-        col("n.band_idx") === col("o.band_idx") &&
-        col("n.band_hash") === col("o.band_hash"))
-      .select(col("n.doc_id").as("new_doc"), col("o.doc_id").as("matched_doc"))
+    val batchIds = batch.select(col("doc_id"))
+    // candidates vs history: every index doc (batch ids excluded) is older
+    val vsIndex = candidatesVsIndex(spark, newBands, batchIds, indexTable)
     // candidates inside the batch: older = smaller id (keep-first)
     val vsBatch = newBands.as("a").join(newBands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("new_doc"), col("a.doc_id").as("matched_doc"))
@@ -90,8 +122,17 @@ object IncrementalDedup {
           size(array_union(col("sh_n"), col("sh_o"))).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("new_doc", "matched_doc", "jaccard")
-    // index grows by exactly this batch; next batch sees it
-    TxLog.append(newBands, indexTable)
+    // index grows by exactly this batch; next batch sees it (the batch-id
+    // anti-join above keeps THIS batch's results append-timing-proof)
+    appendToIndex(newBands, indexTable)
     verified
   }
+
+  /** Append band rows into the bucketed index, preserving its layout. */
+  private def appendToIndex(bands: DataFrame, indexTable: String): Unit =
+    bands.write.mode("append")
+      .format("parquet")
+      .bucketBy(IndexBuckets, "band_hash")
+      .sortBy("band_hash")
+      .saveAsTable(indexTable)
 }

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `StubDecoder.decode` derives deterministic fake metadata from the raw
-  * bytes. The Spark-side plumbing is real — typed Encoders, per-partition
-  * batch processing via mapPartitions (the Scala analogue of mapInPandas:
-  * the decoder is instantiated once per partition, amortized over the
-  * batch, exactly where a JNI/codec handle would live), and a schema that
-  * survives a parquet round-trip.
+  * The image path is REAL end-to-end as of round 5: payloads are P6 PPM
+  * blobs ([[Ppm]] — a pure-JVM codec, no native libraries), the decode
+  * parses the actual header and raster, and the resize is a true
+  * area-average resample over the decoded pixels. The per-partition
+  * `mapPartitions` placement is the production shape (the Scala analogue
+  * of a mapInPandas batch UDF): a heavier codec (JPEG via JNI, a video
+  * demuxer) would open its handle once per batch exactly where these
+  * loops sit. Only the video frame path ([[sampleFrames]]) still treats
+  * payloads as an opaque byte stream — container demuxing needs a format
+  * this container doesn't ship — but its stride/slice geometry and
+  * one-row-per-frame schema are the real plumbing.
   */
 object BinaryColumns {
 
@@ -20,73 +24,81 @@ object BinaryColumns {
   case class BlobMeta(doc_id: Long, n_bytes: Long,
                       width: Long, height: Long, channels: Long)
 
-  /** A real decoder would parse image headers / decode frames here. */
-  object StubDecoder {
-    def decode(payload: Array[Byte]): (Long, Long, Long) = {
-      val n = payload.length.toLong
-      // ??? real codec goes here — deterministic fake keeps tests honest
-      (1 + n % 64, 1 + n % 48, 3L)
-    }
-  }
-
   /** Manufacture a binary payload column from text (UTF-8 bytes) — stands
-    * in for reading image bytes from object storage. */
+    * in for reading raw media bytes from object storage (video path). */
   def toBlobs(docs: DataFrame): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[Blob]
   }
 
-  /** Decode metadata per partition (decoder init amortized per batch). */
+  /** Deterministic REAL image per document: a P6 PPM whose dimensions
+    * derive from the text's byte length (w = 1 + n % 64, h = 1 + n % 48 —
+    * the oracle computes the same) and whose RGB raster is the text's
+    * bytes cycled to w*h*3. Stands in for reading image files from
+    * object storage; everything downstream decodes it for real. */
+  def toImageBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    toBlobs(docs).map { b =>
+      val n = b.payload.length
+      val w = 1 + n % 64
+      val h = 1 + n % 48
+      val px = new Array[Byte](w * h * 3)
+      if (n > 0) {
+        var i = 0
+        while (i < px.length) { px(i) = b.payload(i % n); i += 1 }
+      }
+      Blob(b.doc_id, Ppm.encode(w, h, px))
+    }
+  }
+
+  /** Decode metadata per partition — a REAL header+raster parse
+    * ([[Ppm.decode]]); malformed payloads throw rather than yielding
+    * garbage dimensions. Decoder state would be amortized per batch
+    * here if the codec carried any. */
   def decodeMeta(blobs: Dataset[Blob]): Dataset[BlobMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // per-partition decoder setup would happen here
       it.map { b =>
-        val (w, h, c) = StubDecoder.decode(b.payload)
-        BlobMeta(b.doc_id, b.payload.length.toLong, w, h, c)
+        val img = Ppm.decode(b.payload)
+        BlobMeta(b.doc_id, b.payload.length.toLong,
+          img.width.toLong, img.height.toLong, img.channels.toLong)
       }
     }
   }
 
-  /** End-to-end: text → binary → per-partition stub decode → typed
+  /** End-to-end: text → PPM blob → per-partition real decode → typed
     * metadata frame. */
   def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
-    decodeMeta(toBlobs(docs)).toDF().orderBy("doc_id")
+    decodeMeta(toImageBlobs(docs)).toDF().orderBy("doc_id")
 
   case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
                           dst_w: Long, dst_h: Long, out_bytes: Long,
                           resized: Array[Byte])
 
-  /** Image-resize plumbing: aspect-preserving fit into a `maxW × maxH`
-    * box. The GEOMETRY is real — `scale = min(1, maxW/w, maxH/h)`,
-    * `dst = max(1, floor(src * scale))`, never upscaled — and written as
-    * the same IEEE double expression the SQL oracle uses, so both sides
-    * agree bit-for-bit. The pixel kernel is the stub (no codec in this
-    * container): it emits a `dst_w*dst_h`-byte buffer cyclically sampled
-    * from the payload, honest about output SIZE so downstream batching /
-    * memory math is exercised for real. Per-partition mapPartitions is
-    * where a real resampler handle would open once per batch — the
-    * Scala analogue of a mapInPandas batch UDF. */
+  /** Image resize: aspect-preserving fit into a `maxW × maxH` box over
+    * the DECODED dimensions — `scale = min(1, maxW/w, maxH/h)`,
+    * `dst = max(1, floor(src * scale))`, never upscaled, written as the
+    * same IEEE double expression the SQL oracle uses. The kernel is a
+    * real area-average resample over the decoded raster
+    * ([[Ppm.resizeArea]]); the output buffer is the resized interleaved
+    * RGB (`dst_w * dst_h * 3` bytes). Per-partition mapPartitions is
+    * where a heavier codec handle would open once per batch. */
   def resizeImages(blobs: Dataset[Blob], maxW: Int, maxH: Int): Dataset[ResizedImage] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // per-partition: codec + resample kernel handle opens here
       it.map { b =>
-        val (w, h, _) = StubDecoder.decode(b.payload)
+        val img = Ppm.decode(b.payload)
+        val w = img.width; val h = img.height
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val dw = math.max(1L, math.floor(w * scale).toLong)
-        val dh = math.max(1L, math.floor(h * scale).toLong)
-        // ??? real resample goes here — stub fills the correctly-sized
-        // buffer by cyclic sampling so output size/schema stay honest
-        val out = new Array[Byte]((dw * dh).toInt)
-        if (b.payload.nonEmpty) {
-          var i = 0
-          while (i < out.length) { out(i) = b.payload(i % b.payload.length); i += 1 }
-        }
-        ResizedImage(b.doc_id, w, h, dw, dh, out.length.toLong, out)
+        val dw = math.max(1L, math.floor(w * scale).toLong).toInt
+        val dh = math.max(1L, math.floor(h * scale).toLong).toInt
+        val out = Ppm.resizeArea(img.pixels, w, h, dw, dh)
+        ResizedImage(b.doc_id, w.toLong, h.toLong, dw.toLong, dh.toLong,
+          out.length.toLong, out)
       }
     }
   }
@@ -115,7 +127,7 @@ object BinaryColumns {
           .takeWhile(_._2 < n)
           .map { case (idx, off) =>
             val end = math.min(n.toLong, off + frameBytes).toInt
-            // stub "decode": hash the frame span (stands in for pixels)
+            // content hash of the frame span (stands in for pixel phash)
             var h = 1125899906842597L
             var p = off.toInt
             while (p < end) { h = h * 31 + b.payload(p); p += 1 }

@@ -40,9 +40,16 @@ object Ivf {
 
   /** Train `iters` Lloyd rounds; returns the (vec_id, v, norm, cell)
     * assignment and the centroid metadata. */
-  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, Seq[(Int, Seq[Double])]) = {
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, Seq[(Int, Seq[Double])]) =
+    trainPrepared(graft.Caching.materialize(Cosine.prepared(emb)), k, iters)
+
+  /** [[train]] over an ALREADY prepared-and-cached frame — callers that
+    * also probe ([[topK]]) reuse one materialization for seeding, every
+    * Lloyd round, the final assignment, and the probe scan, instead of
+    * re-materializing per call. */
+  private def trainPrepared(p: DataFrame, k: Int,
+                            iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     require(k >= 2, "need at least two cells")
-    val p = graft.Caching.materialize(Cosine.prepared(emb))
     // deterministic seeding: the k corpus vectors with smallest
     // xxhash64(vec_id) — orderBy+limit plans TakeOrderedAndProject
     // (distributed top-k), and k rows of metadata come to the driver
@@ -78,7 +85,10 @@ object Ivf {
   def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
            nCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
-    val (rawIdx, centroids) = train(emb, nCells, iters)
+    // one shared materialization: seeding, Lloyd rounds, assignment, and
+    // the probe scan below all read this cached frame
+    val p = graft.Caching.materialize(Cosine.prepared(emb))
+    val (rawIdx, centroids) = trainPrepared(p, nCells, iters)
     val idx = graft.Caching.materialize(rawIdx)
     // probe selection is again a projection over centroid literals:
     // sort the k (distance, cell) structs, keep the first nprobe

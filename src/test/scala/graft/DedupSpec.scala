@@ -12,11 +12,12 @@ class DedupSpec extends SparkSpec {
 
   test("incremental dedup: matches history AND earlier batches via the growing index") {
     import spark.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val idx = "graft_spec_lsh_index"
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six")).toDF("doc_id", "text")
-    IncrementalDedup.initIndex(corpus, idx)
+    IncrementalDedup.initIndex(corpus, idx, idxPath)
     // batch 1: 10 duplicates corpus doc 1; 11 duplicates 10 (intra-batch)
     val b1 = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
@@ -26,13 +27,47 @@ class DedupSpec extends SparkSpec {
       .select("new_doc", "matched_doc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r1 == Set((10L, 1L), (11L, 1L), (11L, 10L)))
     // batch 2: 20 duplicates doc 1's content — the index must now also
-    // surface batch-1 docs 10 and 11 as matches (it grew transactionally)
+    // surface batch-1 docs 10 and 11 as matches (the append grew it)
     val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val r2 = IncrementalDedup.dedupBatch(b2, corpus.unionByName(b1), idx)
       .select("new_doc", "matched_doc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r2 == Set((20L, 1L), (20L, 10L), (20L, 11L)))
     // unique docs never match; the index holds bands for every doc seen
-    assert(graft.acid.TxLog.read(spark, idx).select("doc_id").distinct().count() == 6L)
+    assert(spark.table(idx).select("doc_id").distinct().count() == 6L)
+  }
+
+  test("incremental dedup: the candidate join never shuffles the index side") {
+    import spark.implicits._
+    // force SMJ so bucketing (not broadcast) decides the plan shape
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_idxplan").toString
+      val idx = "graft_spec_lsh_index_plan"
+      val corpus = (0L until 50L)
+        .map(i => (i, s"corpus document $i body ${i * 7} filler ${i % 5} tail"))
+        .toDF("doc_id", "text")
+      IncrementalDedup.initIndex(corpus, idx, idxPath)
+      val batch = Seq((100L, "corpus document 3 body 21 filler 3 tail"))
+        .toDF("doc_id", "text")
+      val cands = IncrementalDedup.candidatesVsIndex(spark,
+        IncrementalDedup.bands(batch), batch.select("doc_id"), idx)
+      val plan = cands.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // exactly ONE hash exchange: the batch side shuffles into the
+      // index's bucket layout; the index scan itself is never shuffled —
+      // round 4's txlog-backed index re-shuffled O(corpus × bands) rows
+      // on every batch
+      assert(exchanges == 1,
+        s"expected 1 exchange (batch side only), found $exchanges in:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"index scan should be bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 
   test("exact dedup: keepers unique, copies sum to corpus size") {

@@ -118,14 +118,15 @@ class TextSpec extends SparkSpec {
       again.map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet)
   }
 
-  test("resize plumbing: aspect preserved, never upscaled, buffer sized dst_w*dst_h") {
+  test("resize: real area resample, aspect preserved, never upscaled, RGB buffer") {
     val rs = BinaryColumns.resizeImages(
-      BinaryColumns.toBlobs(docs.limit(50)), maxW = 32, maxH = 32).collect()
+      BinaryColumns.toImageBlobs(docs.limit(50)), maxW = 32, maxH = 32).collect()
     assert(rs.nonEmpty)
     rs.foreach { r =>
       assert(r.dst_w <= 32 && r.dst_h <= 32, "must fit the box")
       assert(r.dst_w <= r.src_w && r.dst_h <= r.src_h, "never upscale")
-      assert(r.resized.length.toLong == r.dst_w * r.dst_h, "honest buffer size")
+      assert(r.resized.length.toLong == r.dst_w * r.dst_h * 3,
+        "interleaved RGB output buffer")
       // within-box inputs pass through unscaled
       if (r.src_w <= 32 && r.src_h <= 32)
         assert(r.dst_w == r.src_w && r.dst_h == r.src_h)
@@ -145,7 +146,51 @@ class TextSpec extends SparkSpec {
     val back = spark.read.parquet(path)
     assert(back.count() == docs.count())
     assert(back.schema("n_bytes").dataType.typeName == "long")
-    // decode is deterministic: width derived from byte length
-    assert(back.filter(col("width") =!= (col("n_bytes") % 64) + 1).count() == 0)
+    // blob size is exactly ppm header + raster for the decoded dims
+    assert(back.filter(col("n_bytes") =!=
+      (lit(9) + length(col("width").cast("string")) +
+       length(col("height").cast("string")) +
+       col("width") * col("height") * 3)).count() == 0)
+    assert(back.filter(col("channels") =!= 3).count() == 0)
+  }
+
+  test("ppm codec: encode/decode round-trip and known pixel values") {
+    import graft.multimodal.Ppm
+    // 2x2 RGB: red, green, blue, white
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val blob = Ppm.encode(2, 2, px)
+    assert(new String(blob.take(Ppm.headerLen(2, 2)), "US-ASCII") == "P6\n2 2\n255\n")
+    val img = Ppm.decode(blob)
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.sameElements(px))
+    // header variations the netpbm spec allows: comments, extra whitespace
+    val weird = ("P6 # a comment\n  2\t2 # dims\n 255\n").getBytes("US-ASCII") ++ px
+    val img2 = Ppm.decode(weird)
+    assert(img2.width == 2 && img2.height == 2 && img2.pixels.sameElements(px))
+    // corrupt payloads fail loudly, never yield garbage dims
+    intercept[IllegalArgumentException](Ppm.decode("not an image".getBytes))
+    intercept[IllegalArgumentException](Ppm.decode(blob.dropRight(1)))
+  }
+
+  test("ppm area resample: 2x2 -> 1x1 is the exact per-channel mean") {
+    import graft.multimodal.Ppm
+    val px = Array[Byte](
+      100, 0, 0,   0, 100, 0,
+      0, 0, 100,   100, 100, 100)
+    val out = Ppm.resizeArea(px, 2, 2, 1, 1)
+    // each channel: (100 + 0 + 0 + 100) / 4 = 50
+    assert(out.sameElements(Array[Byte](50, 50, 50)), out.mkString(","))
+    // 4x2 -> 2x1: left box avgs pixels 0,1,4,5; right box 2,3,6,7
+    val px2 = (0 until 4 * 2 * 3).map(i => (i * 2).toByte).toArray
+    val out2 = Ppm.resizeArea(px2, 4, 2, 2, 1)
+    def boxAvg(cols: Seq[Int], c: Int): Byte = {
+      val vals = for (y <- 0 until 2; x <- cols) yield px2((y * 4 + x) * 3 + c) & 0xff
+      (vals.sum / vals.size).toByte
+    }
+    assert(out2.sameElements(
+      (0 until 3).map(c => boxAvg(Seq(0, 1), c)).toArray ++
+      (0 until 3).map(c => boxAvg(Seq(2, 3), c))))
   }
 }
