@@ -142,6 +142,50 @@ object SparkEntry {
               col("partition_date"))
       .orderBy("event_id")
 
+  /** #86 Fault-isolated ingest (the reference's per-(month,type) retry /
+    * failure isolation, infra/main.tf:519): the batch lands per-month
+    * partition dirs, one partition's file is deliberately CORRUPTED, and
+    * the resilient read quarantines exactly that partition with its
+    * decode error while every other partition lands — one bad landing
+    * file no longer fails the batch. */
+  def ingestResilient(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = tempDir("landing")
+    Ingest.toLanding(
+        Tables.normalizeNanosTs(Ingest.readBatch(s, Seq(s"$dir/events.parquet")), "ts"), "ts")
+      .write.mode("overwrite").partitionBy("partition_date").parquet(base)
+    // corrupt the FIRST partition (deterministic): garbage over its files
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(new Path(base))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("partition_date="))
+      .map(_.getPath).sortBy(_.getName)
+    val corrupt = partDirs.head
+    fs.listStatus(corrupt).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+      val out = fs.create(f.getPath, true)
+      out.write("this is not a parquet file".getBytes("UTF-8"))
+      out.close()
+    }
+    val (good, quarantined) =
+      Ingest.readBatchResilient(s, partDirs.map(_.toString).toSeq,
+        basePath = Some(base))
+    // a batch can degenerate to zero healthy partitions (sf0.001 has one
+    // month); the landed side is then an empty, schema-stable frame
+    val landed =
+      if (good.columns.isEmpty)
+        s.createDataFrame(Seq.empty[(String, Long, String)])
+          .toDF("partition_date", "n_rows", "status")
+      else good
+        .groupBy(col("partition_date").cast("string").as("partition_date"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("status", lit("landed"))
+    val quar = s.createDataFrame(quarantined.map(q =>
+        (q.path.split("partition_date=").last, 0L, "quarantined")))
+      .toDF("partition_date", "n_rows", "status")
+    landed.unionByName(quar)
+      .select("partition_date", "status", "n_rows")
+      .orderBy("partition_date")
+  }
+
   /** #9 Reporting-layer consumption: materialize Q1, read back sorted
     * (analysis/analytics_job.py). */
   def reportConsume(s: SparkSession, dir: String): DataFrame = {
@@ -731,6 +775,32 @@ object SparkEntry {
       .orderBy("trip_month")
   }
 
+  /** #87 Persistent external catalog over the ACID table (the
+    * reference's Glue registration + Athena consumption,
+    * process_data_glue.py:198-205): the writer session registers the
+    * txlog table's name→location in a DURABLE catalog file, then a
+    * brand-new session — a stand-in for a separate process after
+    * restart — attaches from that file alone and queries the table BY
+    * NAME with a partition-pruning filter. Reads still flow through the
+    * txlog (snapshot + skipping survive the restart); the catalog is
+    * metadata only. */
+  def catalogPersistent(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("whcat")
+    val path = tempDir("txcat")
+    graft.acid.TxLog.overwrite(consumerSlim(s, dir), path,
+      Seq("trip_type", "trip_year", "trip_month"))
+    graft.acid.GraftCatalog.register(wh, "consumer_acid", path)
+    // fresh session state: empty view namespace, knows only the catalog file
+    val s2 = s.newSession()
+    graft.acid.GraftCatalog.attachAll(s2, wh)
+    s2.sql(
+      s"""SELECT CAST(trip_month AS BIGINT) AS trip_month,
+         |       count(*) AS n_rows, round(sum(total_amount), 2) AS total
+         |FROM consumer_acid
+         |WHERE trip_type = '${ConsumerPipeline.YellowType}'
+         |GROUP BY trip_month ORDER BY trip_month""".stripMargin)
+  }
+
   /** #61 Streaming stateful sessionization (flatMapGroupsWithState +
     * EventTimeTimeout) as a registry query: ALL sessions emit — gap
     * closes mid-stream ones, the watermark-driven state timeout closes
@@ -1096,6 +1166,7 @@ object SparkEntry {
     "etl_features"        -> (etlFeatures _),
     "etl_partitioned_sink"-> (etlPartitionedSink _),
     "ingest_batch"        -> (ingestBatch _),
+    "ingest_resilient"    -> (ingestResilient _),
     "report_consume"      -> (reportConsume _),
     "agg_pricing_summary" -> (Queries.aggPricingSummary _),
     "join_top_customers"  -> (Queries.joinTopCustomers _),
@@ -1158,6 +1229,7 @@ object SparkEntry {
     "delta_bloom_skip"    -> (deltaBloomSkip _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "catalog_partitions"  -> (catalogPartitions _),
+    "catalog_persistent"  -> (catalogPersistent _),
     "stream_sessionize"   -> (streamSessionize _),
     "report_empty"        -> (reportEmpty _),
     "ann_ivf"             -> (annIvf _),
@@ -1252,6 +1324,17 @@ object SparkEntry {
         |       strftime(ts, '%Y%m') AS partition_date
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "ingest_resilient" ->
+      """WITH p AS (SELECT strftime(ts, '%Y%m') AS partition_date, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT min(partition_date) AS first_p FROM p)
+        |SELECT partition_date,
+        |       CASE WHEN partition_date = first_p
+        |            THEN 'quarantined' ELSE 'landed' END AS status,
+        |       CAST(CASE WHEN partition_date = first_p THEN 0 ELSE n END
+        |            AS BIGINT) AS n_rows
+        |FROM p CROSS JOIN m ORDER BY partition_date""".stripMargin,
 
     "report_consume" ->
       s"""SELECT strftime(ts, '%Y-%m') AS report_month,
@@ -1851,6 +1934,13 @@ object SparkEntry {
         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "catalog_partitions" ->
+      s"""SELECT CAST(month(ts) AS BIGINT) AS trip_month, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total
+         |FROM events
+         |WHERE event_type = 'purchase' AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "catalog_persistent" ->
       s"""SELECT CAST(month(ts) AS BIGINT) AS trip_month, count(*) AS n_rows,
          |       round(sum(value), 2) AS total
          |FROM events

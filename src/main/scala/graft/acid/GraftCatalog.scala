@@ -1,0 +1,102 @@
+package graft.acid
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Durable name → location registry for TxLog tables — the external
+  * catalog the reference relies on: its Glue job registers the Delta
+  * output so a SEPARATE process (Athena, reference
+  * analysis/analytics_job.py:29-54; registration at
+  * process_data_glue.py:198-205) can query it by name later.
+  *
+  * Spark's default in-memory session catalog dies with the session, and
+  * a plain `saveAsTable` pointed at a txlog directory would be WRONG:
+  * the directory physically holds every version's files — only the
+  * txlog knows which are live, and only its FileIndex skips by
+  * partition/min-max/bloom. So the durable unit is a tiny catalog FILE
+  * (JSON lines in a warehouse dir — the metastore record, O(tables)
+  * driver metadata), and [[attachAll]] re-binds each name in a fresh
+  * session to a `TxLog.read` view: snapshot isolation, time travel and
+  * file skipping survive the restart because reads still flow through
+  * the txlog.
+  *
+  * Writes go through a temp-file + atomic-move, so a reader never sees
+  * a torn catalog; last-writer-wins on concurrent registration, which
+  * matches the reference's Glue `update_table` semantics. */
+object GraftCatalog {
+
+  final case class Entry(name: String, location: String)
+
+  private def catalogFile(warehouse: String) = Paths.get(warehouse, "catalog.jsonl")
+
+  private def fmt(e: Entry): String =
+    s"""{"name":${q(e.name)},"location":${q(e.location)}}"""
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def unq(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\\' if i + 1 < s.length =>
+          s(i + 1) match {
+            case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 5
+            case c => sb += c; i += 1
+          }
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val Line = """\{"name":"((?:[^"\\]|\\.)*)","location":"((?:[^"\\]|\\.)*)"\}""".r
+
+  /** All registered tables (empty if the warehouse has no catalog yet). */
+  def entries(warehouse: String): Seq[Entry] = {
+    val f = catalogFile(warehouse)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.collect {
+      case Line(n, l) => Entry(unq(n), unq(l))
+    }
+  }
+
+  /** Upsert `name` → `location`. Atomic: write-temp + move. */
+  def register(warehouse: String, name: String, location: String): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    val next = entries(warehouse).filterNot(_.name == name) :+ Entry(name, location)
+    val tmp = Files.createTempFile(Paths.get(warehouse), ".catalog", ".tmp")
+    Files.write(tmp, next.map(fmt).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, catalogFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Remove `name` from the catalog (the table's files are untouched —
+    * DROP here is the external-table contract: metadata only). */
+  def drop(warehouse: String, name: String): Unit = {
+    val next = entries(warehouse).filterNot(_.name == name)
+    val tmp = Files.createTempFile(Paths.get(warehouse), ".catalog", ".tmp")
+    Files.write(tmp, next.map(fmt).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, catalogFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Bind every cataloged table into `spark`'s view namespace via
+    * `TxLog.read` — call in a NEW session/process to get the reference's
+    * "Athena sees the Glue catalog" experience over txlog tables. */
+  def attachAll(spark: SparkSession, warehouse: String): Unit =
+    entries(warehouse).foreach { e =>
+      TxLog.read(spark, e.location).createOrReplaceTempView(e.name)
+    }
+}

@@ -435,6 +435,39 @@ class AcidSpec extends SparkSpec {
       Seq(1L, "delete", 3L), Seq(9L, "insert", 4L)))
   }
 
+  test("persistent catalog: a new session attaches by file and prunes partitions") {
+    import spark.implicits._
+    import graft.acid.GraftCatalog
+    val wh = tmp(); val t = tmp()
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "amount")
+    TxLog.overwrite(df, t, Seq("part"))
+    GraftCatalog.register(wh, "cat_spec_table", t)
+    // registration is durable metadata: a fresh read of the FILE lists it
+    assert(GraftCatalog.entries(wh).map(e => (e.name, e.location)) ==
+      Seq(("cat_spec_table", t)))
+    // a brand-new session (fresh temp-view namespace = restart stand-in)
+    // sees the table by name from the catalog file alone
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("cat_spec_table") == false)
+    GraftCatalog.attachAll(s2, wh)
+    val got = s2.sql(
+      "SELECT id, amount FROM cat_spec_table WHERE part = 'a' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0)))
+    // the partition filter prunes at the txlog FileIndex, not post-scan
+    val plan = s2.sql("SELECT * FROM cat_spec_table WHERE part = 'a'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"),
+      s"partition filter should reach the file index:\n$plan")
+    // upsert replaces, drop removes metadata only (files untouched)
+    GraftCatalog.register(wh, "cat_spec_table", t)
+    assert(GraftCatalog.entries(wh).size == 1)
+    GraftCatalog.drop(wh, "cat_spec_table")
+    assert(GraftCatalog.entries(wh).isEmpty)
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+
   test("timestamp stats skip correctly across parquet timestamp units") {
     import spark.implicits._
     val key = "spark.sql.parquet.outputTimestampType"

@@ -69,4 +69,26 @@ class EtlSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("resilient ingest quarantines the corrupt path and lands the rest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_resil").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.parquet(s"$base/p1")
+    Seq((3L, "z")).toDF("id", "v")
+      .write.parquet(s"$base/p2")
+    // p3 is a landing dir whose file is not parquet at all
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/p3"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/p3/part-00000.parquet"),
+      "garbage bytes, not parquet".getBytes("UTF-8"))
+    val (good, quarantined) = Ingest.readBatchResilient(spark,
+      Seq(s"$base/p1", s"$base/p2", s"$base/p3"))
+    assert(good.count() == 3, "both healthy paths land")
+    assert(quarantined.map(_.path) == Seq(s"$base/p3"))
+    assert(quarantined.head.reason.nonEmpty, "quarantine carries the decode error")
+    // an all-bad batch still returns a frame plus the full quarantine list
+    val (empty, allBad) = Ingest.readBatchResilient(spark, Seq(s"$base/p3"))
+    assert(empty.count() == 0 && allBad.size == 1)
+  }
 }
