@@ -749,6 +749,33 @@ object SparkEntry {
       .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_bytes")
       .orderBy("doc_id")
 
+  /** #88 Perceptual image dedup (aHash over DECODED pixels — possible
+    * because the codec is real): every doc's PPM blob is decoded and
+    * average-hashed on an 8x8 luminance grid; hash-equality groups must
+    * reproduce the content-equality classes — identical content =>
+    * identical image => identical phash (pure function), and on this
+    * corpus distinct contents stay distinct (measured, deterministic;
+    * the oracle recomputes content classes from md5(text) and asserts
+    * the equivalence per doc). The hamming-band near-dup path reuses
+    * the SimHash banding machinery unchanged. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val hashed = BinaryColumns.toImageBlobs(docs).mapPartitions { it =>
+      it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(
+        graft.multimodal.Ppm.decode(b.payload))))
+    }.toDF("doc_id", "phash")
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("ck"))
+    val contentCls = keyed.groupBy("ck").agg(min("doc_id").as("content_class"))
+    val phashCls = hashed.groupBy("phash").agg(min("doc_id").as("phash_class"))
+    keyed.join(contentCls, Seq("ck"))
+      .join(hashed, Seq("doc_id"))
+      .join(phashCls, Seq("phash"))
+      .select(col("doc_id"), col("content_class"),
+        (col("phash_class") === col("content_class")).as("phash_class_ok"))
+      .orderBy("doc_id")
+  }
+
   /** #60 Persistent-catalog partitioned table: externally-written
     * partition directories discovered via MSCK REPAIR (the reference's
     * Glue partition sync, process_data_glue.py:98-123), then queried by
@@ -1243,6 +1270,7 @@ object SparkEntry {
     "stream_static_join"  -> (streamStaticJoin _),
     "mm_frame_sample"     -> (mmFrameSample _),
     "mm_resize"           -> (mmResize _),
+    "mm_phash"            -> (mmPhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_incremental"   -> (dedupIncremental _),
   )
@@ -1522,6 +1550,12 @@ object SparkEntry {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" ->
+      """WITH c AS (SELECT doc_id, md5(text) AS ck FROM documents),
+        |cls AS (SELECT ck, min(doc_id) AS content_class FROM c GROUP BY 1)
+        |SELECT doc_id, content_class, true AS phash_class_ok
+        |FROM c JOIN cls USING (ck) ORDER BY doc_id""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type,

@@ -160,9 +160,16 @@ object EventsStream {
     val dir = s"$base/src"
     val ev = events.select("user_id", "ts")
     ev.write.mode("overwrite").parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    val nRows = spark.read.parquet(dir).count() // footer metadata count
+    // ONE metadata+agg pass over the staged files for everything the
+    // runner needs: schema comes from footers (no job), max ts and row
+    // count share one aggregate job over the staged data — round 4 ran
+    // a schema-infer, a max() over the UPSTREAM plan, and a separate
+    // count: two extra jobs per invocation
+    val staged = spark.read.parquet(dir)
+    val schema = staged.schema
+    val statsRow = staged.agg(max(col("ts")), count(lit(1))).collect()(0)
+    val maxTs = statsRow.getTimestamp(0)
+    val nRows = statsRow.getLong(1)
     // durable FILE sink, not a memory sink: emitted sessions are O(corpus)
     // rows and belong on executors/disk, never on the driver heap (the
     // round-2 lesson from stream_dedup, applied here)

@@ -174,6 +174,27 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ppm.decode(blob.dropRight(1)))
   }
 
+  test("phash: pure function of pixels, brightness geometry sets the right bits") {
+    import graft.multimodal.{Phash, Ppm}
+    // 8x8 image, left half black, right half white: bit 8*gy+gx set
+    // exactly where gx >= 4
+    val px = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 4 until 8; c <- 0 until 3)
+      px((y * 8 + x) * 3 + c) = 255.toByte
+    val h = Phash.aHash64(Ppm.Image(8, 8, px))
+    val expected = (for (gy <- 0 until 8; gx <- 4 until 8)
+      yield 1L << (gy * 8 + gx)).reduce(_ | _)
+    assert(h == expected, s"got ${h.toBinaryString}")
+    // pure function: same pixels, same hash; single-pixel change moves it
+    assert(Phash.aHash64(Ppm.Image(8, 8, px.clone())) == h)
+    val px2 = px.clone(); px2(0) = 200.toByte; px2(1) = 200.toByte; px2(2) = 200.toByte
+    assert(Phash.hamming(h, Phash.aHash64(Ppm.Image(8, 8, px2))) > 0)
+    assert(Phash.hamming(h, h) == 0)
+    // tiny images (grid upsamples) still hash totally and deterministically
+    val tiny = Phash.aHash64(Ppm.Image(2, 1, Array[Byte](10, 10, 10, 90, 90, 90)))
+    assert(tiny == Phash.aHash64(Ppm.Image(2, 1, Array[Byte](10, 10, 10, 90, 90, 90))))
+  }
+
   test("ppm area resample: 2x2 -> 1x1 is the exact per-channel mean") {
     import graft.multimodal.Ppm
     val px = Array[Byte](
