@@ -530,6 +530,56 @@ object SparkEntry {
               (col("meanr") >= 0.4).as("mean_recall_ok"))
   }
 
+  /** #89 Int8-quantized embedding ANN, bounded-oracle form: per-vector
+    * scalar quantization shrinks the corpus ~8x (one tinyint per
+    * dimension), and the quantized brute-force top-10 must stay nearly
+    * identical to the exact one — recall floors (min >= 0.8, mean >=
+    * 0.9) plus a per-pair similarity-error bound (max |sim_q - sim| <=
+    * 0.02 over the emitted neighbors; int8 error per element is
+    * <= scale/2). All quantize/dequantize math is codegen'd
+    * higher-order array expressions — no UDF. */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val brute = Cosine.bruteTopK(emb, nQueries = 8, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact"))
+    val quant = graft.similarity.Quantize.topK(emb, nQueries = 8, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q"))
+    val hits = brute.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val recall = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+           min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
+    val simErr = brute.join(quant, Seq("query_id", "neighbor_id"))
+      .agg(max(abs(col("sim_q") - col("sim_exact"))).as("max_err"))
+    recall.crossJoin(simErr)
+      .select(col("n_queries"),
+              (col("minr") >= 0.8).as("min_recall_ok"),
+              (col("meanr") >= 0.9).as("mean_recall_ok"),
+              (col("max_err") <= 0.02).as("sim_err_ok"))
+  }
+
+  /** #90 Exact-quota stratified sample: per event_type, keep exactly
+    * `(n*200 + 999) div 1000` rows (20%, integer-exact quota) chosen by
+    * smallest xxhash64(event_id) — deterministic under repartitioning.
+    * The sampled counts are the oracle contract: both engines compute
+    * the identical integer quota; `subset_ok` proves the sample is a
+    * true subset of its stratum. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "event_type")
+    val sampled = Splits.stratifiedSample(ev, "event_type", "event_id", 200)
+    val outside = sampled.join(ev, Seq("event_id", "event_type"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy("event_type").agg(count(lit(1)).as("n_sampled")),
+            Seq("event_type"))
+      .crossJoin(outside)
+      .select(col("event_type"), col("n_total"), col("n_sampled"),
+              (col("n_outside") === 0L).as("subset_ok"))
+      .orderBy("event_type")
+  }
+
   /** #63 Streaming ingest dedup: a fully re-delivered batch (at-least-once
     * upload, ingest_data.py shape) is dropped by streaming state, so the
     * deduped stream equals the batch-distinct of the first delivery. */
@@ -1213,6 +1263,8 @@ object SparkEntry {
     "dedup_embed"         -> (dedupEmbed _),
     "ann_cosine_topk"     -> (annCosineTopk _),
     "ann_lsh"             -> (annLsh _),
+    "ann_quantized"       -> (annQuantized _),
+    "sample_stratified"   -> (sampleStratified _),
     "text_langid"         -> (textLangid _),
     "text_quality"        -> (textQuality _),
     "text_tokens"         -> (textTokens _),
@@ -1798,6 +1850,16 @@ object SparkEntry {
     "ann_lsh" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
         |       true AS mean_recall_ok""".stripMargin,
+
+    "ann_quantized" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
+        |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT event_type, count(*) AS n_total,
+        |       CAST((count(*) * 200 + 999) // 1000 AS BIGINT) AS n_sampled,
+        |       true AS subset_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,

@@ -19,4 +19,29 @@ object Splits {
     val bucket = pmod(xxhash64(col(keyCol)), lit(1000))
     (df.filter(bucket >= testPermille), df.filter(bucket < testPermille))
   }
+
+  /** EXACT-quota stratified sample: within each stratum keep the
+    * `ceil(fracPermille/1000 × stratum_size)` rows with the smallest
+    * (xxhash64(key), key) — deterministic under repartitioning, and the
+    * per-stratum sample size is exact by construction (the quota is
+    * integer arithmetic, `(n × f + 999) div 1000`, so both engines of
+    * the oracle compute the identical number — no float ceil drift).
+    *
+    * Cost is one shuffle on the stratum key plus an in-partition sort
+    * (rank + count ride the same window). At 100 TB with FEW strata
+    * that shuffle concentrates; when approximate fractions suffice,
+    * prefer the quota-free [[hashSplit]] rule per stratum — zero
+    * shuffle, binomial error — and reserve quota-exact sampling for
+    * eval-set construction where exactness is the point. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fracPermille: Int): DataFrame = {
+    require(fracPermille > 0 && fracPermille <= 1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(xxhash64(col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__quota",
+        expr(s"(count(1) over (partition by $strataCol) * $fracPermille + 999) div 1000"))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+  }
 }

@@ -8,6 +8,55 @@ class SimilaritySpec extends SparkSpec {
 
   lazy val emb = Tables.embeddings(spark, sf)
 
+  test("int8 quantization: codes in range, reconstruction tight, constant vectors safe") {
+    import spark.implicits._
+    import graft.similarity.Quantize
+    val vecs = Seq(
+      (0L, Seq(1.0f, -2.0f, 3.0f, 0.5f)),
+      (1L, Seq(0.25f, 0.25f, 0.25f, 0.25f)), // constant: qscale 0
+      (2L, Seq(-1.0f, 1.0f, -1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val dq = Quantize.dequantized(Quantize.quantized(vecs))
+      .select("vec_id", "qmin", "qscale", "codes", "dq")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Byte](3), r.getSeq[Double](4))).toMap
+    // reconstruction error per element <= qscale/2 (+ rounding epsilon)
+    Seq(0L, 2L).foreach { id =>
+      val (_, scale, codes, rec) = dq(id)
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      val orig = Map(0L -> Seq(1.0, -2.0, 3.0, 0.5), 2L -> Seq(-1.0, 1.0, -1.0, 1.0))(id)
+      orig.zip(rec).foreach { case (o, r) =>
+        assert(math.abs(o - r) <= scale / 2 + 1e-9, s"vec $id: $o vs $r")
+      }
+    }
+    // constant vector: all codes equal, dequant returns the constant
+    val (qmin1, qscale1, codes1, rec1) = dq(1L)
+    assert(qscale1 == 0.0 && codes1.distinct.size == 1)
+    assert(rec1.forall(v => math.abs(v - 0.25) < 1e-9), s"got $rec1 qmin=$qmin1")
+    // on the real corpus: quantized ranking tracks exact ranking closely
+    val exact = Cosine.bruteTopK(emb, nQueries = 4, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("se"))
+    val quant = Quantize.topK(emb, nQueries = 4, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("sq"))
+    val err = exact.join(quant, Seq("query_id", "neighbor_id"))
+      .agg(max(abs(col("sq") - col("se")))).collect()(0).getDouble(0)
+    assert(err <= 0.02, s"quantized sim error $err")
+  }
+
+  test("stratified sample: integer-exact quotas, deterministic, true subset") {
+    import graft.etl.Splits
+    val ev = Tables.events(spark, sf).select("event_id", "event_type")
+    val sampled = Splits.stratifiedSample(ev, "event_type", "event_id", 200).cache()
+    val got = sampled.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) * 200 + 999) / 1000).toMap
+    assert(got == want, s"quotas: $got vs $want")
+    // subset + deterministic under repartitioning
+    assert(sampled.join(ev, Seq("event_id", "event_type"), "left_anti").count() == 0)
+    val again = Splits.stratifiedSample(ev.repartition(7), "event_type", "event_id", 200)
+    assert(sampled.select("event_id").exceptAll(again.select("event_id")).isEmpty)
+  }
+
   test("brute-force topk: k rows per query, sims descending, self excluded") {
     val t = Cosine.bruteTopK(emb, nQueries = 8, k = 10).cache()
     assert(t.groupBy("query_id").count().filter(col("count") =!= 10).count() == 0)
