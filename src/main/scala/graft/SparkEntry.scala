@@ -143,16 +143,17 @@ object SparkEntry {
       .orderBy("event_id")
 
   /** #86 Fault-isolated ingest (the reference's per-(month,type) retry /
-    * failure isolation, infra/main.tf:519): the batch lands per-month
-    * partition dirs, one partition's file is deliberately CORRUPTED, and
-    * the resilient read quarantines exactly that partition with its
-    * decode error while every other partition lands — one bad landing
-    * file no longer fails the batch. */
+    * failure isolation, infra/main.tf:519): the batch lands per-DAY
+    * partition dirs (the corpus spans one month, so daily is the
+    * granularity that actually fans out), one partition's file is
+    * deliberately CORRUPTED, and the resilient read quarantines exactly
+    * that partition with its decode error while every other partition
+    * lands — one bad landing file no longer fails the batch. */
   def ingestResilient(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = tempDir("landing")
-    Ingest.toLanding(
-        Tables.normalizeNanosTs(Ingest.readBatch(s, Seq(s"$dir/events.parquet")), "ts"), "ts")
+    Tables.normalizeNanosTs(Ingest.readBatch(s, Seq(s"$dir/events.parquet")), "ts")
+      .withColumn("partition_date", date_format(col("ts"), "yyyyMMdd"))
       .write.mode("overwrite").partitionBy("partition_date").parquet(base)
     // corrupt the FIRST partition (deterministic): garbage over its files
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1406,7 +1407,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "ingest_resilient" ->
-      """WITH p AS (SELECT strftime(ts, '%Y%m') AS partition_date, count(*) AS n
+      """WITH p AS (SELECT strftime(ts, '%Y%m%d') AS partition_date, count(*) AS n
         |           FROM events GROUP BY 1),
         |m AS (SELECT min(partition_date) AS first_p FROM p)
         |SELECT partition_date,
