@@ -770,6 +770,17 @@ object SparkEntry {
       .orderBy("new_doc", "matched_doc")
   }
 
+  /** #91 Token-budget sequence packing: documents pack in stable doc_id
+    * order into ~2000-token shards (a doc never splits). The global
+    * running token sum is a DISTRIBUTED prefix sum — per-bucket sums,
+    * driver cumsum over O(docs/1024) bucket METADATA, broadcast
+    * offsets, intra-bucket partitioned window — never a single-task
+    * global window; the oracle computes the same assignment with a
+    * plain window cumsum and must hash-match shard for shard. */
+  def corpusPack(s: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.shardStats(
+      graft.text.Packing.packByTokenBudget(Tables.documents(s, dir), budget = 2000L))
+
   /** #31 Multimodal binary plumbing with a REAL pure-JVM codec: each doc
     * becomes a P6 PPM blob (dims derived from its text length), and the
     * metadata comes from actually parsing the header+raster — the oracle
@@ -1326,6 +1337,7 @@ object SparkEntry {
     "mm_phash"            -> (mmPhash _),
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "corpus_pack"         -> (corpusPack _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -1603,6 +1615,18 @@ object SparkEntry {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |             sum(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |               - tk AS prefix_before
+        |      FROM t)
+        |SELECT CAST(prefix_before // 2000 AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mm_phash" ->
       """WITH c AS (SELECT doc_id, md5(text) AS ck FROM documents),

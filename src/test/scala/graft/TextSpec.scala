@@ -195,6 +195,32 @@ class TextSpec extends SparkSpec {
     assert(tiny == Phash.aHash64(Ppm.Image(2, 1, Array[Byte](10, 10, 10, 90, 90, 90))))
   }
 
+  test("packing: distributed prefix sum equals single-window pack; no doc splits") {
+    import graft.text.Packing
+    val packed = Packing.packByTokenBudget(docs, budget = 500L, bucketSize = 64L).cache()
+    // exact reference: global single-partition window (test-only)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val refShards = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tk"))
+      .withColumn("before", coalesce(sum("tk").over(w), lit(0L)))
+      .select(col("doc_id"), expr("before div 500").as("shard_id"))
+    assert(packed.select("doc_id", "shard_id")
+      .exceptAll(refShards.select("doc_id", "shard_id")).isEmpty,
+      "bucketed prefix sum must equal the global window assignment")
+    // shards are contiguous doc_id ranges (a doc never splits, order stable)
+    val byShard = packed.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    byShard.sliding(2).foreach {
+      case Array((_, s1), (_, s2)) => assert(s2 >= s1, "shard ids non-decreasing")
+      case _ =>
+    }
+    // deterministic under repartitioning
+    val again = Packing.packByTokenBudget(docs.repartition(13), 500L, 64L)
+    assert(packed.select("doc_id", "shard_id")
+      .exceptAll(again.select("doc_id", "shard_id")).isEmpty)
+  }
+
   test("ppm area resample: 2x2 -> 1x1 is the exact per-channel mean") {
     import graft.multimodal.Ppm
     val px = Array[Byte](
