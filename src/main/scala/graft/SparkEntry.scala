@@ -25,43 +25,19 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
-  /** Scenario scratch dirs are RECORDED so harnesses can reclaim them:
-    * round 4's bench left every ACID table of every pass in /tmp (3
-    * passes × ~14 scenarios), and the growing disk/page-cache pressure
-    * made later warm passes measure I/O contention instead of the query
-    * (warm benched slower than cold). [[drainTempDirs]] hands the list
-    * to the caller after each timed pass; nothing here deletes eagerly —
-    * a scenario's returned DataFrame may still be lazily reading from
-    * its dirs until the caller materializes it. */
-  private val tempDirsCreated = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Scenario scratch dirs are RECORDED ([[TempDirs]]) so harnesses can
+    * reclaim them after each timed pass — round 4's bench left every
+    * pass's ACID tables in /tmp and later passes measured disk
+    * contention instead of the query. The streaming runners' staged
+    * sources/checkpoints go through the same registry. */
+  private def tempDir(tag: String): String = TempDirs.create(tag)
 
-  private def tempDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
-    tempDirsCreated.add(d)
-    d
-  }
-
-  /** Dirs created by [[tempDir]] since the last drain (oldest first). */
-  private[graft] def drainTempDirs(): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var d = tempDirsCreated.poll()
-    while (d != null) { out += d; d = tempDirsCreated.poll() }
-    out.toSeq
-  }
+  private[graft] def drainTempDirs(): Seq[String] = TempDirs.drain()
 
   /** Delete every drained scratch dir. Call only AFTER the scenario's
     * result has been fully materialized (saved/collected) — the returned
     * frame reads lazily from these dirs. */
-  private[graft] def cleanupTempDirs(): Unit =
-    drainTempDirs().foreach { d =>
-      try {
-        import java.nio.file._
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(Paths.get(d)))
-          Files.walk(Paths.get(d)).iterator().asScala.toSeq.reverseIterator
-            .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () } // reclamation is best-effort
-    }
+  private[graft] def cleanupTempDirs(): Unit = TempDirs.cleanup()
 
   /** Shared DQ predicate in oracle-SQL form (matches ConsumerPipeline.dqRules
     * after the rename mapping back to raw events columns). */
@@ -770,6 +746,25 @@ object SparkEntry {
       .orderBy("new_doc", "matched_doc")
   }
 
+  /** #92 STREAMING incremental dedup: the document stream dedups
+    * micro-batch by micro-batch against the persisted bucketed LSH
+    * index via foreachBatch — the ingest-time shape of #82. Two staged
+    * drops process in order (batch 2 must match batch 1's docs through
+    * the index the first commit grew); orientation is STREAM order:
+    * a batch-2 doc is always the new_doc against corpus or batch-1
+    * matches, regardless of id magnitude. */
+  def streamDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 0)
+    val b2 = docs.filter(col("doc_id") % 8 === 4)
+    val idxPath = tempDir("sidx")
+    IncrementalDedup.initIndex(corpus, "graft_lsh_index_stream", idxPath)
+    streaming.StreamIncrementalDedup.run(
+        s, corpus, Seq(b1, b2), "graft_lsh_index_stream")
+      .orderBy("new_doc", "matched_doc")
+  }
+
   /** #91 Token-budget sequence packing: documents pack in stable doc_id
     * order into ~2000-token shards (a doc never splits). The global
     * running token sum is a DISTRIBUTED prefix sum — per-bucket sums,
@@ -1338,6 +1333,7 @@ object SparkEntry {
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_incremental"   -> (dedupIncremental _),
     "corpus_pack"         -> (corpusPack _),
+    "stream_dedup_incremental" -> (streamDedupIncremental _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -2243,6 +2239,32 @@ object SparkEntry {
         |       jaccard
         |FROM p
         |WHERE jaccard >= 0.2 AND (da % 4 = 0 OR db % 4 = 0)
+        |ORDER BY new_doc, matched_doc""".stripMargin,
+
+    "stream_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |       FROM t),
+        |age AS (SELECT doc_id,
+        |               CASE WHEN doc_id % 4 != 0 THEN 0
+        |                    WHEN doc_id % 8 = 0 THEN 1 ELSE 2 END AS age
+        |        FROM t),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |                   len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT CASE WHEN aa.age > ab.age OR (aa.age = ab.age AND da > db)
+        |            THEN da ELSE db END AS new_doc,
+        |       CASE WHEN aa.age > ab.age OR (aa.age = ab.age AND da > db)
+        |            THEN db ELSE da END AS matched_doc,
+        |       jaccard
+        |FROM p
+        |JOIN age aa ON aa.doc_id = da
+        |JOIN age ab ON ab.doc_id = db
+        |WHERE jaccard >= 0.2 AND greatest(aa.age, ab.age) >= 1
         |ORDER BY new_doc, matched_doc""".stripMargin,
 
     "dedup_pipeline" ->

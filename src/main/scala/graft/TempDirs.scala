@@ -1,0 +1,41 @@
+package graft
+
+/** Central registry of scratch directories the library creates (staged
+  * stream sources, ACID scenario tables, checkpoint dirs). Harnesses
+  * drain the registry AFTER materializing a scenario's result and delete
+  * what it returns — round 4 leaked every pass's scratch tables into
+  * /tmp and later bench passes measured disk contention, not the query.
+  * Nothing here deletes eagerly: a returned DataFrame may still be
+  * lazily reading from these dirs until the caller materializes it. */
+object TempDirs {
+
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** A fresh tracked scratch dir. */
+  def create(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    created.add(d)
+    d
+  }
+
+  /** Dirs created since the last drain (oldest first). */
+  def drain(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = created.poll()
+    while (d != null) { out += d; d = created.poll() }
+    out.toSeq
+  }
+
+  /** Delete every drained dir (best-effort). Call only after the
+    * scenario's result has been fully materialized. */
+  def cleanup(): Unit =
+    drain().foreach { d =>
+      try {
+        import java.nio.file._
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(Paths.get(d)))
+          Files.walk(Paths.get(d)).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+}

@@ -48,7 +48,7 @@ object EventsStream {
     * `dim` must carry `user_id` plus the enrichment columns. */
   def runStreamStaticJoin(spark: SparkSession, events: DataFrame,
                           dim: DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val base = graft.TempDirs.create("ssj")
     val dir = s"$base/src"
     val ev = events.select("user_id", "ts", "value")
     ev.write.mode("overwrite").parquet(dir)
@@ -156,7 +156,7 @@ object EventsStream {
     * PREVIOUS batch. */
   def runSessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val base = graft.TempDirs.create("sess")
     val dir = s"$base/src"
     val ev = events.select("user_id", "ts")
     ev.write.mode("overwrite").parquet(dir)

@@ -25,7 +25,7 @@ object StreamDedup {
   def dedupStream(spark: SparkSession, batches: Seq[DataFrame],
                   keyCols: Seq[String],
                   agg: DataFrame => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_src").toString
+    val dir = graft.TempDirs.create("sdd_src")
     batches.zipWithIndex.foreach { case (b, i) =>
       b.write.mode("overwrite").parquet(s"$dir/batch_$i")
     }

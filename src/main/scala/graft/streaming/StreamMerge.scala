@@ -49,7 +49,7 @@ object StreamMerge {
                    table: String, keyCols: Seq[String],
                    seqCol: Option[String] = None): Unit = {
     require(cdcBatches.nonEmpty, "need at least one CDC batch")
-    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val base = graft.TempDirs.create("cdc")
     val dir = s"$base/src"
     cdcBatches.head.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema

@@ -70,6 +70,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental dedup: stream order decides orientation, index grows per commit") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val idx = "graft_spec_lsh_index_stream"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.initIndex(corpus, idx, idxPath)
+    // batch 1 carries doc 10 (dup of 1); batch 2 carries doc 5 — a
+    // SMALLER id arriving LATER: stream order, not id order, must make
+    // it the new_doc against both 1 and 10
+    val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val b2 = Seq((5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = graft.streaming.StreamIncrementalDedup
+      .run(spark, corpus, Seq(b1, b2), idx)
+      .select("new_doc", "matched_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (5L, 1L), (5L, 10L)),
+      s"got $pairs — batch-2 doc 5 must be new_doc vs batch-1 doc 10")
+    assert(spark.table(idx).select("doc_id").distinct().count() == 3L)
+  }
+
   test("exact dedup: keepers unique, copies sum to corpus size") {
     val d = Dedup.exact(docs)
     assert(d.select("keeper").distinct().count() == d.count())
