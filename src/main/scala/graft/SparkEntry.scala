@@ -1104,6 +1104,48 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #93 VACUUM: after a DELETE rewrites files, the superseded v1 files
+    * are physically reclaimed (only snapshots >= the retained version
+    * stay readable) — the storage-hygiene half of an ACID table that a
+    * nightly OPTIMIZE pipeline runs right after compaction. The
+    * snapshot is proven intact (same aggregate as the oracle computes),
+    * `files_pruned` observes the on-disk file count dropping, and
+    * `old_version_unreadable` proves time travel before the horizon now
+    * fails loudly instead of reading half a table. */
+  def deltaVacuum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = tempDir("txvac")
+    val consumer = consumerSlim(s, dir)
+    graft.acid.TxLog.overwrite(consumer, path,
+      Seq("trip_type", "trip_year", "trip_month"))             // v1
+    graft.acid.TxLog.delete(s, path, col("total_amount") < 50) // v2: rewrite
+    def dataFiles(): Int = {
+      val root = new Path(path)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = hfs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_txlog")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    graft.acid.TxLog.vacuum(s, path, retainVersion = 2L)
+    val after = dataFiles()
+    val oldGone = scala.util.Try(
+      graft.acid.TxLog.read(s, path, versionAsOf = Some(1L)).count()).isFailure
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("files_pruned", lit(after < before))
+      .withColumn("old_version_unreadable", lit(oldGone))
+      .select("trip_type", "n_rows", "total", "files_pruned",
+              "old_version_unreadable")
+      .orderBy("trip_type")
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -1314,6 +1356,7 @@ object SparkEntry {
     "delta_zorder"        -> (deltaZorder _),
     "delta_bloom_skip"    -> (deltaBloomSkip _),
     "delta_data_skipping" -> (deltaDataSkipping _),
+    "delta_vacuum"        -> (deltaVacuum _),
     "catalog_partitions"  -> (catalogPartitions _),
     "catalog_persistent"  -> (catalogPersistent _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -2172,6 +2215,14 @@ object SparkEntry {
          |       round(sum(value), 2) AS total, CAST(3 AS BIGINT) AS n_versions
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_vacuum" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(value), 2) AS total,
+         |       true AS files_pruned, true AS old_version_unreadable
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view') AND $dqSql AND value >= 50
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_bloom_skip" ->
