@@ -808,13 +808,17 @@ object SparkEntry {
 
   /** #88 Perceptual image dedup (aHash over DECODED pixels — possible
     * because the codec is real): every doc's PPM blob is decoded and
-    * average-hashed on an 8x8 luminance grid; hash-equality groups must
-    * reproduce the content-equality classes — identical content =>
-    * identical image => identical phash (pure function), and on this
-    * corpus distinct contents stay distinct (measured, deterministic;
-    * the oracle recomputes content classes from md5(text) and asserts
-    * the equivalence per doc). The hamming-band near-dup path reuses
-    * the SimHash banding machinery unchanged. */
+    * average-hashed on an 8x8 luminance grid. The oracle asserts the
+    * two properties a PERCEPTUAL hash actually guarantees: (a)
+    * `dup_covered_ok` — identical content => identical image =>
+    * identical phash, so every exact-duplicate pair collides (recall
+    * 1.0 on true dups); (b) `classes_coarser_ok` — a pure function can
+    * only MERGE classes, never split them, so phash classes number at
+    * most the content classes. Merging perceptually-similar near-dup
+    * images is the hash's purpose, not a failure — asserting distinct
+    * contents stay distinct would be corpus-luck (near-dup texts
+    * render near-identical rasters); pixel-level merge/separate
+    * behavior is spec-tested on known images instead. */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -823,14 +827,18 @@ object SparkEntry {
         graft.multimodal.Ppm.decode(b.payload))))
     }.toDF("doc_id", "phash")
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("ck"))
-    val contentCls = keyed.groupBy("ck").agg(min("doc_id").as("content_class"))
-    val phashCls = hashed.groupBy("phash").agg(min("doc_id").as("phash_class"))
-    keyed.join(contentCls, Seq("ck"))
       .join(hashed, Seq("doc_id"))
-      .join(phashCls, Seq("phash"))
-      .select(col("doc_id"), col("content_class"),
-        (col("phash_class") === col("content_class")).as("phash_class_ok"))
-      .orderBy("doc_id")
+    // every content class maps into exactly one phash value <=> the
+    // count of distinct (ck, phash) pairs equals the count of distinct ck
+    val agg = keyed.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("ck")).as("n_content_classes"),
+      count_distinct(col("ck"), col("phash")).as("n_ck_phash"),
+      count_distinct(col("phash")).as("n_phash_classes"))
+    agg.select(
+      col("n_docs"), col("n_content_classes"),
+      (col("n_ck_phash") === col("n_content_classes")).as("dup_covered_ok"),
+      (col("n_phash_classes") <= col("n_content_classes")).as("classes_coarser_ok"))
   }
 
   /** #60 Persistent-catalog partitioned table: externally-written
@@ -1645,8 +1653,8 @@ object SparkEntry {
 
     "mm_binary_meta" ->
       """WITH g AS (SELECT doc_id,
-        |                  1 + octet_length(encode(text)) % 64 AS w,
-        |                  1 + octet_length(encode(text)) % 48 AS h
+        |                  8 + octet_length(encode(text)) % 64 AS w,
+        |                  8 + octet_length(encode(text)) % 48 AS h
         |           FROM documents)
         |SELECT doc_id,
         |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
@@ -1668,10 +1676,10 @@ object SparkEntry {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mm_phash" ->
-      """WITH c AS (SELECT doc_id, md5(text) AS ck FROM documents),
-        |cls AS (SELECT ck, min(doc_id) AS content_class FROM c GROUP BY 1)
-        |SELECT doc_id, content_class, true AS phash_class_ok
-        |FROM c JOIN cls USING (ck) ORDER BY doc_id""".stripMargin,
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_content_classes,
+        |       true AS dup_covered_ok, true AS classes_coarser_ok
+        |FROM documents""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type,
@@ -1964,8 +1972,8 @@ object SparkEntry {
 
     "mm_resize" ->
       """WITH g AS (SELECT doc_id,
-        |                  1 + octet_length(encode(text)) % 64 AS src_w,
-        |                  1 + octet_length(encode(text)) % 48 AS src_h
+        |                  8 + octet_length(encode(text)) % 64 AS src_w,
+        |                  8 + octet_length(encode(text)) % 48 AS src_h
         |           FROM documents),
         |s AS (SELECT doc_id, src_w, src_h,
         |             least(1.0, least(32.0 / src_w, 32.0 / src_h)) AS sc

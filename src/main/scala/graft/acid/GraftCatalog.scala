@@ -72,25 +72,27 @@ object GraftCatalog {
     }
   }
 
-  /** Upsert `name` → `location`. Atomic: write-temp + move. */
-  def register(warehouse: String, name: String, location: String): Unit = {
+  /** One write path for both mutations: temp file + atomic move, parent
+    * dir created on demand (so drop of a never-registered warehouse is
+    * the metadata no-op the external-table contract implies, not a
+    * NoSuchFileException). */
+  private def writeEntries(warehouse: String, next: Seq[Entry]): Unit = {
     Files.createDirectories(Paths.get(warehouse))
-    val next = entries(warehouse).filterNot(_.name == name) :+ Entry(name, location)
     val tmp = Files.createTempFile(Paths.get(warehouse), ".catalog", ".tmp")
     Files.write(tmp, next.map(fmt).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, catalogFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Upsert `name` → `location`. Atomic: write-temp + move. */
+  def register(warehouse: String, name: String, location: String): Unit =
+    writeEntries(warehouse,
+      entries(warehouse).filterNot(_.name == name) :+ Entry(name, location))
+
   /** Remove `name` from the catalog (the table's files are untouched —
     * DROP here is the external-table contract: metadata only). */
-  def drop(warehouse: String, name: String): Unit = {
-    val next = entries(warehouse).filterNot(_.name == name)
-    val tmp = Files.createTempFile(Paths.get(warehouse), ".catalog", ".tmp")
-    Files.write(tmp, next.map(fmt).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, catalogFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def drop(warehouse: String, name: String): Unit =
+    writeEntries(warehouse, entries(warehouse).filterNot(_.name == name))
 
   /** Bind every cataloged table into `spark`'s view namespace via
     * `TxLog.read` — call in a NEW session/process to get the reference's

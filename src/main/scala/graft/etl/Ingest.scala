@@ -48,8 +48,13 @@ object Ingest {
                          basePath: Option[String] = None)
       : (DataFrame, Seq[QuarantinedPath]) = {
     val attempts = paths.map { p =>
-      // footer/schema parse of just this path — corrupt footers throw here
-      p -> Try(spark.read.parquet(p).schema)
+      // footer/schema parse of just this path. mergeSchema=true HERE is
+      // load-bearing regardless of the caller's flag: it forces EVERY
+      // footer under the path to parse, so a dir holding one healthy
+      // and one truncated file fails validation now instead of failing
+      // the combined read later (single-footer inference would sample
+      // the healthy file and wave the path through)
+      p -> Try(spark.read.option("mergeSchema", "true").parquet(p).schema)
     }
     val bad = attempts.collect { case (p, Failure(e)) =>
       QuarantinedPath(p,

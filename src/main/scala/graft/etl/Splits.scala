@@ -36,12 +36,16 @@ object Splits {
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
                        fracPermille: Int): DataFrame = {
     require(fracPermille > 0 && fracPermille <= 1000)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(xxhash64(col(keyCol)), col(keyCol))
+    val byStratum = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    val w = byStratum.orderBy(xxhash64(col(keyCol)), col(keyCol))
+    // rank and count ride the SAME window shuffle; the quota stays in
+    // the Column API except the integral `div` (applied to our own
+    // internal column, so arbitrary caller column names never reach a
+    // SQL string)
     df.withColumn("__rk", row_number().over(w))
-      .withColumn("__quota",
-        expr(s"(count(1) over (partition by $strataCol) * $fracPermille + 999) div 1000"))
+      .withColumn("__cnt", count(lit(1)).over(byStratum))
+      .withColumn("__quota", expr(s"(__cnt * $fracPermille + 999) div 1000"))
       .filter(col("__rk") <= col("__quota"))
-      .drop("__rk", "__quota")
+      .drop("__rk", "__cnt", "__quota")
   }
 }

@@ -33,17 +33,21 @@ object BinaryColumns {
   }
 
   /** Deterministic REAL image per document: a P6 PPM whose dimensions
-    * derive from the text's byte length (w = 1 + n % 64, h = 1 + n % 48 —
+    * derive from the text's byte length (w = 8 + n % 64, h = 8 + n % 48 —
     * the oracle computes the same) and whose RGB raster is the text's
-    * bytes cycled to w*h*3. Stands in for reading image files from
-    * object storage; everything downstream decodes it for real. */
+    * bytes cycled to w*h*3. The 8-pixel floor keeps every image at
+    * least one full aHash grid: a 1×1 image would hash to 0 no matter
+    * its pixel (all cell means equal), so two distinct tiny docs could
+    * merge into one phash class and break the mm_phash contract by
+    * corpus-luck. Stands in for reading image files from object
+    * storage; everything downstream decodes it for real. */
   def toImageBlobs(docs: DataFrame): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
     toBlobs(docs).map { b =>
       val n = b.payload.length
-      val w = 1 + n % 64
-      val h = 1 + n % 48
+      val w = 8 + n % 64
+      val h = 8 + n % 48
       val px = new Array[Byte](w * h * 3)
       if (n > 0) {
         var i = 0

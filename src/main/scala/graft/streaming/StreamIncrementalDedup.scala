@@ -35,17 +35,28 @@ object StreamIncrementalDedup {
     val empty = batches.head.limit(0)
     empty.write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
-    // the doc store the verify stage may read text from; grows per batch
-    var docStore = corpusText.select(col("doc_id"), col(textCol))
+    val corpusSlim = corpusText.select(col("doc_id"), col(textCol))
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // the growing doc store is the STAGED SOURCE itself (all prior
+          // drops are parquet in srcDir) minus this batch's own docs — a
+          // constant-depth plan per batch, not an N-way union whose
+          // lineage grows with stream age
+          val docStore = corpusSlim.unionByName(
+            s.read.schema(schema).parquet(srcDir)
+              .select(col("doc_id"), col(textCol))
+              .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti"))
+          // per-batch frames must not accumulate in the cache manager
+          // over a long-running stream: disable the signature cache for
+          // this batch's cloned session (recompute is a per-row codegen
+          // projection — cheap; an unreleased persist per batch is not)
+          s.conf.set(graft.Caching.MaterializeKey, "false")
           IncrementalDedup.dedupBatch(batch, docStore, indexTable, textCol)
             .write.mode("append").parquet(outDir)
-          docStore = docStore.unionByName(
-            batch.select(col("doc_id"), col(textCol)))
         }
       }
       .start()

@@ -466,6 +466,9 @@ class AcidSpec extends SparkSpec {
     GraftCatalog.drop(wh, "cat_spec_table")
     assert(GraftCatalog.entries(wh).isEmpty)
     assert(TxLog.read(spark, t).count() == 3)
+    // drop against a warehouse that never existed is a metadata no-op
+    GraftCatalog.drop(s"$wh/never_created", "ghost")
+    assert(GraftCatalog.entries(s"$wh/never_created").isEmpty)
   }
 
   test("timestamp stats skip correctly across parquet timestamp units") {

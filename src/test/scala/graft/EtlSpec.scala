@@ -90,5 +90,18 @@ class EtlSpec extends SparkSpec {
     // an all-bad batch still returns a frame plus the full quarantine list
     val (empty, allBad) = Ingest.readBatchResilient(spark, Seq(s"$base/p3"))
     assert(empty.count() == 0 && allBad.size == 1)
+    // a MIXED path (one healthy + one corrupt file) must quarantine, not
+    // pass single-footer validation and then fail the combined read
+    Seq((9L, "w")).toDF("id", "v").write.parquet(s"$base/p4")
+    val firstParquet = new java.io.File(s"$base/p4").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/p4/part-99999-corrupt.snappy.parquet"),
+      "garbage next to a healthy file".getBytes("UTF-8"))
+    assert(firstParquet.exists)
+    val (good2, quarantined2) = Ingest.readBatchResilient(spark,
+      Seq(s"$base/p1", s"$base/p4"))
+    assert(quarantined2.map(_.path) == Seq(s"$base/p4"))
+    assert(good2.count() == 2, "healthy path still lands")
   }
 }

@@ -55,6 +55,10 @@ class SimilaritySpec extends SparkSpec {
     assert(sampled.join(ev, Seq("event_id", "event_type"), "left_anti").count() == 0)
     val again = Splits.stratifiedSample(ev.repartition(7), "event_type", "event_id", 200)
     assert(sampled.select("event_id").exceptAll(again.select("event_id")).isEmpty)
+    // column names that need quoting survive (no raw SQL interpolation)
+    val spaced = ev.withColumnRenamed("event_type", "event type")
+    val s2 = Splits.stratifiedSample(spaced, "event type", "event_id", 200)
+    assert(s2.count() == sampled.count())
   }
 
   test("brute-force topk: k rows per query, sims descending, self excluded") {
