@@ -90,8 +90,26 @@ object IncrementalDedup {
   def dedupBatch(batch: DataFrame, corpusText: DataFrame, indexTable: String,
                  textCol: String = "text",
                  minJaccard: Double = 0.2): DataFrame = {
-    val spark = batch.sparkSession
     val newBands = graft.Caching.materialize(bands(batch, textCol))
+    val verified = pairsWithBands(batch, newBands, corpusText, indexTable,
+      textCol, minJaccard)
+    // index grows by exactly this batch; next batch sees it (the batch-id
+    // anti-join in candidatesVsIndex keeps THIS batch's results
+    // append-timing-proof)
+    appendToIndex(newBands, indexTable)
+    verified
+  }
+
+  /** The pure half of [[dedupBatch]]: verified pairs of `batch` against
+    * the index and itself, with NO side effect on the index. The result
+    * is identical whether or not this batch's own bands have already
+    * been appended (the batch-id anti-join in [[candidatesVsIndex]]),
+    * which is what makes a replayed micro-batch recompute byte-identical
+    * output. */
+  private def pairsWithBands(batch: DataFrame, newBands: DataFrame,
+                             corpusText: DataFrame, indexTable: String,
+                             textCol: String, minJaccard: Double): DataFrame = {
+    val spark = batch.sparkSession
     val batchIds = batch.select(col("doc_id"))
     // candidates vs history: every index doc (batch ids excluded) is older
     val vsIndex = candidatesVsIndex(spark, newBands, batchIds, indexTable)
@@ -122,10 +140,46 @@ object IncrementalDedup {
           size(array_union(col("sh_n"), col("sh_o"))).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("new_doc", "matched_doc", "jaccard")
-    // index grows by exactly this batch; next batch sees it (the batch-id
-    // anti-join above keeps THIS batch's results append-timing-proof)
-    appendToIndex(newBands, indexTable)
     verified
+  }
+
+  /** True iff any of `batch`'s documents already have band rows in the
+    * index — i.e. a previous (possibly crashed-after-append) run of this
+    * same batch landed its bands. One broadcast semi probe with
+    * `limit(1)` early-out; the index side is a plain bucket-ordered scan,
+    * no shuffle. */
+  private[graft] def indexHasBatch(batch: DataFrame, indexTable: String): Boolean =
+    !batch.sparkSession.table(indexTable)
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .isEmpty
+
+  /** EXACTLY-ONCE micro-batch apply for the streaming face: both side
+    * effects of a batch are keyed by the replayable `batchId` that
+    * `foreachBatch` supplies, so a crash between them and the checkpoint
+    * commit cannot duplicate data when the stream restarts and
+    * re-delivers the batch:
+    *
+    *   - verified pairs land at `outDir/batch=<id>` with OVERWRITE — a
+    *     replay rewrites the same partition instead of appending a second
+    *     copy (and recomputes the same rows: [[pairsWithBands]] is
+    *     append-timing-proof);
+    *   - the band append is guarded by [[indexHasBatch]] — if the first
+    *     attempt's append committed before the crash, the replay skips it
+    *     instead of double-inserting the batch's bands.
+    *
+    * Spark's file-commit protocol makes each individual write atomic
+    * (uncommitted task output is never visible), so every crash point
+    * leaves the pair partition either absent or complete and the index
+    * either without or with the batch's bands — all four states replay to
+    * the same final state. */
+  def applyBatchExactlyOnce(batch: DataFrame, corpusText: DataFrame,
+                            indexTable: String, batchId: Long, outDir: String,
+                            textCol: String = "text",
+                            minJaccard: Double = 0.2): Unit = {
+    val newBands = graft.Caching.materialize(bands(batch, textCol))
+    pairsWithBands(batch, newBands, corpusText, indexTable, textCol, minJaccard)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    if (!indexHasBatch(batch, indexTable)) appendToIndex(newBands, indexTable)
   }
 
   /** Append band rows into the bucketed index, preserving its layout. */

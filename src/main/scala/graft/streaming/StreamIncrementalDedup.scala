@@ -18,7 +18,16 @@ import graft.dedup.IncrementalDedup
   * The doc store grows with the stream: each processed batch's text
   * joins the corpus for later batches' verify stage (semi-join pruned —
   * only matched docs are ever read). Emitted pairs land in a durable
-  * file sink, O(pairs) on executors, never the driver. */
+  * file sink, O(pairs) on executors, never the driver.
+  *
+  * EXACTLY-ONCE: foreachBatch is an at-least-once hook — after a crash
+  * between a batch's side effects and the checkpoint commit, the
+  * restarted query re-delivers the same micro-batch with the SAME
+  * `batchId`. Both side effects are therefore keyed by that id
+  * ([[IncrementalDedup.applyBatchExactlyOnce]]): pairs overwrite a
+  * per-batch partition `out/batch=<id>` and the band append is skipped
+  * when the batch's bands already landed, so a replay converges to the
+  * first delivery's state instead of double-appending pairs and bands. */
 object StreamIncrementalDedup {
 
   /** Stage `batches` as file-source drops processed IN ORDER (one
@@ -35,11 +44,25 @@ object StreamIncrementalDedup {
     val empty = batches.head.limit(0)
     empty.write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
+    // schema-stable empty marker: the sink dir exists (and carries the
+    // pair schema) even if every staged drop turns out empty, so the
+    // final read never throws path-does-not-exist
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("new_doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("matched_doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir/batch=-1")
     val corpusSlim = corpusText.select(col("doc_id"), col(textCol))
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           // the growing doc store is the STAGED SOURCE itself (all prior
@@ -55,8 +78,8 @@ object StreamIncrementalDedup {
           // this batch's cloned session (recompute is a per-row codegen
           // projection — cheap; an unreleased persist per batch is not)
           s.conf.set(graft.Caching.MaterializeKey, "false")
-          IncrementalDedup.dedupBatch(batch, docStore, indexTable, textCol)
-            .write.mode("append").parquet(outDir)
+          IncrementalDedup.applyBatchExactlyOnce(
+            batch, docStore, indexTable, batchId, outDir, textCol)
         }
       }
       .start()
@@ -66,6 +89,9 @@ object StreamIncrementalDedup {
         q.processAllAvailable() // one staged drop = one micro-batch
       }
     } finally q.stop()
+    // partition discovery adds the batch key; drop it — callers see the
+    // pure (new_doc, matched_doc, jaccard) pair set
     spark.read.parquet(outDir)
+      .select("new_doc", "matched_doc", "jaccard")
   }
 }

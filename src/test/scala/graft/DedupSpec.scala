@@ -91,6 +91,59 @@ class DedupSpec extends SparkSpec {
     assert(spark.table(idx).select("doc_id").distinct().count() == 3L)
   }
 
+  test("streaming incremental dedup: replayed micro-batch is exactly-once") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ridx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rout").toString
+    val idx = "graft_spec_lsh_index_replay"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.initIndex(corpus, idx, idxPath)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "unique content nothing like the rest at all")).toDF("doc_id", "text")
+    def pairCount = spark.read.parquet(outDir)
+      .select("new_doc", "matched_doc", "jaccard").count()
+    def bandCount = spark.table(idx).count()
+    // first delivery
+    IncrementalDedup.applyBatchExactlyOnce(batch, corpus, idx, 3L, outDir)
+    val (p1, b1) = (pairCount, bandCount)
+    assert(p1 == 1L, s"expected the one (10,1) pair, got $p1")
+    // crash AFTER both effects, BEFORE checkpoint commit → foreachBatch
+    // re-delivers the same batch with the same batchId
+    IncrementalDedup.applyBatchExactlyOnce(batch, corpus, idx, 3L, outDir)
+    assert(pairCount == p1, "replay duplicated emitted pairs")
+    assert(bandCount == b1, "replay double-appended index bands")
+    // crash BETWEEN effects: bands landed but the pair partition was lost
+    // (pair write and index append straddle the failure) — the replay
+    // must regenerate identical pairs even though the index now already
+    // holds the batch's own bands
+    val pairDir = java.nio.file.Paths.get(outDir, "batch=3")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(pairDir).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    IncrementalDedup.applyBatchExactlyOnce(batch, corpus, idx, 3L, outDir)
+    assert(pairCount == p1, "replay after partial crash lost or duplicated pairs")
+    assert(bandCount == b1, "replay after partial crash double-appended bands")
+    val pair = spark.read.parquet(outDir).select("new_doc", "matched_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pair == Set((10L, 1L)))
+  }
+
+  test("streaming incremental dedup: all-empty stream yields a schema-stable empty frame") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_eidx").toString
+    val idx = "graft_spec_lsh_index_empty"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.initIndex(corpus, idx, idxPath)
+    val none = corpus.limit(0)
+    val out = graft.streaming.StreamIncrementalDedup
+      .run(spark, corpus, Seq(none, none), idx)
+    assert(out.columns.toSeq == Seq("new_doc", "matched_doc", "jaccard"))
+    assert(out.count() == 0L)
+  }
+
   test("exact dedup: keepers unique, copies sum to corpus size") {
     val d = Dedup.exact(docs)
     assert(d.select("keeper").distinct().count() == d.count())
