@@ -1,7 +1,10 @@
 package graft.acid
 
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 
@@ -25,8 +28,11 @@ import scala.jdk.CollectionConverters._
   * the txlog.
   *
   * Writes go through a temp-file + atomic-move, so a reader never sees
-  * a torn catalog; last-writer-wins on concurrent registration, which
-  * matches the reference's Glue `update_table` semantics. */
+  * a torn catalog, and every read-modify-write runs under a catalog
+  * LOCK FILE ([[withCatalogLock]]) so concurrent registrations cannot
+  * lose each other's entries. Last-writer-wins applies only to the SAME
+  * name (the reference's Glue `update_table` semantics) — different
+  * names registered concurrently both survive. */
 object GraftCatalog {
 
   final case class Entry(name: String, location: String)
@@ -44,6 +50,10 @@ object GraftCatalog {
       case c => c.toString
     } + "\""
 
+  /** Inverse of [[q]]. Tolerant by design: a truncated or non-hex
+    * `\\uXXXX` (hand-edited or corrupted line) decodes as the literal
+    * characters instead of throwing — one bad line must never make the
+    * whole catalog unreadable. */
   private def unq(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -51,7 +61,10 @@ object GraftCatalog {
       s(i) match {
         case '\\' if i + 1 < s.length =>
           s(i + 1) match {
-            case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 5
+            case 'u' if i + 6 <= s.length &&
+                s.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 5
+            case 'u' => sb += 'u'; i += 1 // malformed escape: keep literally
             case c => sb += c; i += 1
           }
         case c => sb += c
@@ -67,15 +80,39 @@ object GraftCatalog {
   def entries(warehouse: String): Seq[Entry] = {
     val f = catalogFile(warehouse)
     if (!Files.exists(f)) Seq.empty
-    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.collect {
-      case Line(n, l) => Entry(unq(n), unq(l))
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.flatMap {
+      // per-line Try: a malformed line is skipped (matching the regex's
+      // tolerance of unparseable rows), never fatal to the catalog
+      case Line(n, l) => Try(Entry(unq(n), unq(l))).toOption
+      case _ => None
     }
   }
 
-  /** One write path for both mutations: temp file + atomic move, parent
-    * dir created on demand (so drop of a never-registered warehouse is
-    * the metadata no-op the external-table contract implies, not a
-    * NoSuchFileException). */
+  /** Serializes read-modify-write cycles across writers. An OS advisory
+    * lock on a sidecar file (`FileChannel.lock` blocks until granted and
+    * is released by the kernel even if the holder dies — no stale-lock
+    * sweep needed) covers concurrent PROCESSES; the JVM monitor covers
+    * concurrent THREADS of this process, which the channel lock alone
+    * cannot (overlapping same-JVM locks throw instead of queueing).
+    * Catalog mutations are O(tables) metadata, so one coarse monitor is
+    * fine. On an object store (no POSIX locks) this would become a
+    * conditional-put/CAS on the catalog object version. */
+  private val jvmLock = new Object
+  private def withCatalogLock[T](warehouse: String)(body: => T): T =
+    jvmLock.synchronized {
+      Files.createDirectories(Paths.get(warehouse))
+      val ch = FileChannel.open(Paths.get(warehouse, ".catalog.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+
+  /** One write path for both mutations: temp file + atomic move (a
+    * reader never sees a torn file), parent dir created on demand (so
+    * drop of a never-registered warehouse is the metadata no-op the
+    * external-table contract implies, not a NoSuchFileException). */
   private def writeEntries(warehouse: String, next: Seq[Entry]): Unit = {
     Files.createDirectories(Paths.get(warehouse))
     val tmp = Files.createTempFile(Paths.get(warehouse), ".catalog", ".tmp")
@@ -84,15 +121,22 @@ object GraftCatalog {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Upsert `name` → `location`. Atomic: write-temp + move. */
+  /** Upsert `name` → `location`. The read-filter-append-write runs under
+    * the catalog lock, so two concurrent registers of DIFFERENT names
+    * both survive (no lost update); same-name races resolve
+    * last-writer-wins, the documented Glue contract. */
   def register(warehouse: String, name: String, location: String): Unit =
-    writeEntries(warehouse,
-      entries(warehouse).filterNot(_.name == name) :+ Entry(name, location))
+    withCatalogLock(warehouse) {
+      writeEntries(warehouse,
+        entries(warehouse).filterNot(_.name == name) :+ Entry(name, location))
+    }
 
   /** Remove `name` from the catalog (the table's files are untouched —
     * DROP here is the external-table contract: metadata only). */
   def drop(warehouse: String, name: String): Unit =
-    writeEntries(warehouse, entries(warehouse).filterNot(_.name == name))
+    withCatalogLock(warehouse) {
+      writeEntries(warehouse, entries(warehouse).filterNot(_.name == name))
+    }
 
   /** Bind every cataloged table into `spark`'s view namespace via
     * `TxLog.read` — call in a NEW session/process to get the reference's

@@ -471,6 +471,56 @@ class AcidSpec extends SparkSpec {
     assert(GraftCatalog.entries(s"$wh/never_created").isEmpty)
   }
 
+  test("catalog: concurrent registers of different names all survive") {
+    import graft.acid.GraftCatalog
+    val wh = tmp()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the lost-update shape: N writers read-modify-write the same file
+    // at once; without mutual exclusion the losers' entries vanish
+    val writes = (1 to 16).map { i => Future {
+      GraftCatalog.register(wh, s"cat_conc_$i", s"/loc/$i")
+    }}
+    Await.result(Future.sequence(writes), 60.seconds)
+    val got = GraftCatalog.entries(wh).map(_.name).toSet
+    assert(got == (1 to 16).map(i => s"cat_conc_$i").toSet,
+      s"lost updates: missing ${(1 to 16).map(i => s"cat_conc_$i").toSet -- got}")
+    // mixed register/drop races keep unrelated entries intact too
+    val mixed = (1 to 8).map { i => Future {
+      if (i % 2 == 0) GraftCatalog.drop(wh, s"cat_conc_$i")
+      else GraftCatalog.register(wh, s"cat_conc_extra_$i", s"/loc2/$i")
+    }}
+    Await.result(Future.sequence(mixed), 60.seconds)
+    val after = GraftCatalog.entries(wh).map(_.name).toSet
+    assert((1 to 8).filter(_ % 2 == 0).forall(i => !after(s"cat_conc_$i")))
+    assert((1 to 8).filter(_ % 2 != 0).forall(i => after(s"cat_conc_extra_$i")))
+    assert((9 to 16).forall(i => after(s"cat_conc_$i")), "drops clobbered bystanders")
+  }
+
+  test("catalog: malformed lines and truncated escapes are skipped, not fatal") {
+    import graft.acid.GraftCatalog
+    val wh = tmp()
+    GraftCatalog.register(wh, "good_table", "/loc/good")
+    // corrupt the file by hand: garbage line + a truncated \uXXXX escape
+    val f = java.nio.file.Paths.get(wh, "catalog.jsonl")
+    val bs = "\\" // (Scala 2 pre-processes \-u escapes even in raw strings)
+    val hand = Seq(
+      """not json at all""",
+      s"""{"name":"bad_esc_${bs}u12","location":"/loc/bad"}""", // short escape
+      s"""{"name":"bad_esc2_${bs}uZZZZ","location":"/loc/bad2"}""") // non-hex
+    java.nio.file.Files.write(f, (java.nio.file.Files.readAllLines(f)
+      .toArray.toSeq.map(_.toString) ++ hand).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val names = GraftCatalog.entries(wh).map(_.name)
+    assert(names.contains("good_table"), "corruption made good entries unreadable")
+    // the malformed-escape lines decode literally rather than throwing
+    assert(names.exists(_.startsWith("bad_esc")) || names.size == 1)
+    // and a subsequent register still works over the corrupted file
+    GraftCatalog.register(wh, "post_corruption", "/loc/post")
+    assert(GraftCatalog.entries(wh).map(_.name).contains("post_corruption"))
+  }
+
   test("timestamp stats skip correctly across parquet timestamp units") {
     import spark.implicits._
     val key = "spark.sql.parquet.outputTimestampType"
