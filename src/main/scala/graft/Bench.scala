@@ -101,8 +101,9 @@ object Bench {
     val t0setup = System.nanoTime()
     SparkEntry.ensureBucketedTables(spark, sfDir)
     val setupSec = (System.nanoTime() - t0setup) / 1e9
-    // the bucketed-table dirs live for the whole run — take them out of
-    // the reclamation queue so per-query cleanup can't delete them
+    // bucketed-table dirs are session-lifetime and created OUTSIDE the
+    // TempDirs registry (ensureBucketedTables); this drain only resets
+    // the queue for whatever else setup may have registered
     SparkEntry.drainTempDirs()
 
     // self-test hook: prove the failure path end-to-end — with

@@ -317,10 +317,26 @@ object SparkEntry {
 
   /** One-time-per-session bucketed-table setup for [[joinBucketed]] —
     * split out so the bench can time table WRITES (setup) separately from
-    * the join itself. Idempotent via catalog lookup. */
-  def ensureBucketedTables(s: SparkSession, dir: String): Unit =
+    * the join itself. The base dir is deliberately NOT in the TempDirs
+    * registry: the tables outlive any single scenario (they stay in the
+    * session catalog), so a per-query cleanupTempDirs() must never
+    * delete their data out from under the catalog entry. The guard also
+    * re-checks the DATA directory, not just the catalog — if some
+    * earlier lifecycle deleted the files while the name stayed
+    * registered, the tables are dropped and rebuilt instead of serving
+    * a dangling location. */
+  def ensureBucketedTables(s: SparkSession, dir: String): Unit = {
+    val stale = s.catalog.tableExists("graft_lineitem_b") && {
+      val loc = java.net.URI.create(
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_lineitem_b"))
+          .location.toString).getPath
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(loc))
+    }
+    if (stale) Seq("graft_lineitem_b", "graft_orders_b")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     if (!s.catalog.tableExists("graft_lineitem_b")) {
-      val base = tempDir("bucketed")
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed_keep").toString
       Bucketing.writeBucketed(
         Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
         "graft_orders_b", s"$base/orders", "o_orderkey", 8)
@@ -328,6 +344,7 @@ object SparkEntry {
         Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_quantity"),
         "graft_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
     }
+  }
 
   /** #43 Bucketed co-located join: both facts written bucketed+sorted by
     * the join key → sort-merge join with no shuffle on either side. */

@@ -6,7 +6,16 @@ package graft
   * what it returns — round 4 leaked every pass's scratch tables into
   * /tmp and later bench passes measured disk contention, not the query.
   * Nothing here deletes eagerly: a returned DataFrame may still be
-  * lazily reading from these dirs until the caller materializes it. */
+  * lazily reading from these dirs until the caller materializes it.
+  *
+  * CONTRACT: drain()/cleanup() assume strictly SEQUENTIAL scenario
+  * execution — cleanup() deletes everything registered since the last
+  * drain, so a concurrently-running scenario (parallel suites, a live
+  * streaming query's checkpoint dir) could have its live dirs deleted
+  * by another scenario's cleanup. Verify and Bench run queries one at a
+  * time on one thread, which is the only supported usage; anything that
+  * must survive a later scenario's cleanup (e.g. session-lifetime
+  * bucketed tables) must create its dirs OUTSIDE this registry. */
 object TempDirs {
 
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()

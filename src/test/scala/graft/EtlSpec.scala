@@ -70,6 +70,29 @@ class EtlSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bucketed tables survive tempdir cleanup and recover from a deleted location") {
+    SparkEntry.ensureBucketedTables(spark, sf)
+    // session-lifetime tables must NOT be in the reclamation registry:
+    // a later scenario's cleanup would delete their data out from under
+    // the catalog entry
+    SparkEntry.cleanupTempDirs()
+    assert(spark.table("graft_lineitem_b").count() > 0,
+      "per-scenario cleanup deleted the bucketed tables' data")
+    // if the location IS lost while the name stays registered, the guard
+    // rebuilds instead of serving a dangling path
+    val loc = java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_lineitem_b"))
+        .location.toString).getPath
+    val root = java.nio.file.Paths.get(loc).getParent // base holding both tables
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    SparkEntry.ensureBucketedTables(spark, sf)
+    assert(spark.table("graft_lineitem_b").count() > 0)
+    assert(spark.table("graft_orders_b").count() > 0)
+  }
+
   test("resilient ingest quarantines the corrupt path and lands the rest") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_resil").toString
