@@ -1,7 +1,11 @@
 package graft.etl
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.util.{Failure, Success, Try}
+import scala.util.Try
 
 /** Batch ingestion into the landing layout.
   *
@@ -33,10 +37,21 @@ object Ingest {
   final case class QuarantinedPath(path: String, reason: String)
 
   /** Fault-isolated batch read: validate every path's parquet FOOTERS
-    * independently (the same driver-side metadata read scan planning
-    * performs — O(paths) metadata operations, no data I/O), then read
-    * only the paths that parse. A truncated or garbage landing file
-    * quarantines ITS path with the error; every other partition lands.
+    * in ONE distributed job — the path list parallelizes across
+    * executors and each task lists its path and opens every data file's
+    * footer (metadata-only I/O, the same bytes scan planning touches;
+    * per-file footer reads in tasks are the ParquetStats precedent).
+    * A truncated or garbage landing file quarantines ITS path with the
+    * error; every other partition lands. At the reference's fan-out
+    * scale (years x months x types of landing partitions) this is one
+    * job of O(paths) parallel footer parses, not thousands of
+    * sequential driver round-trips. Opening each footer individually
+    * also means a dir holding one healthy and one truncated file fails
+    * validation now instead of failing the combined read later
+    * (single-footer schema inference would sample the healthy file and
+    * wave the path through). Cross-file schema-merge conflicts are NOT
+    * pre-checked — they surface from the combined read, exactly as
+    * cross-path conflicts always did.
     * `basePath` preserves hive-style partition columns when `paths` are
     * individual partition directories.
     *
@@ -47,21 +62,37 @@ object Ingest {
                          mergeSchema: Boolean = true,
                          basePath: Option[String] = None)
       : (DataFrame, Seq[QuarantinedPath]) = {
-    val attempts = paths.map { p =>
-      // footer/schema parse of just this path. mergeSchema=true HERE is
-      // load-bearing regardless of the caller's flag: it forces EVERY
-      // footer under the path to parse, so a dir holding one healthy
-      // and one truncated file fails validation now instead of failing
-      // the combined read later (single-footer inference would sample
-      // the healthy file and wave the path through)
-      p -> Try(spark.read.option("mergeSchema", "true").parquet(p).schema)
-    }
-    val bad = attempts.collect { case (p, Failure(e)) =>
-      QuarantinedPath(p,
-        e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200))
-    }
-    val good = attempts.collect { case (p, Success(_)) => p }
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sessionState.newHadoopConf()))
+    val verdicts: Array[(String, Option[String])] = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .map { p =>
+        val err = Try {
+          val conf = confBc.value.value
+          val root = new Path(p)
+          val fs = root.getFileSystem(conf)
+          val it = fs.listFiles(root, true)
+          var dataFiles = 0
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+              dataFiles += 1
+              // full footer parse; throws on truncation/garbage
+              ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf)).close()
+            }
+          }
+          if (dataFiles == 0)
+            throw new IllegalArgumentException(s"no data files under $p")
+        }.failed.toOption.map(e =>
+          e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200))
+        p -> err
+      }.collect()
+    val byPath = verdicts.toMap
+    // preserve caller order in both outputs
+    val bad = paths.flatMap(p => byPath(p).map(QuarantinedPath(p, _)))
+    val good = paths.filter(p => byPath(p).isEmpty)
     val reader = spark.read.option("mergeSchema", mergeSchema.toString)
     val df =
       if (good.isEmpty)

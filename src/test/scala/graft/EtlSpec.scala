@@ -127,4 +127,38 @@ class EtlSpec extends SparkSpec {
     assert(quarantined2.map(_.path) == Seq(s"$base/p4"))
     assert(good2.count() == 2, "healthy path still lands")
   }
+
+  test("resilient ingest validates a wide fan-out in one distributed job") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_resil_wide").toString
+    val n = 40
+    (0 until n).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.parquet(s"$base/p$i")
+    }
+    // one corrupt partition in the middle, one missing path at the end
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/p7/part-corrupt.snappy.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    val paths = (0 until n).map(i => s"$base/p$i") :+ s"$base/p_missing"
+    // validation must be ONE spark job over the path list, not one
+    // driver round-trip per path — count jobs via a listener
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (good, bad) = Ingest.readBatchResilient(spark, paths)
+      assert(bad.map(_.path).toSet == Set(s"$base/p7", s"$base/p_missing"))
+      assert(good.count() == (n - 1).toLong, "all healthy partitions land")
+      // listener events are async — poll briefly for the final job-start
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      // the count() above and merge-schema inference add a handful of
+      // jobs of their own; the bound proves validation didn't run
+      // O(paths) = 41 jobs
+      assert(jobs.get() <= 8, s"expected O(1) jobs for validation, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
