@@ -793,11 +793,14 @@ object SparkEntry {
     graft.text.Packing.shardStats(
       graft.text.Packing.packByTokenBudget(Tables.documents(s, dir), budget = 2000L))
 
-  /** #31 Multimodal binary plumbing with a REAL pure-JVM codec: each doc
-    * becomes a P6 PPM blob (dims derived from its text length), and the
-    * metadata comes from actually parsing the header+raster — the oracle
-    * recomputes dims AND total blob size (header + w*h*3) from the same
-    * geometry. */
+  /** #31 Multimodal binary plumbing over a MIXED-container corpus: each
+    * doc becomes a ppm, png, or jpg blob (container keyed on text byte
+    * length, dims derived from it too), the metadata comes from sniffing
+    * the magic bytes and actually decoding the raster (JDK ImageIO for
+    * png/jpg, the hand-rolled parser for ppm), and `container_ok` is a
+    * per-format structural check of the raw bytes (exact PPM size law,
+    * PNG IHDR dims + IEND trailer, JPEG SOI/EOI framing). The oracle
+    * recomputes format and geometry from the same text-length law. */
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.binaryMeta(s, Tables.documents(s, dir))
 
@@ -818,14 +821,16 @@ object SparkEntry {
     * decoded raster, output buffer = dst_w*dst_h*3 interleaved RGB. */
   def mmResize(s: SparkSession, dir: String): DataFrame =
     BinaryColumns.resizeImages(
-        BinaryColumns.toImageBlobs(Tables.documents(s, dir)), maxW = 32, maxH = 32)
+        BinaryColumns.toMixedImageBlobs(Tables.documents(s, dir)), maxW = 32, maxH = 32)
       .toDF()
       .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_bytes")
       .orderBy("doc_id")
 
   /** #88 Perceptual image dedup (aHash over DECODED pixels — possible
-    * because the codec is real): every doc's PPM blob is decoded and
-    * average-hashed on an 8x8 luminance grid. The oracle asserts the
+    * because the codecs are real): every doc's blob — ppm, png, or jpg,
+    * container keyed on content length so identical texts get identical
+    * blobs — is sniffed, decoded, and average-hashed on an 8x8
+    * luminance grid. The oracle asserts the
     * two properties a PERCEPTUAL hash actually guarantees: (a)
     * `dup_covered_ok` — identical content => identical image =>
     * identical phash, so every exact-duplicate pair collides (recall
@@ -839,9 +844,9 @@ object SparkEntry {
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val hashed = BinaryColumns.toImageBlobs(docs).mapPartitions { it =>
+    val hashed = BinaryColumns.toMixedImageBlobs(docs).mapPartitions { it =>
       it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(
-        graft.multimodal.Ppm.decode(b.payload))))
+        graft.multimodal.Codecs.decode(b.payload))))
     }.toDF("doc_id", "phash")
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("ck"))
       .join(hashed, Seq("doc_id"))
@@ -1670,14 +1675,16 @@ object SparkEntry {
 
     "mm_binary_meta" ->
       """WITH g AS (SELECT doc_id,
+        |                  octet_length(encode(text)) AS n,
         |                  8 + octet_length(encode(text)) % 64 AS w,
         |                  8 + octet_length(encode(text)) % 48 AS h
         |           FROM documents)
         |SELECT doc_id,
-        |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
-        |       + w * h * 3 AS BIGINT) AS n_bytes,
+        |  CASE n % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'jpg' END AS format,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST(3 AS BIGINT) AS channels
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(w * h * 3 AS BIGINT) AS raster_bytes,
+        |  true AS container_ok
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "corpus_pack" ->

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * The image path is REAL end-to-end as of round 5: payloads are P6 PPM
-  * blobs ([[Ppm]] — a pure-JVM codec, no native libraries), the decode
-  * parses the actual header and raster, and the resize is a true
+  * The image path is REAL end-to-end: payloads are P6 PPM, PNG, or
+  * JPEG blobs ([[Ppm]] hand-rolled + the JDK's ImageIO via [[Codecs]] —
+  * still no external libraries), the decode sniffs the container from
+  * magic bytes and parses the actual raster, and the resize is a true
   * area-average resample over the decoded pixels. The per-partition
   * `mapPartitions` placement is the production shape (the Scala analogue
   * of a mapInPandas batch UDF): a heavier codec (JPEG via JNI, a video
@@ -32,51 +33,104 @@ object BinaryColumns {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[Blob]
   }
 
-  /** Deterministic REAL image per document: a P6 PPM whose dimensions
-    * derive from the text's byte length (w = 8 + n % 64, h = 8 + n % 48 —
-    * the oracle computes the same) and whose RGB raster is the text's
-    * bytes cycled to w*h*3. The 8-pixel floor keeps every image at
-    * least one full aHash grid: a 1×1 image would hash to 0 no matter
-    * its pixel (all cell means equal), so two distinct tiny docs could
-    * merge into one phash class and break the mm_phash contract by
-    * corpus-luck. Stands in for reading image files from object
-    * storage; everything downstream decodes it for real. */
+  /** Deterministic raster per document: dimensions derive from the
+    * text's byte length (w = 8 + n % 64, h = 8 + n % 48 — the oracle
+    * computes the same) and the RGB raster is the text's bytes cycled
+    * to w*h*3. The 8-pixel floor keeps every image at least one full
+    * aHash grid: a 1×1 image would hash to 0 no matter its pixel (all
+    * cell means equal), so two distinct tiny docs could merge into one
+    * phash class and break the mm_phash contract by corpus-luck. */
+  private def rasterFor(payload: Array[Byte]): Ppm.Image = {
+    val n = payload.length
+    val w = 8 + n % 64
+    val h = 8 + n % 48
+    val px = new Array[Byte](w * h * 3)
+    if (n > 0) {
+      var i = 0
+      while (i < px.length) { px(i) = payload(i % n); i += 1 }
+    }
+    Ppm.Image(w, h, px)
+  }
+
+  /** Deterministic REAL image per document as a P6 PPM blob. Stands in
+    * for reading image files from object storage; everything downstream
+    * decodes it for real. */
   def toImageBlobs(docs: DataFrame): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
     toBlobs(docs).map { b =>
-      val n = b.payload.length
-      val w = 8 + n % 64
-      val h = 8 + n % 48
-      val px = new Array[Byte](w * h * 3)
-      if (n > 0) {
-        var i = 0
-        while (i < px.length) { px(i) = b.payload(i % n); i += 1 }
-      }
-      Blob(b.doc_id, Ppm.encode(w, h, px))
+      val img = rasterFor(b.payload)
+      Blob(b.doc_id, Ppm.encode(img.width, img.height, img.pixels))
     }
   }
 
-  /** Decode metadata per partition — a REAL header+raster parse
-    * ([[Ppm.decode]]); malformed payloads throw rather than yielding
-    * garbage dimensions. Decoder state would be amortized per batch
-    * here if the codec carried any. */
+  /** Mixed-container corpus: the same deterministic raster, but the
+    * CONTAINER rotates ppm/png/jpg keyed on the text's byte length
+    * (`n % 3` — the oracle computes the same). Keying the format on
+    * CONTENT, not doc_id, is load-bearing for the phash contract:
+    * identical texts must yield byte-identical blobs (JPEG is lossy, so
+    * two copies of one doc landing in different containers would decode
+    * to different pixels and split a content class). */
+  def toMixedImageBlobs(docs: DataFrame): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    toBlobs(docs).mapPartitions { it =>
+      // per-partition placement: ImageIO writer instances spin up here
+      it.map { b =>
+        val img = rasterFor(b.payload)
+        val fmt = (b.payload.length % 3) match {
+          case 0 => Codecs.PpmFormat
+          case 1 => Codecs.PngFormat
+          case _ => Codecs.JpgFormat
+        }
+        Blob(b.doc_id, Codecs.encode(fmt, img))
+      }
+    }
+  }
+
+  /** Decode metadata per partition — a REAL parse of whichever
+    * container the magic bytes announce ([[Codecs.decode]]); malformed
+    * payloads throw rather than yielding garbage dimensions. Decoder
+    * state would be amortized per batch here if the codec carried any. */
   def decodeMeta(blobs: Dataset[Blob]): Dataset[BlobMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val img = Ppm.decode(b.payload)
+        val img = Codecs.decode(b.payload)
         BlobMeta(b.doc_id, b.payload.length.toLong,
           img.width.toLong, img.height.toLong, img.channels.toLong)
       }
     }
   }
 
-  /** End-to-end: text → PPM blob → per-partition real decode → typed
-    * metadata frame. */
+  case class MixedMeta(doc_id: Long, format: String,
+                       width: Long, height: Long, channels: Long,
+                       raster_bytes: Long, container_ok: Boolean)
+
+  /** Format-sniffed metadata over a mixed-container corpus: the sniffed
+    * format, the DECODED geometry (format-independent — dims survive
+    * any container, lossy or not), and a per-format structural
+    * integrity verdict ([[Codecs.containerOk]]: the exact PPM size law,
+    * PNG IHDR-dims + IEND trailer, JPEG SOI/EOI framing) checked
+    * against the raw bytes. */
+  def mixedMeta(blobs: Dataset[Blob]): Dataset[MixedMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val img = Codecs.decode(b.payload)
+        MixedMeta(b.doc_id, Codecs.sniff(b.payload),
+          img.width.toLong, img.height.toLong, img.channels.toLong,
+          img.pixels.length.toLong, Codecs.containerOk(b.payload, img))
+      }
+    }
+  }
+
+  /** End-to-end: text → mixed ppm/png/jpg blob → per-partition real
+    * sniff+decode → typed metadata frame. */
   def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
-    decodeMeta(toImageBlobs(docs)).toDF().orderBy("doc_id")
+    mixedMeta(toMixedImageBlobs(docs)).toDF().orderBy("doc_id")
 
   case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
                           dst_w: Long, dst_h: Long, out_bytes: Long,
@@ -95,7 +149,7 @@ object BinaryColumns {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val img = Ppm.decode(b.payload)
+        val img = Codecs.decode(b.payload)
         val w = img.width; val h = img.height
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val dw = math.max(1L, math.floor(w * scale).toLong).toInt

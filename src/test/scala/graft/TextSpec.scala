@@ -139,19 +139,106 @@ class TextSpec extends SparkSpec {
     }
   }
 
-  test("binary plumbing: metadata survives parquet round-trip") {
+  test("binary plumbing: mixed-container metadata survives parquet round-trip") {
     val meta = BinaryColumns.binaryMeta(spark, docs)
     val path = java.nio.file.Files.createTempDirectory("graft_mm").toString
     meta.write.mode("overwrite").parquet(path)
     val back = spark.read.parquet(path)
     assert(back.count() == docs.count())
-    assert(back.schema("n_bytes").dataType.typeName == "long")
-    // blob size is exactly ppm header + raster for the decoded dims
-    assert(back.filter(col("n_bytes") =!=
-      (lit(9) + length(col("width").cast("string")) +
-       length(col("height").cast("string")) +
-       col("width") * col("height") * 3)).count() == 0)
+    assert(back.schema("raster_bytes").dataType.typeName == "long")
+    // decoded geometry is container-independent: raster = w*h*3 always
+    assert(back.filter(col("raster_bytes") =!=
+      col("width") * col("height") * 3).count() == 0)
     assert(back.filter(col("channels") =!= 3).count() == 0)
+    // every container passed its structural integrity check
+    assert(back.filter(!col("container_ok")).count() == 0)
+    // format is keyed on text byte length % 3 — all formats that the
+    // corpus's length distribution selects must actually appear
+    import spark.implicits._
+    val expected = docs.select(col("doc_id"),
+        (length(col("text").cast("binary")) % 3).as("m"))
+      .withColumn("format",
+        when(col("m") === 0, "ppm").when(col("m") === 1, "png").otherwise("jpg"))
+      .select("doc_id", "format")
+    assert(back.select("doc_id", "format").except(expected).count() == 0)
+    assert(expected.except(back.select("doc_id", "format")).count() == 0)
+  }
+
+  test("codecs: png round-trips pixels exactly; jpeg preserves geometry and is deterministic") {
+    import graft.multimodal.{Codecs, Ppm}
+    // 3x2 RGB with distinct known pixels
+    val px = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,   0, 0, 255.toByte,
+      255.toByte, 255.toByte, 255.toByte,   0, 0, 0,   128.toByte, 64, 32)
+    val src = Ppm.Image(3, 2, px)
+    val png = Codecs.encode("png", src)
+    assert(Codecs.sniff(png) == "png")
+    val backPng = Codecs.decode(png)
+    assert(backPng.width == 3 && backPng.height == 2)
+    // PNG is lossless: decoded pixels are bit-identical to the source
+    assert(backPng.pixels.sameElements(px))
+    assert(Codecs.containerOk(png, backPng))
+
+    val jpg = Codecs.encode("jpg", src)
+    assert(Codecs.sniff(jpg) == "jpg")
+    val backJpg = Codecs.decode(jpg)
+    // JPEG is lossy but geometry-exact and deterministic
+    assert(backJpg.width == 3 && backJpg.height == 2)
+    assert(Codecs.containerOk(jpg, backJpg))
+    assert(Codecs.encode("jpg", src).sameElements(jpg), "jpeg encode must be deterministic")
+    assert(Codecs.decode(jpg).pixels.sameElements(backJpg.pixels),
+      "jpeg decode must be deterministic")
+    // lossy, not garbage: per-channel error bounded on a smooth check
+    val flat = Ppm.Image(16, 16, Array.fill(16 * 16 * 3)(100.toByte))
+    val flatBack = Codecs.decode(Codecs.encode("jpg", flat))
+    val maxErr = flatBack.pixels.zip(flat.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"flat-field jpeg error $maxErr")
+
+    // ppm dispatches through the same sniff
+    val ppm = Codecs.encode("ppm", src)
+    assert(Codecs.sniff(ppm) == "ppm" && Codecs.decode(ppm).pixels.sameElements(px))
+    assert(Codecs.containerOk(ppm, src))
+    // unknown containers fail loudly at the sniff
+    intercept[IllegalArgumentException](Codecs.decode("GIF89a whatever".getBytes))
+    // structural damage is caught: IHDR dims that disagree with decode
+    val sizeLie = png.clone(); sizeLie(19) = 9 // IHDR width low byte: 3 -> 9
+    assert(!Codecs.containerOk(sizeLie, backPng))
+    val noEoi = jpg.dropRight(2)
+    assert(!Codecs.containerOk(noEoi, backJpg))
+  }
+
+  test("codecs: any imageio color model normalizes to interleaved 3-channel rgb") {
+    import graft.multimodal.Codecs
+    // grayscale PNG written by ImageIO directly (not our encoder) — the
+    // decode path must normalize it to 3 channels with r==g==b
+    val bi = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      bi.getRaster.setSample(x, y, 0, (x * 4 + y) * 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val img = Codecs.decode(bos.toByteArray)
+    assert(img.width == 4 && img.height == 4 && img.channels == 3)
+    for (i <- 0 until 16) {
+      assert(img.pixels(3 * i) == img.pixels(3 * i + 1) &&
+             img.pixels(3 * i + 1) == img.pixels(3 * i + 2))
+    }
+  }
+
+  test("phash: identical content collides across the mixed-container corpus") {
+    import spark.implicits._
+    import graft.multimodal.{BinaryColumns => BC, Codecs, Phash}
+    // duplicate texts with lengths hitting each container (n%3 = 0,1,2)
+    val texts = Seq("aaa", "bbbb", "ccccc").flatMap(t => Seq(t, t))
+    val dup = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = BC.toMixedImageBlobs(dup).map { b =>
+      (b.doc_id, Codecs.sniff(b.payload), Phash.aHash64(Codecs.decode(b.payload)))
+    }.collect().sortBy(_._1)
+    assert(hashed.map(_._2).distinct.sorted.sameElements(Array("jpg", "png", "ppm")))
+    // identical text => identical blob => identical phash, per container
+    assert(hashed.grouped(2).forall { case Array(a, b) => a._3 == b._3 })
   }
 
   test("ppm codec: encode/decode round-trip and known pixel values") {
