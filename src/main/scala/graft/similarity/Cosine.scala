@@ -65,22 +65,70 @@ object Cosine {
     * operator stays exact.
     *
     * Quadratic BY CONTRACT, so the call is gated: pass
-    * `exactAllPairs = true` to acknowledge O(n²) flops and O(n·B)
-    * shuffle — a bounded-corpus tool. The production near-dup default is
-    * the sub-quadratic LSH-candidates → exact-verify pipeline
-    * ([[graft.dedup.Dedup.pipeline]]). */
+    * `exactAllPairs = true` to acknowledge O(n²) pair enumeration and
+    * O(n·B) shuffle — a bounded-corpus tool. The production near-dup
+    * default is the sub-quadratic LSH-candidates → exact-verify pipeline
+    * ([[graft.dedup.Dedup.pipeline]]).
+    *
+    * The O(n²) stage itself is int8: pairs are first scanned over the
+    * QUANTIZED corpus ([[quantCandidates]] — one-byte codes, integer
+    * multiply-adds, ~8× narrower rows through the block replication)
+    * against the threshold relaxed by a per-pair RIGOROUS error margin,
+    * and only the surviving candidates are re-joined to the float
+    * vectors and exact-verified with the same codegen cosine as before —
+    * so the result is bit-identical to the pure-float version while the
+    * float work drops from O(n²) to O(survivors). */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    maxBlockRows: Int = 65536,
                    exactAllPairs: Boolean = false): DataFrame = {
     require(exactAllPairs,
-      "nearDupPairs is an EXACT all-pairs threshold join: O(n²) flops by " +
-      "contract. Pass exactAllPairs=true for a bounded corpus, or use " +
-      "Dedup.pipeline (LSH candidates + exact verify) at scale.")
+      "nearDupPairs is an EXACT all-pairs threshold join: O(n²) pair " +
+      "enumeration by contract. Pass exactAllPairs=true for a bounded " +
+      "corpus, or use Dedup.pipeline (LSH candidates + exact verify) at scale.")
     val spark = emb.sparkSession
-    // materialized: the sizing count below plus BOTH join sides read it —
-    // unmaterialized that is three full prepare scans of the corpus
-    val p = graft.Caching.materialize(prepared(emb))
-    val n = p.count()
+    val qp = graft.Caching.materialize(Quantize.pairPrepared(emb))
+    val survivors = quantCandidates(qp, threshold, maxBlockRows)
+    // exact verify: only survivors fetch the float vectors back. The
+    // survivor side is O(qualifying pairs) — tiny next to the corpus —
+    // so AQE broadcasts it and neither vector fetch shuffles the corpus.
+    val va = qp.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val vb = qp.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    survivors.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim_raw", graft.functions.GraftFunctions
+        .cosine_sim(spark, col("v_a"), col("v_b")))
+      .filter(col("sim_raw") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+              greatest(col("id_a"), col("id_b")).as("vec_b"),
+              round(col("sim_raw"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Int8 pre-filter of the block-partitioned all-pairs scan: emits every
+    * (id_a, id_b) whose QUANTIZED cosine clears `threshold` relaxed by a
+    * per-pair margin that is a THEOREM, not a tuning knob. With
+    * `a' = dq_a = a + e_a`, `δ_a = ||e_a||/||a||` (computed EXACTLY per
+    * vector in [[Quantize.pairPrepared]], not bounded):
+    *
+    *   |cos(a',b') − cos(a,b)| ≤ 2(δ_a + δ_b + δ_a·δ_b)
+    *                              / ((1−δ_a)(1−δ_b))          (δ < 1)
+    *
+    * (numerator: |<a',b'>−<a,b>| ≤ ||a||·||e_b|| + ||b||·||e_a|| +
+    * ||e_a||·||e_b|| plus the norm-product drift, both ≤ the δ-terms;
+    * denominator: ||a'||·||b'|| ≥ ||a||·||b||(1−δ_a)(1−δ_b).) Every pair
+    * whose EXACT cosine ≥ threshold therefore has quantized cosine
+    * ≥ threshold − margin and is kept: candidates ⊇ exact answer, proven,
+    * and the follow-up float verify makes the final result exact. Pairs
+    * the bound cannot cover (δ ≥ 1, zero norms) are passed through
+    * unconditionally — the verify stage, not the pre-filter, decides.
+    *
+    * Per pair this evaluates ONE integer dot over one-byte codes
+    * ([[graft.functions.QuantDot]], pure int multiply-adds in codegen)
+    * plus O(1) scalar algebra — the dequantized dot is reconstructed
+    * from per-vector scalars, never by materializing `dq`. */
+  def quantCandidates(qp: DataFrame, threshold: Double,
+                      maxBlockRows: Int = 65536): DataFrame = {
+    val spark = qp.sparkSession
+    val n = qp.count()
     // enough blocks to (a) bound SMJ buffering to maxBlockRows and
     // (b) keep all cores busy: B(B+1)/2 tasks >= default parallelism
     val forMemory = math.ceil(n.toDouble / maxBlockRows)
@@ -91,25 +139,43 @@ object Cosine {
       for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("blk_i", "blk_j")
     val blk = pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int")
-    val aSide = p.withColumn("blk_i", blk)
+    // only the codes + 5 scalars ride the O(n·B) replication — the float
+    // vectors stay behind (the persisted layer prunes columns)
+    val slim = qp.select("vec_id", "codes", "qmin", "qscale",
+                         "s_lvl", "qnorm", "delta")
+    val aSide = slim.withColumn("blk_i", blk)
       .join(blockPairs, "blk_i")
-      .select(col("blk_i"), col("blk_j"),
-        col("vec_id").as("id_a"), col("v").as("v_a"))
-    val bSide = p.withColumn("blk_j", blk)
+      .select(col("blk_i"), col("blk_j"), col("vec_id").as("id_a"),
+        col("codes").as("c_a"), col("qmin").as("qmin_a"),
+        col("qscale").as("qscale_a"), col("s_lvl").as("s_a"),
+        col("qnorm").as("qnorm_a"), col("delta").as("d_a"))
+    val bSide = slim.withColumn("blk_j", blk)
       .join(blockPairs, "blk_j")
-      .select(col("blk_i"), col("blk_j"),
-        col("vec_id").as("id_b"), col("v").as("v_b"))
+      .select(col("blk_i"), col("blk_j"), col("vec_id").as("id_b"),
+        col("codes").as("c_b"), col("qmin").as("qmin_b"),
+        col("qscale").as("qscale_b"), col("s_lvl").as("s_b"),
+        col("qnorm").as("qnorm_b"), col("delta").as("d_b"))
+    val qdot = graft.functions.QuantDotFunction
+      .quant_dot(spark, col("c_a"), col("c_b")).cast("double")
+    val dotq = lit(Dim.toDouble) * col("qmin_a") * col("qmin_b") +
+      col("qmin_a") * col("qscale_b") * col("s_b") +
+      col("qmin_b") * col("qscale_a") * col("s_a") +
+      col("qscale_a") * col("qscale_b") * qdot
+    val qden = col("qnorm_a") * col("qnorm_b")
+    val margin = (lit(2.0) * (col("d_a") + col("d_b") + col("d_a") * col("d_b"))) /
+      ((lit(1.0) - col("d_a")) * (lit(1.0) - col("d_b")))
+    // keep when bounded-and-clearing OR when the bound doesn't apply
+    // (null/over-unit delta, zero quantized norm): never drop a pair the
+    // theorem doesn't cover. The 1e-9 absorbs FP rounding of the margin
+    // algebra itself.
+    val unbounded = col("d_a").isNull || col("d_b").isNull ||
+      col("d_a") >= 1.0 || col("d_b") >= 1.0 || !(qden > 0.0)
     aSide.join(bSide, Seq("blk_i", "blk_j"))
       // same-block pairs once via id order; cross-block pairs are unique
       // already (blocks are disjoint)
       .filter(col("blk_i") =!= col("blk_j") || col("id_a") < col("id_b"))
-      .withColumn("sim_raw", graft.functions.GraftFunctions
-        .cosine_sim(spark, col("v_a"), col("v_b")))
-      .filter(col("sim_raw") >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("vec_a"),
-              greatest(col("id_a"), col("id_b")).as("vec_b"),
-              round(col("sim_raw"), 4).as("sim"))
-      .orderBy("vec_a", "vec_b")
+      .filter(unbounded || (dotq / qden >= lit(threshold) - margin - lit(1e-9)))
+      .select("id_a", "id_b")
   }
 
   /** Brute-force cosine top-k for the query set `vec_id < nQueries`

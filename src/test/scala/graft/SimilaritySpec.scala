@@ -137,6 +137,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized pre-filter: candidates are a proven superset of exact pairs, and prune") {
+    import graft.similarity.Quantize
+    val t = 0.35
+    val qp = Quantize.pairPrepared(emb)
+    val cands = Cosine.quantCandidates(qp, t, maxBlockRows = 16).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    var total = 0L
+    val exact = (for {
+      (ida, va) <- vecs; (idb, vb) <- vecs if ida < idb
+      _ = { total += 1 }
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if sim >= t
+    } yield (ida, idb)).toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty,
+      s"pre-filter dropped ${missed.size} qualifying pairs: ${missed.take(5)}")
+    val pruneRatio = 1.0 - cands.size.toDouble / total
+    info(f"candidates ${cands.size} of $total pairs (pruned ${pruneRatio * 100}%.1f%%)")
+    // the filter must actually filter — a pass-through would silently
+    // revert the float work to O(n²)
+    assert(cands.size.toDouble / total < 0.5,
+      s"pre-filter kept ${cands.size} of $total pairs — not pruning")
+  }
+
+  test("quant_dot: integer dot over unsigned levels, length mismatch throws") {
+    import spark.implicits._
+    val df = Seq((Seq[Byte](-128, 0, 127), Seq[Byte](-128, 0, 127)))
+      .toDF("a", "b")
+    // levels: (-128,0,127)+128 = (0,128,255) -> dot = 0 + 128*128 + 255*255
+    val got = df.select(graft.functions.QuantDotFunction
+      .quant_dot(spark, col("a"), col("b")).as("d")).head().getLong(0)
+    assert(got == 128L * 128 + 255L * 255)
+    val bad = Seq((Seq[Byte](1, 2), Seq[Byte](1, 2, 3))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(graft.functions.QuantDotFunction
+        .quant_dot(spark, col("a"), col("b"))).collect()
+    }
+  }
+
   test("nearDupPairs plan has no driver-side materialization of the corpus") {
     val plan = Cosine.nearDupPairs(emb, 0.4, exactAllPairs = true).queryExecution.optimizedPlan
     // the old scale-killer surfaced as LogicalRDD (collect + parallelize
