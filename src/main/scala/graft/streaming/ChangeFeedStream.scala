@@ -9,9 +9,16 @@ import graft.acid.TxLog
   * row-level changes exactly once, in commit order.
   *
   * A micro-batch is the half-open range of commits that landed since the
-  * last poll; the cursor advances only when a batch is handed out, so a
-  * crashed consumer that persists `nextVersion` (its checkpoint) resumes
-  * without loss or replay. Cost per poll is one log listing plus the
+  * last poll; the cursor advances only when a batch is handed out.
+  * Exactly-once protocol under crashes: persist `nextVersion` AFTER the
+  * batch's output lands (atomically with it, or to an idempotent/
+  * overwrite sink). A crash before the persist re-opens at the old
+  * checkpoint and re-delivers the SAME batch — deterministic, because a
+  * batch is a closed version range over an append-only log, so
+  * `readChangeFeed(lo, Some(hi))` is a pure function of the log — and a
+  * crash after the persist skips it entirely. No delivery is ever lost
+  * and no persisted delivery ever repeats (spec-proven across a
+  * simulated crash on both sides of the persist). Cost per poll is one log listing plus the
   * change files of NEW commits only — at 100 TB a CDC consumer tailing a
   * busy table reads O(changed rows) per batch, never a table scan. The
   * feed inherits [[TxLog.readChangeFeed]]'s classification: merges and

@@ -435,6 +435,52 @@ class AcidSpec extends SparkSpec {
       Seq(1L, "delete", 3L), Seq(9L, "insert", 4L)))
   }
 
+  test("change feed cursor survives a crash exactly-once via the persisted checkpoint") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 10.0)).toDF("id", "amt"), t)             // v1
+    // durable consumer checkpoint: nextVersion persisted ATOMICALLY
+    // AFTER each batch's output lands (the exactly-once protocol the
+    // cursor doc prescribes) — a plain file stands in for the real sink
+    val ckptFile = java.nio.file.Paths.get(tmp(), "cursor.ckpt")
+    def persist(v: Long): Unit =
+      java.nio.file.Files.write(ckptFile, v.toString.getBytes)
+    def restore(): Long = new String(java.nio.file.Files.readAllBytes(ckptFile)).toLong
+    persist(TxLog.currentVersion(spark, t) + 1)                       // ckpt = 2
+
+    TxLog.append(Seq((2L, 20.0)).toDF("id", "amt"), t)                // v2
+    TxLog.delete(spark, t, col("id") === 1L)                          // v3
+
+    // --- crash BEFORE the checkpoint persists: the in-memory cursor had
+    // advanced, but recovery re-opens from the durable value and must
+    // re-deliver the SAME batch bit-for-bit (deterministic replay is
+    // what lets an idempotent/overwrite sink turn this into exactly-once)
+    val cur1 = graft.streaming.ChangeFeedStream.cursor(spark, t, restore())
+    val Some((lo1, hi1, b1)) = cur1.poll()
+    val firstDelivery = rows(b1.select("id", "_change_type", "_commit_version"))
+    // (no persist here — this consumer dies before checkpointing)
+    val cur2 = graft.streaming.ChangeFeedStream.cursor(spark, t, restore())
+    val Some((lo2, hi2, b2)) = cur2.poll()
+    assert((lo2, hi2) == (lo1, hi1), "replayed batch must cover the same versions")
+    assert(rows(b2.select("id", "_change_type", "_commit_version")) == firstDelivery,
+      "replay after crash must be bit-identical to the lost delivery")
+    persist(hi2 + 1)                                                  // output landed; ckpt = 4
+
+    // --- crash AFTER the checkpoint persisted: recovery must NOT replay
+    val cur3 = graft.streaming.ChangeFeedStream.cursor(spark, t, restore())
+    assert(cur3.poll().isEmpty, "committed batch replayed — duplicate delivery")
+
+    // new commits after recovery flow from exactly the checkpoint on
+    TxLog.append(Seq((7L, 70.0)).toDF("id", "amt"), t)                // v4
+    val Some((lo4, hi4, b4)) = cur3.poll()
+    assert(lo4 == 4L && hi4 == 4L)
+    assert(rows(b4.select("id", "_change_type")) == Set(Seq(7L, "insert")))
+    persist(hi4 + 1)
+    // across the whole crashed/recovered run: every commit delivered,
+    // none twice — union of persisted deliveries covers v2..v4 exactly
+    assert(restore() == 5L)
+  }
+
   test("persistent catalog: a new session attaches by file and prunes partitions") {
     import spark.implicits._
     import graft.acid.GraftCatalog
