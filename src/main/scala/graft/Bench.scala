@@ -109,18 +109,35 @@ object Bench {
     // self-test hook: prove the failure path end-to-end — with
     // SPARK_GRAFT_BENCH_SELFTEST set, one deliberately broken query runs
     // and MUST surface in errors / failed:1 in the JSON
-    val registry = SparkEntry.queries ++
+    val full = SparkEntry.queries ++
       (if (sys.env.contains("SPARK_GRAFT_BENCH_SELFTEST"))
         Map("_selftest_broken" -> ((s: SparkSession, _: String) =>
           s.sql("SELECT * FROM graft_nonexistent_selftest_table")))
       else Map.empty)
+    // spot-run subset (comma-separated keys) for targeted scale stress —
+    // unknown keys fail loudly rather than silently benching nothing
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None => full
+      case Some(list) =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty)
+        val missing = want.filterNot(full.contains)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${missing.mkString(", ")}")
+        full.view.filterKeys(want.toSet).toMap
+    }
 
     /** One timed invocation: BUILD = the eager scenario work inside the
       * registry function (ACID table writes, MERGEs, index training —
       * zero for lazy queries), PROBE = materializing the returned frame
       * through the noop sink. Scratch dirs the scenario created are
       * deleted AFTER the probe so the next pass (and the next query)
-      * measures the query, not /tmp contention from prior passes. */
+      * measures the query, not /tmp contention from prior passes.
+      * Cached frames are dropped with the scratch dirs: a query's
+      * `Caching.materialize` layers are dead the moment its probe
+      * finishes, but persist() pins them until explicitly released — at
+      * 100× data the leaked blocks from earlier queries starved a later
+      * query's broadcast build (sf10: dedup_incremental OOMed in the
+      * full five-query run yet passed standalone in the same heap). */
     case class Timing(build: Double, probe: Double, err: Option[String]) {
       def total: Double = build + probe
     }
@@ -141,6 +158,7 @@ object Bench {
                   .mkString.take(200)))
           }
         SparkEntry.cleanupTempDirs()
+        spark.catalog.clearCache()
         name -> timing
       }
 

@@ -24,7 +24,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // the result is on disk — reclaim this scenario's scratch dirs
+      // and drop its dead cached frames (same leak Bench releases)
       SparkEntry.cleanupTempDirs()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
