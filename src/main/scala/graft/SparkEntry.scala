@@ -554,6 +554,21 @@ object SparkEntry {
               (col("max_err") <= 0.02).as("sim_err_ok"))
   }
 
+  /** #94 Domain-weighted mixture sampling (the training-data recipe
+    * step): per-source integer weights (1 + suffix % 3 — derived from
+    * the source name so both engines agree), mixture scale set by the
+    * binding domain (`S = min floor(inv/w)`, `target = S*w`, all
+    * integer), docs taken smallest-permutation-first while the running
+    * token sum fits the target — never upsampled, never split. The
+    * registry permutation is the portable LCG so the oracle pins EXACT
+    * membership via a bit_xor fingerprint of kept doc_ids, not just
+    * quota counts; production callers default to xxhash64. */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Mixture.mixtureReport(
+      Tables.documents(s, dir), "source",
+      src => lit(1L) + regexp_extract(src, "([0-9]+)", 1).cast("long") % 3L,
+      graft.etl.Mixture.lcgOrder)
+
   /** #90 Exact-quota stratified sample: per event_type, keep exactly
     * `(n*200 + 999) div 1000` rows (20%, integer-exact quota) chosen by
     * smallest xxhash64(event_id) — deterministic under repartitioning.
@@ -1344,6 +1359,7 @@ object SparkEntry {
     "ann_lsh"             -> (annLsh _),
     "ann_quantized"       -> (annQuantized _),
     "sample_stratified"   -> (sampleStratified _),
+    "sample_mixture"      -> (sampleMixture _),
     "text_langid"         -> (textLangid _),
     "text_quality"        -> (textQuality _),
     "text_tokens"         -> (textTokens _),
@@ -1956,6 +1972,28 @@ object SparkEntry {
         |       CAST((count(*) * 200 + 999) // 1000 AS BIGINT) AS n_sampled,
         |       true AS subset_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+        |                  1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 AS w
+        |           FROM documents),
+        |inv AS (SELECT source, any_value(w) AS w, sum(tk) AS inv_tk
+        |        FROM t GROUP BY 1),
+        |sc AS (SELECT min(inv_tk // w) AS s FROM inv),
+        |tgt AS (SELECT source, w, w * (SELECT s FROM sc) AS target FROM inv),
+        |c AS (SELECT t.doc_id, t.source, t.tk, tgt.w, tgt.target,
+        |             sum(t.tk) OVER (PARTITION BY t.source
+        |               ORDER BY (t.doc_id * 1103515245 + 12345) % 2147483648,
+        |                        t.doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t JOIN tgt USING (source)),
+        |k AS (SELECT * FROM c WHERE cum <= target)
+        |SELECT source, CAST(any_value(w) AS BIGINT) AS weight,
+        |       CAST(any_value(target) AS BIGINT) AS target_tokens,
+        |       count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS kept_tokens,
+        |       CAST(bit_xor(doc_id) AS BIGINT) AS member_xor
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,

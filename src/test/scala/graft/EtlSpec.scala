@@ -128,6 +128,45 @@ class EtlSpec extends SparkSpec {
     assert(good2.count() == 2, "healthy path still lands")
   }
 
+  test("mixture sampling: deterministic, target-capped, prefix-maximal, binding-domain scale") {
+    import graft.etl.Mixture
+    val docs = Tables.documents(spark, sf)
+    val weightOf = (src: org.apache.spark.sql.Column) =>
+      lit(1L) + regexp_extract(src, "([0-9]+)", 1).cast("long") % 3L
+    val kept = Mixture.sampleByTokenShare(docs, "source", weightOf, Mixture.lcgOrder)
+      .select("doc_id", "source", "__tk", "__w", "__target", "__cum").cache()
+
+    // per-source: kept tokens never exceed the target, and the sample is
+    // prefix-maximal — every non-kept doc's cumulative sum overflows
+    val over = kept.groupBy("source")
+      .agg(sum("__tk").as("kt"), first("__target").as("tg"))
+      .filter(col("kt") > col("tg")).count()
+    assert(over == 0, "a domain exceeded its token target")
+    val all = Mixture.sampleByTokenShare(docs, "source", weightOf, Mixture.lcgOrder)
+    // (recompute with the same bookkeeping, no filter bypass: any row
+    // with cum <= target must be in kept, i.e. counts match exactly)
+    assert(all.count() == kept.count())
+
+    // binding-domain law: target_s = w_s * min_s floor(inv_s / w_s)
+    val inv = docs.withColumn("tk", size(split(col("text"), " ")).cast("long"))
+      .withColumn("w", weightOf(col("source")))
+      .groupBy("source").agg(first("w").as("w"), sum("tk").as("inv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scale = inv.values.map { case (w, i) => i / w }.min
+    kept.select("source", "__w", "__target").distinct().collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * scale,
+        s"${r.getString(0)}: target ${r.getLong(2)} != w*scale ${r.getLong(1) * scale}")
+    }
+
+    // deterministic under physical layout: same membership fingerprint
+    // after an arbitrary repartition
+    val a = Mixture.mixtureReport(docs, "source", weightOf, Mixture.lcgOrder).collect()
+    val b = Mixture.mixtureReport(docs.repartition(7), "source", weightOf,
+      Mixture.lcgOrder).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    kept.unpersist()
+  }
+
   test("resilient ingest validates a wide fan-out in one distributed job") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_resil_wide").toString
