@@ -1349,6 +1349,8 @@ object SparkEntry {
     "rollup_priority"     -> (Queries.rollupPriority _),
     "distinct_count"      -> (Queries.distinctCount _),
     "distinct_approx"     -> (Queries.distinctApprox _),
+    "distinct_sketch_merge" -> (Queries.distinctSketchMerge _),
+    "etl_profile"         -> (Queries.etlProfile _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_minhash"       -> (dedupMinhash _),
@@ -1953,6 +1955,32 @@ object SparkEntry {
         |       true AS parts_within_3pct,
         |       true AS orders_within_3pct
         |FROM lineitem""".stripMargin,
+
+    "distinct_sketch_merge" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       true AS merge_law_ok, true AS merged_within_3pct
+        |FROM events""".stripMargin,
+
+    "etl_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_type' AS col_name, count(event_type) AS n_present,
+        |         count(*) - count(event_type) AS n_nulls,
+        |         CAST(min(event_type) AS VARCHAR) AS min_s,
+        |         CAST(max(event_type) AS VARCHAR) AS max_s,
+        |         count(DISTINCT event_type) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(user_id), count(*) - count(user_id),
+        |         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+        |         count(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(value), count(*) - count(value),
+        |         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR),
+        |         count(DISTINCT value) FROM events)
+        |SELECT col_name, n_present, n_nulls, min_s, max_s,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       true AS apx_within_5pct
+        |FROM p ORDER BY col_name""".stripMargin,
 
     "sample_split" ->
       """SELECT count(*) AS n_total, true AS disjoint_exhaustive,

@@ -195,6 +195,79 @@ object Queries {
           .as("orders_within_3pct"))
   }
 
+  /** #95 Mergeable distinct sketches — the INCREMENTAL analytics shape
+    * at 100 TB: a nightly job persists one HLL sketch per day partition
+    * (a few KB each, next to the day's aggregates), and any later
+    * range-distinct query UNIONS the stored sketches instead of
+    * re-scanning history. Spark 4's Datasketches functions
+    * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) are
+    * all codegen'd aggregates — one shuffle on the day key to build,
+    * O(days) rows to merge.
+    *
+    * The oracle checks the two properties that make the pattern sound:
+    * the MERGE LAW — union of per-day sketches estimates exactly what a
+    * single sketch over the whole range estimates (register-wise max is
+    * associative, so partitioned build loses nothing) — and the
+    * estimate landing within ±3% of the exact distinct (lgK 14 ⇒ rsd
+    * ~0.8%, 3% ≈ 3.7σ). Estimator internals are implementation-specific,
+    * so exact sketch bytes are never part of the contract. */
+  def distinctSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+        .as("est_merged"))
+    val single = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("est_single"))
+    val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(single).crossJoin(exact)
+      .select(
+        col("n_days"), col("exact_users"),
+        (col("est_merged") === col("est_single")).as("merge_law_ok"),
+        (abs(col("est_merged") - col("exact_users")) /
+          col("exact_users") <= 0.03).as("merged_within_3pct"))
+  }
+
+  /** #96 One-pass column profiling — the ingest-time data-profile every
+    * landing batch gets before promotion (null rates, ranges,
+    * cardinalities). ONE scan computes count/nulls/min/max (exact) and
+    * an HLL distinct estimate for every profiled column; the single
+    * profile row then unpivots to one row per column with `stack`
+    * (a projection — no second scan, no shuffle at all beyond the one
+    * aggregate). Exact facts are the oracle contract; the estimate is
+    * bounded (±5% of exact distinct — profile-grade precision). */
+  def etlProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cols = Seq("user_id", "event_type", "value")
+    // exact facts in one pass (multi-column count_distinct Expands the
+    // scan by |cols|+1 — inherent to exact NDV); the HLL estimates run
+    // as a SEPARATE aggregation — mixing them into the distinct-rewrite
+    // buffers a sketch per distinct VALUE (see distinctApprox above)
+    val exactAggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"),
+          count_distinct(col(c)).as(s"ndv_$c"))
+    }
+    val apxAggs = cols.map(c => approx_count_distinct(col(c), 0.017).as(s"apx_$c"))
+    val one = ev.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(ev.agg(apxAggs.head, apxAggs.tail: _*))
+    val stacked = cols.map(c =>
+      s"'$c', cnt_$c, nulls_$c, min_$c, max_$c, ndv_$c, apx_$c").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_present, n_nulls, min_s, max_s, n_distinct, apx)"))
+      .select(col("col_name"), col("n_present"), col("n_nulls"),
+        col("min_s"), col("max_s"), col("n_distinct"),
+        (abs(col("apx") - col("n_distinct")) /
+          greatest(col("n_distinct"), lit(1)) <= 0.05).as("apx_within_5pct"))
+      .orderBy("col_name")
+  }
+
   /** #37 Exact interpolated quantiles (median + p90) per group. */
   def aggQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

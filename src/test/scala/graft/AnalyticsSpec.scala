@@ -50,6 +50,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("orders_within_3pct"))
   }
 
+  test("mergeable HLL sketches: partitioned union obeys the merge law, near exact") {
+    val row = Queries.distinctSketchMerge(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_days") > 1, "needs multiple day partitions to merge")
+    assert(row.getAs[Boolean]("merge_law_ok"),
+      "union of per-day sketches must estimate exactly the single-pass sketch")
+    assert(row.getAs[Boolean]("merged_within_3pct"))
+  }
+
+  test("column profile: one row per column, exact facts consistent, estimate bounded") {
+    val total = Tables.events(spark, sf).count()
+    val rows = Queries.etlProfile(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq ==
+      Seq("event_type", "user_id", "value"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_present") + r.getAs[Long]("n_nulls") == total,
+        s"${r.getAs[String]("col_name")}: present+nulls != total")
+      assert(r.getAs[Long]("n_distinct") > 0)
+      assert(r.getAs[Boolean]("apx_within_5pct"))
+    }
+  }
+
   test("streaming hourly agg matches the batch equivalent") {
     // stage events into a directory so readStream can watch it
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
