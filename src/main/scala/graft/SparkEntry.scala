@@ -1351,6 +1351,7 @@ object SparkEntry {
     "distinct_approx"     -> (Queries.distinctApprox _),
     "distinct_sketch_merge" -> (Queries.distinctSketchMerge _),
     "etl_profile"         -> (Queries.etlProfile _),
+    "events_funnel"       -> (Queries.eventsFunnel _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_minhash"       -> (dedupMinhash _),
@@ -1955,6 +1956,22 @@ object SparkEntry {
         |       true AS parts_within_3pct,
         |       true AS orders_within_3pct
         |FROM lineitem""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |       GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |       (SELECT count(*) FROM s1) AS n_stage_view,
+        |       (SELECT count(*) FROM s2) AS n_stage_click,
+        |       (SELECT count(*) FROM s3) AS n_stage_purchase""".stripMargin,
 
     "distinct_sketch_merge" ->
       """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -268,6 +268,38 @@ object Queries {
       .orderBy("col_name")
   }
 
+  /** #97 Ordered funnel analysis (view → click → purchase) — the
+    * product-analytics staple: a user reaches stage k at their EARLIEST
+    * event of stage-k's type that strictly follows their stage-(k−1)
+    * time. Expressed as a chain of filtered aggregates: each stage is
+    * one groupBy(user) over ONLY that stage's events joined to the
+    * previous stage's (user, time) — every exchange is on user_id, so
+    * Spark reuses the partitioning across the chain instead of
+    * re-shuffling, and no stage ever scans more than its own event
+    * type (filter pushed to the parquet scan).
+    *
+    * Stage times compare in integer MICROS on both engines (`unix_micros`
+    * here, `epoch_us` in the oracle): the parquet ts is NANOS, Spark
+    * reads it at micros precision while DuckDB keeps nanos, so a raw
+    * timestamp `>` could disagree inside a microsecond. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    ev.agg(count_distinct(col("user_id")).as("n_users"))
+      .crossJoin(s1.agg(count(lit(1)).as("n_stage_view")))
+      .crossJoin(s2.agg(count(lit(1)).as("n_stage_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_stage_purchase")))
+  }
+
   /** #37 Exact interpolated quantiles (median + p90) per group. */
   def aggQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -71,6 +71,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are monotonically non-increasing and order-aware") {
+    val r = Queries.eventsFunnel(spark, sf).collect()(0)
+    val (n, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_stage_view"),
+      r.getAs[Long]("n_stage_click"), r.getAs[Long]("n_stage_purchase"))
+    assert(v > 0, "corpus has view events")
+    assert(n >= v && v >= c && c >= p, s"funnel not monotone: $n >= $v >= $c >= $p")
+    // order-awareness: stage 2 counts clicks AFTER the first view, so it
+    // must undercount the users who merely have both event types
+    val both = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id")
+      .agg(count_distinct(col("event_type")).as("k"))
+      .filter(col("k") === 2).count()
+    assert(c <= both)
+  }
+
   test("streaming hourly agg matches the batch equivalent") {
     // stage events into a directory so readStream can watch it
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
