@@ -191,8 +191,27 @@ object Bench {
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"bench: ${errs.size} queries FAILED: ${errs.keys.toSeq.sorted.mkString(", ")}")
+      // distinct failure artifact so a regression gates mechanically —
+      // round 6's 4-query NTZ break sailed through with rc 0 and could
+      // only be caught by a human diffing artifacts. (The artifact, not a
+      // nonzero exit, is the default: sbt's [error] tail on a nonzero rc
+      // risks pushing the compact contract line out of the driver's
+      // 2000-char stdout window.)
+      val fj = errs.toSeq.sortBy(_._1)
+        .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
+        .mkString(s"""{"failed":${errs.size},"errors":{""", ",", "}}")
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FAILURES.json"),
+        fj.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    } else {
+      // a green run removes any stale failure artifact
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_FAILURES.json"))
+      catch { case _: Throwable => () }
     }
     // the compact contract line is the LAST stdout of the run
     println(renderCompact(best, errs, setupSec, coldTotal, sfDir, buildTotal))
+    // opt-in hard gate for local/CI runs where rc matters more than the
+    // stdout-tail contract
+    if (errs.nonEmpty && sys.env.contains("SPARK_GRAFT_BENCH_STRICT")) sys.exit(1)
   }
 }

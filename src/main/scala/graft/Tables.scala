@@ -22,22 +22,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is stored as TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a long of
-    * nanos, rescaled here to a µs TimestampType (integer DIV — no double
-    * round-trip, which would lose precision at 1e18 magnitudes). */
+  /** events.ts has shipped under three parquet physical encodings across
+    * testdata generations; [[normalizeTs]] maps every one of them to a
+    * plain µs TimestampType so downstream operators see ONE time type. */
   def events(s: SparkSession, d: String): DataFrame =
-    normalizeNanosTs(load(s, d, "events"), "ts")
+    normalizeTs(load(s, d, "events"), "ts")
 
-  /** Rescale a nanos-as-long timestamp column to µs TimestampType
-    * (integer DIV — no double round-trip, which would lose precision at
-    * 1e18 magnitudes). No-op if the column is already a timestamp. */
+  /** Normalize a timestamp column to µs `TimestampType` regardless of how
+    * the parquet writer encoded it. The engine's schema contract: every
+    * `Tables.events` frame carries `ts: TimestampType`, so strict-typed
+    * consumers (`unix_micros`, `withWatermark`, `java.sql.Timestamp`
+    * encoders) always resolve.
+    *
+    *  - `LongType` — TIMESTAMP(NANOS) surfaced as nanos-as-long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`; rescaled with integer
+    *    DIV (a double round-trip would lose precision at 1e18 magnitudes).
+    *  - `TimestampNTZType` — parquet `timestamp[us]` with
+    *    isAdjustedToUTC=false. The session is pinned UTC, so the cast to
+    *    TimestampType is value-preserving and matches how DuckDB reads the
+    *    same file as a naive timestamp.
+    *  - `TimestampType` — already the contract type; no-op.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"$tsCol DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.col(tsCol).cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Pre-round-7 name for [[normalizeTs]] (it now also heals NTZ). */
   def normalizeNanosTs(df: DataFrame, tsCol: String): DataFrame =
-    if (df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(tsCol,
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$tsCol DIV 1000")))
-    else df
+    normalizeTs(df, tsCol)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

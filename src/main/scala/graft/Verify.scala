@@ -17,11 +17,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failed queries must be VISIBLE in the correctness report, not absent
+    // from it: a throwing query writes a `<name>.ERROR` sentinel (class +
+    // first 200 chars) and lands in verify_errors.json, so the driver can
+    // emit an `err` row instead of silently dropping the key (round 6: the
+    // NTZ break removed 4 keys from CORRECTNESS with no trace)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = e.getClass.getName + ": " +
+          Option(e.getMessage).getOrElse("").take(200)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg)
       }
       // the result is on disk — reclaim this scenario's scratch dirs
       // and drop its dead cached frames (same leak Bench releases)
@@ -43,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
   }
 }

@@ -50,7 +50,10 @@ object EventsStream {
                           dim: DataFrame): DataFrame = {
     val base = graft.TempDirs.create("ssj")
     val dir = s"$base/src"
-    val ev = events.select("user_id", "ts", "value")
+    // normalize BEFORE staging: an NTZ `ts` would re-read as NTZ and
+    // `withWatermark` requires strict TimestampType
+    val ev = graft.Tables.normalizeTs(
+      events.select("user_id", "ts", "value"), "ts")
     ev.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val name = s"graft_ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -158,7 +161,10 @@ object EventsStream {
     import spark.implicits._
     val base = graft.TempDirs.create("sess")
     val dir = s"$base/src"
-    val ev = events.select("user_id", "ts")
+    // normalize BEFORE staging: the typed SessionEvent encoder and the
+    // `getTimestamp` accessor below require strict TimestampType, and the
+    // staged parquet inherits whatever type is written here
+    val ev = graft.Tables.normalizeTs(events.select("user_id", "ts"), "ts")
     ev.write.mode("overwrite").parquet(dir)
     // ONE metadata+agg pass over the staged files for everything the
     // runner needs: schema comes from footers (no job), max ts and row
