@@ -860,8 +860,8 @@ object SparkEntry {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val hashed = BinaryColumns.toMixedImageBlobs(docs).mapPartitions { it =>
-      it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(
-        graft.multimodal.Codecs.decode(b.payload))))
+      val h = new graft.multimodal.Codecs.Handle
+      it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(h.decode(b.payload))))
     }.toDF("doc_id", "phash")
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("ck"))
       .join(hashed, Seq("doc_id"))

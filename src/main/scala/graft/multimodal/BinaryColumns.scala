@@ -75,7 +75,8 @@ object BinaryColumns {
     val spark = docs.sparkSession
     import spark.implicits._
     toBlobs(docs).mapPartitions { it =>
-      // per-partition placement: ImageIO writer instances spin up here
+      // ONE ImageIO writer per format per partition, reused across rows
+      val h = new Codecs.Handle
       it.map { b =>
         val img = rasterFor(b.payload)
         val fmt = (b.payload.length % 3) match {
@@ -83,7 +84,7 @@ object BinaryColumns {
           case 1 => Codecs.PngFormat
           case _ => Codecs.JpgFormat
         }
-        Blob(b.doc_id, Codecs.encode(fmt, img))
+        Blob(b.doc_id, h.encode(fmt, img))
       }
     }
   }
@@ -96,8 +97,9 @@ object BinaryColumns {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
+      val h = new Codecs.Handle
       it.map { b =>
-        val img = Codecs.decode(b.payload)
+        val img = h.decode(b.payload)
         BlobMeta(b.doc_id, b.payload.length.toLong,
           img.width.toLong, img.height.toLong, img.channels.toLong)
       }
@@ -118,8 +120,9 @@ object BinaryColumns {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
+      val h = new Codecs.Handle
       it.map { b =>
-        val img = Codecs.decode(b.payload)
+        val img = h.decode(b.payload)
         MixedMeta(b.doc_id, Codecs.sniff(b.payload),
           img.width.toLong, img.height.toLong, img.channels.toLong,
           img.pixels.length.toLong, Codecs.containerOk(b.payload, img))
@@ -148,8 +151,9 @@ object BinaryColumns {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
+      val handle = new Codecs.Handle
       it.map { b =>
-        val img = Codecs.decode(b.payload)
+        val img = handle.decode(b.payload)
         val w = img.width; val h = img.height
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val dw = math.max(1L, math.floor(w * scale).toLong).toInt

@@ -41,18 +41,88 @@ object Codecs {
       s"unrecognized image container (${blob.length} bytes; " +
         s"first=${blob.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
 
-  /** Decode any supported container to interleaved RGB. */
+  /** Decode any supported container to interleaved RGB. One-shot entry:
+    * looks an ImageIO reader up per call. Batch decode loops (the
+    * mapPartitions sites) should go through a per-partition [[Handle]]
+    * instead, which reuses reader/writer instances across rows. */
   def decode(blob: Array[Byte]): Ppm.Image = sniff(blob) match {
     case PpmFormat => Ppm.decode(blob)
     case _         => imageIoDecode(blob)
   }
 
+  /** Per-partition reusable ImageIO state. `ImageIO.read`/`write` walk
+    * the IIORegistry SPI lookup and allocate a fresh reader/writer per
+    * call; at one call per ROW that lookup (plus the discarded
+    * reader's setup) is pure churn — measured as warm-pass variance in
+    * mm_resize at local[32]. One Handle per partition caches one
+    * reader and one writer per format and reuses them across the whole
+    * batch, the same amortization a real video/image codec handle needs.
+    * NOT thread-safe — Spark runs one task per partition, which is the
+    * contract. */
+  final class Handle {
+    private val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    private val writers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageWriter]
+
+    private def ioName(fmt: String): String =
+      if (fmt == PngFormat) "png" else "jpeg"
+
+    def decode(blob: Array[Byte]): Ppm.Image = sniff(blob) match {
+      case PpmFormat => Ppm.decode(blob)
+      case fmt =>
+        val r = readers.getOrElseUpdate(fmt, {
+          val it = ImageIO.getImageReadersByFormatName(ioName(fmt))
+          require(it.hasNext, s"ImageIO has no reader for $fmt")
+          it.next()
+        })
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+        try {
+          r.setInput(iis, true, true)
+          toRgb(r.read(0))
+        } finally {
+          r.setInput(null)
+          iis.close()
+        }
+    }
+
+    def encode(format: String, img: Ppm.Image): Array[Byte] = format match {
+      case PpmFormat => Ppm.encode(img.width, img.height, img.pixels)
+      case PngFormat | JpgFormat =>
+        val w = writers.getOrElseUpdate(format, {
+          val it = ImageIO.getImageWritersByFormatName(ioName(format))
+          require(it.hasNext, s"ImageIO has no writer for $format")
+          it.next()
+        })
+        val out = new ByteArrayOutputStream(img.pixels.length / 4 + 64)
+        val ios = ImageIO.createImageOutputStream(out)
+        try {
+          w.setOutput(ios)
+          w.write(toBgrBuffered(img))
+        } finally {
+          w.setOutput(null)
+          ios.close()
+        }
+        out.toByteArray
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+
+    /** Release native/reader state at end of partition (optional — the
+      * handles are plain heap objects otherwise). */
+    def dispose(): Unit = {
+      readers.values.foreach(_.dispose()); readers.clear()
+      writers.values.foreach(_.dispose()); writers.clear()
+    }
+  }
+
   private def imageIoDecode(blob: Array[Byte]): Ppm.Image = {
     val bi = ImageIO.read(new ByteArrayInputStream(blob))
     require(bi != null, "ImageIO found no reader for a sniffed PNG/JPEG payload")
+    toRgb(bi)
+  }
+
+  /** Normalize ANY source color model (gray, indexed, ARGB, YCbCr...)
+    * through one bulk raster grab of a 3BYTE_BGR copy, then swap to RGB. */
+  private def toRgb(bi: BufferedImage): Ppm.Image = {
     val w = bi.getWidth; val h = bi.getHeight
-    // normalize ANY source color model (gray, indexed, ARGB, YCbCr...)
-    // through one bulk raster grab of a 3BYTE_BGR copy, then swap to RGB
     val conv =
       if (bi.getType == BufferedImage.TYPE_3BYTE_BGR) bi
       else {
@@ -74,6 +144,20 @@ object Codecs {
     Ppm.Image(w, h, px)
   }
 
+  /** Interleaved RGB → a 3BYTE_BGR BufferedImage (the encode input). */
+  private def toBgrBuffered(img: Ppm.Image): BufferedImage = {
+    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_3BYTE_BGR)
+    val bgr = bi.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    var i = 0
+    while (i < img.width * img.height) {
+      bgr(3 * i) = img.pixels(3 * i + 2)
+      bgr(3 * i + 1) = img.pixels(3 * i + 1)
+      bgr(3 * i + 2) = img.pixels(3 * i)
+      i += 1
+    }
+    bi
+  }
+
   /** Encode interleaved RGB into the named container. PPM and PNG are
     * lossless (decode(encode(img)) == img bit-for-bit); JPEG is lossy
     * but deterministic — the same pixels always yield the same blob,
@@ -86,17 +170,8 @@ object Codecs {
   }
 
   private def imageIoEncode(ioName: String, img: Ppm.Image): Array[Byte] = {
-    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_3BYTE_BGR)
-    val bgr = bi.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-    var i = 0
-    while (i < img.width * img.height) {
-      bgr(3 * i) = img.pixels(3 * i + 2)
-      bgr(3 * i + 1) = img.pixels(3 * i + 1)
-      bgr(3 * i + 2) = img.pixels(3 * i)
-      i += 1
-    }
     val out = new ByteArrayOutputStream(img.pixels.length / 4 + 64)
-    val ok = ImageIO.write(bi, ioName, out)
+    val ok = ImageIO.write(toBgrBuffered(img), ioName, out)
     require(ok, s"ImageIO has no writer for $ioName")
     out.toByteArray
   }
