@@ -273,10 +273,13 @@ object Queries {
     * event of stage-k's type that strictly follows their stage-(k−1)
     * time. Expressed as a chain of filtered aggregates: each stage is
     * one groupBy(user) over ONLY that stage's events joined to the
-    * previous stage's (user, time) — every exchange is on user_id, so
-    * Spark reuses the partitioning across the chain instead of
-    * re-shuffling, and no stage ever scans more than its own event
-    * type (filter pushed to the parquet scan).
+    * previous stage's (user, time) — no stage ever scans more than its
+    * own event type (filter pushed to the parquet scan). The stage
+    * outputs shrink monotonically, so the stats-driven strategy
+    * broadcasts them into the next stage's scan while they fit
+    * (observed plan at sf0.1) and degrades to shuffle joins on user_id
+    * beyond the threshold — either way the fact table is never
+    * shuffled whole.
     *
     * Stage times compare in integer MICROS on both engines (`unix_micros`
     * here, `epoch_us` in the oracle): the parquet ts is NANOS, Spark
@@ -286,11 +289,22 @@ object Queries {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
               unix_micros(col("ts")).as("us"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("us")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
-      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    // s1/s2 are each referenced TWICE (next stage's join + the count) and
+    // Spark has no cross-DAG common-subexpression reuse — unmaterialized,
+    // the view slice of events is scanned 3x and the click slice 2x
+    // (verified in the round-6 plan). Materializing the stage outputs
+    // (one row per reaching user — tiny next to the fact table) makes
+    // every event slice scan exactly once while each scan keeps its
+    // pushed event_type filter. ev itself is deliberately NOT cached:
+    // that would trade four pushed-down slice scans for one full-table
+    // materialization, the 100 TB footgun Caching.scala documents.
+    val s1 = graft.Caching.materialize(
+      ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1")))
+    val s2 = graft.Caching.materialize(
+      ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2")))
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
       .groupBy("user_id").agg(min(col("us")).as("t3"))
