@@ -841,6 +841,23 @@ object SparkEntry {
       .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "out_bytes")
       .orderBy("doc_id")
 
+  /** #100 Audio metadata + features over WAV blobs, real end-to-end on
+    * the parse side: a PCM16-mono RIFF/WAVE container is synthesized per
+    * document (integer-law sample stream the oracle reproduces
+    * bit-exactly), then the header is PARSED back from the raw bytes and
+    * RMS / peak / zero-crossing rate are computed from the decoded PCM —
+    * all in integer arithmetic until one final division (+ IEEE sqrt),
+    * so the doubles hash-match the oracle without tolerance games.
+    * Completes the audio modality next to the image (ppm/png/jpg) and
+    * video-frame paths. */
+  def mmAudioMeta(s: SparkSession, dir: String): DataFrame =
+    BinaryColumns.audioMeta(Tables.documents(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), round(col("rms"), 4).as("rms"),
+        col("peak"), round(col("zcr"), 6).as("zcr"), col("header_ok"))
+      .orderBy("doc_id")
+
   /** #88 Perceptual image dedup (aHash over DECODED pixels — possible
     * because the codecs are real): every doc's blob — ppm, png, or jpg,
     * container keyed on content length so identical texts get identical
@@ -1352,6 +1369,10 @@ object SparkEntry {
     "distinct_sketch_merge" -> (Queries.distinctSketchMerge _),
     "etl_profile"         -> (Queries.etlProfile _),
     "events_funnel"       -> (Queries.eventsFunnel _),
+    "events_attribution"  -> (Queries.eventsAttribution _),
+    "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
+                               Queries.textSpanDedup(s, dir)),
+    "mm_audio_meta"       -> (mmAudioMeta _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_minhash"       -> (dedupMinhash _),
@@ -1972,6 +1993,77 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_stage_view,
         |       (SELECT count(*) FROM s2) AS n_stage_click,
         |       (SELECT count(*) FROM s3) AS n_stage_purchase""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |  FROM ev),
+        |p AS (
+        |  SELECT *, last_click_us IS NOT NULL
+        |            AND us - last_click_us <= 604800000000 AS attributed
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  CAST(round(sum(CASE WHEN attributed
+        |                      THEN CAST(value AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+        |    AS attributed_value,
+        |  round((sum(CASE WHEN attributed THEN us - last_click_us END)
+        |         / CAST(sum(CASE WHEN attributed THEN 1 END) AS DOUBLE))
+        |        / 1000000.0, 2) AS avg_latency_sec
+        |FROM p""".stripMargin,
+
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash
+        |      FROM t, unnest(range(len(w) - 8 + 1)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |g AS (SELECT span_hash, count(*) AS n_occ,
+        |             count(DISTINCT doc_id) AS n_docs
+        |      FROM s GROUP BY 1)
+        |SELECT count(*) AS n_distinct_spans,
+        |       CAST(sum(n_occ) AS BIGINT) AS n_span_instances,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cross_doc_spans,
+        |       CAST(max(n_docs) AS BIGINT) AS max_span_doc_freq
+        |FROM g""".stripMargin,
+
+    "mm_audio_meta" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        CASE b % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                   ELSE 44100 END AS rate,
+        |        256 + (b * 7) % 1024 AS ns,
+        |        (b * 2654435761) % 2147483647 AS seed
+        |      FROM d),
+        |s AS (SELECT doc_id, rate, ns, i,
+        |        ((seed + (i + 1) * 48271) % 65536) - 32768 AS v
+        |      FROM p, unnest(range(ns)) AS u(i)),
+        |z AS (SELECT doc_id, v,
+        |        v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0 AS zc
+        |      FROM s),
+        |a AS (SELECT doc_id,
+        |        sum(CAST(v AS BIGINT) * v) AS sum_sq, count(*) AS n,
+        |        max(abs(v)) AS peak,
+        |        sum(CASE WHEN zc THEN 1 ELSE 0 END) AS n_zc
+        |      FROM z GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.rate AS BIGINT) AS sample_rate,
+        |  CAST(p.ns AS BIGINT) AS n_samples,
+        |  CAST(p.ns * 1000 // p.rate AS BIGINT) AS duration_ms,
+        |  round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 4) AS rms,
+        |  CAST(a.peak AS BIGINT) AS peak,
+        |  round(CAST(a.n_zc AS DOUBLE) / (a.n - 1), 6) AS zcr,
+        |  true AS header_ok
+        |FROM p JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "distinct_sketch_merge" ->
       """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,

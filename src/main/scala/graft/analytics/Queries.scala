@@ -439,4 +439,69 @@ object Queries {
       .crossJoin(open.except(high).agg(count(lit(1)).as("n_only_open")))
       .crossJoin(open.union(high).distinct().agg(count(lit(1)).as("n_either")))
   }
+
+  /** #98 Last-touch attribution (round 7) — the marketing-analytics
+    * staple: each purchase is attributed to the user's most recent click
+    * STRICTLY before it, within a 7-day lookback. One shuffle on
+    * user_id; the strictly-before click is a `max(click time)` over a
+    * RANGE frame ending at `-1` µs — range frames are peer-order
+    * independent, so the result is deterministic even when a click and
+    * a purchase share a timestamp (a same-µs click correctly does NOT
+    * attribute). Latency stays in integer µs until one final division;
+    * revenue sums in exact decimal — both flake-proof across engines.
+    * At scale: events are filtered to two types at the scan
+    * (pushed-down IN), and the single user_id exchange carries only
+    * (user, type, µs, value). */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val purchases = ev
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= lookbackUs)
+    purchases.agg(
+      count(lit(1)).as("n_purchases"),
+      sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+      round(sum(when(col("attributed"), dec(col("value")))
+        .otherwise(dec(lit(0)))), 2).cast("double").as("attributed_value"),
+      round(
+        (sum(when(col("attributed"), col("us") - col("last_click_us")))
+          / sum(when(col("attributed"), 1L))) / 1e6, 2).as("avg_latency_sec"))
+  }
+
+  /** #99 Cross-document repeated-span detection (round 7) — the
+    * substring-duplication shape from training-data dedup: every 8-word
+    * shingle is hashed WITH its position law intact, and a span that
+    * recurs across ≥2 distinct documents is a cross-doc duplicate
+    * candidate (boilerplate, licenses, templated text). Shingling is a
+    * per-row codegen'd `transform(sequence(...))` over the split array —
+    * no join, no explode until the hash is 32 bytes — and the single
+    * shuffle is the span-hash groupBy, O(total tokens), the same curve
+    * as MinHash banding. (At 100 TB the md5 would narrow to a 64-bit
+    * hash; md5 here because the DuckDB oracle shares it exactly.) */
+  def textSpanDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> md5(array_join(slice(w, i + 1, $k), ' ')))"
+      )).as("span_hash"))
+    val perSpan = spans.groupBy("span_hash").agg(
+      count(lit(1)).as("n_occ"),
+      count_distinct(col("doc_id")).as("n_docs"))
+    perSpan.agg(
+      count(lit(1)).as("n_distinct_spans"),
+      sum(col("n_occ")).as("n_span_instances"),
+      sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_cross_doc_spans"),
+      max(col("n_docs")).as("max_span_doc_freq"))
+  }
 }

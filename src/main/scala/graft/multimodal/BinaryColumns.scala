@@ -198,4 +198,33 @@ object BinaryColumns {
       }
     }
   }
+
+  case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long,
+                       duration_ms: Long, rms: Double, peak: Long,
+                       zcr: Double, header_ok: Boolean)
+
+  /** Audio metadata + features over WAV blobs: synthesize the PCM16
+    * container per document ([[Wav.synth]] — integer-law samples the SQL
+    * oracle reproduces), then PARSE the RIFF header back and compute
+    * RMS / peak / zero-crossing rate from the decoded PCM bytes
+    * ([[Wav.parse]]/[[Wav.features]] — nothing reused from the synthesis
+    * side). `sample_rate`/`n_samples` come from the parsed header and
+    * data-chunk length; `header_ok` verifies the RIFF size law, chunk
+    * bounds, and PCM16-mono fmt fields against the raw bytes. Same
+    * per-partition placement as the image kernels — per-row codec work,
+    * embarrassingly parallel, no shuffle. */
+  def audioMeta(docs: DataFrame): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    toBlobs(docs).mapPartitions { it =>
+      it.map { b =>
+        val wav = Wav.synth(b.payload)
+        val p = Wav.parse(wav)
+        val f = Wav.features(wav, p)
+        AudioMeta(b.doc_id, p.sampleRate.toLong, f.nSamples, f.durationMs,
+          f.rms, f.peak, f.zcr,
+          p.headerOk && p.channels == 1 && p.bits == 16)
+      }
+    }
+  }
 }
