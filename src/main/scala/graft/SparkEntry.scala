@@ -1370,8 +1370,11 @@ object SparkEntry {
     "etl_profile"         -> (Queries.etlProfile _),
     "events_funnel"       -> (Queries.eventsFunnel _),
     "events_attribution"  -> (Queries.eventsAttribution _),
+    "events_retention"    -> (Queries.eventsRetention _),
+    "agg_histogram"       -> (Queries.aggHistogram _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
+    "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "dedup_exact"         -> (dedupExact _),
@@ -2018,6 +2021,48 @@ object SparkEntry {
         |         / CAST(sum(CASE WHEN attributed THEN 1 END) AS DOUBLE))
         |        / 1000000.0, 2) AS avg_latency_sec
         |FROM p""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, d FROM ev),
+        |j AS (SELECT a.user_id, c.cohort_d,
+        |             date_diff('day', c.cohort_d, a.d) AS k
+        |      FROM act a JOIN cohort c USING (user_id))
+        |SELECT cohort_d,
+        |  count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS n_users,
+        |  count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS retained_d1,
+        |  count(DISTINCT CASE WHEN k = 7 THEN user_id END) AS retained_d7,
+        |  count(DISTINCT CASE WHEN k = 14 THEN user_id END) AS retained_d14,
+        |  count(DISTINCT CASE WHEN k = 30 THEN user_id END) AS retained_d30
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 25.0), 0), 20) AS BIGINT)
+        |         AS bucket,
+        |       count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+        |       FROM t, unnest(range(len(w) - 1)) AS u(i)
+        |       WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)),
+        |q AS (SELECT bg.doc_id,
+        |        CAST(floor((ln(c12.c12 + 1.0) - ln(c1.c1 + v.v)) * 1000000)
+        |             AS BIGINT) AS q
+        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |           CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(q) / (count(*) * 1000000.0), 4) AS lm_score
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

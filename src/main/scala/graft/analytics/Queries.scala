@@ -504,4 +504,78 @@ object Queries {
       sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_cross_doc_spans"),
       max(col("n_docs")).as("max_span_doc_freq"))
   }
+
+  /** #101 Cohort retention (round 7) — the product-analytics companion
+    * to the funnel: users cohorted by FIRST-event date, retention
+    * measured as distinct users active exactly k days later (k ∈
+    * {1, 7, 14, 30}). All-integer facts (distinct counts on exact day
+    * offsets), so the oracle is exact. Two shuffles on user_id (cohort
+    * min + per-day distinct) and one co-partitioned join; the final
+    * aggregate is one row per cohort DATE — bounded output however
+    * large the corpus. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    val activity = ev.distinct()
+    activity.join(cohort, Seq("user_id"))
+      .withColumn("k", datediff(col("d"), col("cohort_d")))
+      .groupBy("cohort_d")
+      .agg(
+        count_distinct(when(col("k") === 0, col("user_id"))).as("n_users"),
+        count_distinct(when(col("k") === 1, col("user_id"))).as("retained_d1"),
+        count_distinct(when(col("k") === 7, col("user_id"))).as("retained_d7"),
+        count_distinct(when(col("k") === 14, col("user_id"))).as("retained_d14"),
+        count_distinct(when(col("k") === 30, col("user_id"))).as("retained_d30"))
+      .orderBy("cohort_d")
+  }
+
+  /** #102 Equi-width histogram of a measure (round 7): 20 buckets of
+    * width 25 over `events.value`, negatives clamped to bucket 0 and
+    * the tail to bucket 20 — the profiling staple for skew/outlier
+    * triage. `floor(value / 25.0)` is the same IEEE expression on both
+    * engines; counts are exact integers; one low-cardinality shuffle. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(least(greatest(floor(col("value") / 25.0), lit(0L)), lit(20L))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** #103 Bigram-LM quality scoring (round 7) — the perplexity-proxy
+    * filter of LLM data pipelines: a Laplace-smoothed bigram model is
+    * trained ON the corpus (c12 = bigram count, c1 = prefix count, V =
+    * corpus vocabulary), and each document is scored by its mean bigram
+    * log-probability — templated/repetitive text scores high,
+    * low-likelihood noise scores low. Engine-stability: each bigram's
+    * log-prob is quantized to integer micro-nats with `floor` (no
+    * tie-break semantics to disagree on), summed EXACTLY as longs, and
+    * divided once at the end — the only cross-engine float exposure is
+    * ln's ≤1-ulp wobble under a 1e-6 quantizer. At scale the LM is a
+    * token-keyed table joined shuffle-to-shuffle (never assumed
+    * broadcastable); every aggregate is map-side partial. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, n - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+    )).as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bigrams
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+      .withColumn("q", floor(
+        (log(col("c12") + 1.0) - log(col("c1") + col("v"))) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_q") / (col("n_bigrams") * 1e6), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
 }

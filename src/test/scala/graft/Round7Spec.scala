@@ -70,6 +70,64 @@ class Round7Spec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_spans") == 10)
   }
 
+  // ---------------------------------------------------------- retention
+
+  test("retention: cohort by first day, exact-day offsets") {
+    import spark.implicits._
+    val dir = tmp()
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    def ts(day: Long, u: Long) =
+      (u, java.sql.Timestamp.valueOf(d0.plusDays(day).atStartOfDay()))
+    Seq(ts(0, 1), ts(1, 1), ts(7, 1),   // user 1: cohort d0, back on d1 and d7
+        ts(0, 2),                        // user 2: cohort d0 only
+        ts(2, 3), ts(3, 3), ts(32, 3))   // user 3: cohort d0+2, back next day (k=1), k=30
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = analytics.Queries.eventsRetention(spark, dir).collect()
+    assert(rows.length == 2)
+    val r0 = rows(0) // cohort 2024-01-01: users 1,2
+    assert(r0.getAs[Long]("n_users") == 2 &&
+      r0.getAs[Long]("retained_d1") == 1 && r0.getAs[Long]("retained_d7") == 1 &&
+      r0.getAs[Long]("retained_d14") == 0 && r0.getAs[Long]("retained_d30") == 0)
+    val r1 = rows(1) // cohort 2024-01-03: user 3
+    assert(r1.getAs[Long]("n_users") == 1 &&
+      r1.getAs[Long]("retained_d1") == 1 && r1.getAs[Long]("retained_d30") == 1)
+  }
+
+  // ---------------------------------------------------------- histogram
+
+  test("histogram: clamping at both ends, nulls dropped") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(Some(-5.0), Some(0.0), Some(24.99), Some(25.0), Some(777.0), None)
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = analytics.Queries.aggHistogram(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(m == Map(0L -> 3L, 1L -> 1L, 20L -> 1L)) // null row dropped
+  }
+
+  // ---------------------------------------------------------- LM scoring
+
+  test("lm score: hand-computed Laplace bigram log-probs, repetition scores higher") {
+    import spark.implicits._
+    val dir = tmp()
+    // corpus: c12(x,x)=2, c12(u,v)=1; c1(x)=2, c1(u)=1; V = |{x,u,v}| = 3
+    Seq((1L, "x x x"), (2L, "u v"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = analytics.Queries.textLmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    // doc1: 2 bigrams, each ln(3/5) -> floor(-510825.62...) = -510826 µnats
+    assert(m(1L) == ((2L, -0.5108)))
+    // doc2: 1 bigram, ln(2/4) -> floor(-693147.18...) = -693148 µnats
+    assert(m(2L) == ((1L, -0.6931)))
+    assert(m(1L)._2 > m(2L)._2) // repetitive text is more probable under its own LM
+  }
+
   // ---------------------------------------------------------- WAV layer
 
   test("wav: synth -> parse round-trips the law; header structurally ok") {
