@@ -560,11 +560,17 @@ object Queries {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 2)
-    val bigrams = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, n - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
-    )).as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+    // one tokenize+explode pass shared by the LM build and the scoring
+    // join (unmaterialized, the corpus would be re-split and re-exploded
+    // once per reference — the funnel lesson applied to O(tokens) work);
+    // c1 rolls up from c12 (sum of counts is exact and c12 is ~the
+    // distinct-bigram table, far smaller than the bigram stream)
+    val bigrams = graft.Caching.materialize(
+      docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+      )).as("b")).select(col("doc_id"), col("b.w1"), col("b.w2")))
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
