@@ -114,4 +114,30 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.select(unix_micros(col("ts"))).limit(1).count() == 1)
   }
+
+  test("embeddings contract: float and double parquet score identically") {
+    // the same regen hazard as events.ts, applied to the vector column:
+    // a future testdata generation could widen array<float> to
+    // array<double>. Every similarity path widens per-element through
+    // Cosine.prepared, so both encodings must yield identical top-k.
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.25f)), (2L, Seq(0.9f, 0.1f, 0.25f)),
+      (3L, Seq(-1.0f, 0.5f, 0.0f)), (4L, Seq(0.0f, 1.0f, -0.5f)))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+      val p = similarity.Cosine.prepared(df)
+      val q = p.filter(col("vec_id") === 1L)
+        .select(col("v").as("qv"), col("norm").as("qnorm"))
+      p.filter(col("vec_id") =!= 1L).crossJoin(q)
+        .select(col("vec_id"),
+          round(similarity.Cosine.dot(col("qv"), col("v"), 3) /
+            (col("qnorm") * col("norm")), 6).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(_._1)
+    }
+    val asFloat = vecs.toDF("vec_id", "embedding")
+    val asDouble = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "embedding")
+    assert(run(asFloat) == run(asDouble))
+  }
 }
