@@ -493,7 +493,10 @@ object Queries {
       .withColumn("n", size(col("w")))
       .filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, n - $k), i -> md5(array_join(slice(w, i + 1, $k), ' ')))"
+        // unhex: group on the 16-byte digest, not the 32-char hex string
+        // — halves the shuffle width; all outputs are counts, so the
+        // oracle's hex-side cardinalities are identical
+        s"transform(sequence(0, n - $k), i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"
       )).as("span_hash"))
     val perSpan = spans.groupBy("span_hash").agg(
       count(lit(1)).as("n_occ"),
