@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - distinct word n-gram shingles"),
       (e: Seq[Expression]) => WordNgrams(e(0), e(1).eval().asInstanceOf[Int])))
+    // whole-operator extension: the native backward as-of join's planner
+    // strategy (the per-session route installs the same object lazily via
+    // spark.experimental.extraStrategies — see plans.AsOfJoin.asofNative)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
   }
 }

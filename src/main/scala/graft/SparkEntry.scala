@@ -299,6 +299,23 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** #104 The same backward as-of join through the NATIVE operator
+    * (custom LogicalPlan + SparkStrategy + merge SparkPlan,
+    * plans.AsOfJoin): each side shuffles independently on user_id and
+    * streams through a per-partition dual-cursor merge with O(1) state —
+    * no union row-widening, no window buffering. Checked against the
+    * identical DuckDB ASOF JOIN oracle as #41. */
+  def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    plans.AsOfJoin.asofNative(purchases, signups, "user_id", "ts", Seq("signup_ts"))
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** #42 Range join: orders bucketed into literal price bands (broadcast
     * band table, BNLJ on the between-condition — bands are tiny by
     * construction). */
@@ -1404,6 +1421,7 @@ object SparkEntry {
     "set_ops"             -> (Queries.setOps _),
     "report_pivot"        -> (reportPivot _),
     "join_asof"           -> (joinAsof _),
+    "join_asof_native"    -> (joinAsofNative _),
     "join_range"          -> (joinRange _),
     "join_bucketed"       -> (joinBucketed _),
     "ingest_merge_schema" -> (ingestMergeSchema _),
@@ -1832,6 +1850,15 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_native" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
