@@ -1391,6 +1391,8 @@ object SparkEntry {
     "agg_histogram"       -> (Queries.aggHistogram _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
+    "corpus_overlap"      -> ((s: SparkSession, dir: String) =>
+                               Queries.corpusOverlap(s, dir)),
     "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
     "stream_window_agg"   -> (streamWindowAgg _),
@@ -2090,6 +2092,27 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       round(sum(q) / (count(*) * 1000000.0), 4) AS lm_score
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |d AS (SELECT DISTINCT source,
+        |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
+        |      FROM t, unnest(range(len(w) - 8 + 1)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |s AS (SELECT source, count(*) AS n_spans FROM d GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             count(*) AS n_shared
+        |      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |       sa.n_spans AS n_a, sb.n_spans AS n_b,
+        |       round(n_shared /
+        |             CAST(sa.n_spans + sb.n_spans - n_shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM p JOIN s sa ON p.source_a = sa.source
+        |       JOIN s sb ON p.source_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
 
     "text_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -508,6 +508,45 @@ object Queries {
       max(col("n_docs")).as("max_span_doc_freq"))
   }
 
+  /** #105 Cross-corpus overlap measurement (round 7) — the
+    * dataset-contamination question asked of every training mix: how
+    * much CONTENT do two sources share? Exact duplicates are too
+    * coarse (none here), so overlap is measured at the 8-word-span
+    * level: distinct (source, span) sets, self-joined on the span
+    * hash, reported as shared-span counts + Jaccard per source pair.
+    * Shape: one O(tokens) distinct shuffle, one hash-keyed self-join
+    * whose per-span blowup is bounded by sources² (never corpus²), and
+    * the distinct span set is materialized once and reused by the
+    * sizes aggregate and BOTH join sides. Counts are exact integers,
+    * Jaccard is one final division — engine-stable. */
+  def corpusOverlap(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spans = graft.Caching.materialize(
+      Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= k)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(0, n - $k), i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"
+        )).as("h"))
+        .distinct())
+    val sizes = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val pairs = spans
+      .join(spans.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_spans").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_spans").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** #101 Cohort retention (round 7) — the product-analytics companion
     * to the funnel: users cohorted by FIRST-event date, retention
     * measured as distinct users active exactly k days later (k ∈

@@ -70,6 +70,26 @@ class Round7Spec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_spans") == 10)
   }
 
+  // ---------------------------------------------------------- overlap
+
+  test("corpus overlap: span-level jaccard between sources, hand-computed") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(
+      (1L, "A", "a b c d e f g h x"),   // spans: [a..h], [b..x] -> 2
+      (2L, "B", "z a b c d e f g h"),   // spans: [z..g], [a..h] -> 2
+      (3L, "C", "q r s t u v w y"))     // 1 span, disjoint
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = analytics.Queries.corpusOverlap(spark, dir).collect()
+    assert(rows.length == 1) // only (A, B) share a span
+    val r = rows(0)
+    assert(r.getAs[String]("source_a") == "A" && r.getAs[String]("source_b") == "B")
+    assert(r.getAs[Long]("n_shared") == 1 &&
+      r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("jaccard") == 0.3333) // 1 / (2 + 2 - 1)
+  }
+
   // ---------------------------------------------------------- retention
 
   test("retention: cohort by first day, exact-day offsets") {
