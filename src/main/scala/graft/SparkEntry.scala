@@ -1388,6 +1388,9 @@ object SparkEntry {
     "events_funnel"       -> (Queries.eventsFunnel _),
     "events_attribution"  -> (Queries.eventsAttribution _),
     "events_retention"    -> (Queries.eventsRetention _),
+    "events_anomaly"      -> (Queries.eventsAnomaly _),
+    "stream_stream_join"  -> ((s: SparkSession, dir: String) =>
+      EventsStream.runStreamStreamJoin(s, Tables.events(s, dir))),
     "agg_histogram"       -> (Queries.aggHistogram _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
@@ -2050,6 +2053,40 @@ object SparkEntry {
         |         / CAST(sum(CASE WHEN attributed THEN 1 END) AS DOUBLE))
         |        / 1000000.0, 2) AS avg_latency_sec
         |FROM p""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |            WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, count(*) AS n,
+        |              sum(CAST(value AS DECIMAL(28,8))) AS s1,
+        |              sum(CAST(value * value AS DECIMAL(28,8))) AS s2
+        |       FROM ev GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |             CAST(s1 AS DOUBLE) / n AS mean,
+        |             sqrt(CAST(s2 AS DOUBLE) / n -
+        |                  (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |               AS std
+        |      FROM st)
+        |SELECT ev.event_type, any_value(n) AS n,
+        |       round(any_value(mean), 4) AS mean_value,
+        |       round(any_value(std), 4) AS std_value,
+        |       CAST(sum(CASE WHEN abs(value - mean) > std * 3
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_stream_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_pairs,
+        |       count(DISTINCT c.user_id) AS n_users,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |         AS paired_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -547,6 +547,39 @@ object Queries {
       .orderBy("source_a", "source_b")
   }
 
+  /** #106 Z-score anomaly counts per event type (round 7) — the
+    * metric-outlier triage step before any value lands in a training
+    * signal. Engine-stability discipline: both moments accumulate as
+    * EXACT decimals (value and value² fit DECIMAL(28,8) comfortably at
+    * any corpus size), and mean/variance/threshold are derived from
+    * them in ONE identically-shaped float expression on both engines —
+    * so the |v−mean| > 3σ comparison sees bit-identical doubles and
+    * the outlier counts are exact integers. Two passes over the same
+    * filtered scan (moments, then the count-join back), one
+    * low-cardinality shuffle each. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(28,8)")).as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,8)")).as("s2"))
+    val derived = stats
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("std", sqrt(
+        col("s2").cast("double") / col("n") - col("mean") * col("mean")))
+    ev.join(derived, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("mean")), 4).as("mean_value"),
+        round(first(col("std")), 4).as("std_value"),
+        sum(when(abs(col("value") - col("mean")) > col("std") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** #101 Cohort retention (round 7) — the product-analytics companion
     * to the funnel: users cohorted by FIRST-event date, retention
     * measured as distinct users active exactly k days later (k ∈

@@ -74,6 +74,50 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream–STREAM join, run as a real streaming query: the click
+    * stream joins the purchase stream on user within a 1-hour
+    * event-time window. This is the canonical two-feed correlation
+    * (impression↔conversion) and the state story is the point: BOTH
+    * sides carry watermarks and the join condition time-bounds the
+    * match (`purchase_ts ∈ [click_ts, click_ts + 1h]`), so Spark
+    * derives an eviction horizon for each buffer — state is
+    * O(events inside the watermark window), never O(stream). Inner
+    * join, so matches emit as they arrive (append mode); the file sink
+    * keeps emitted pairs on executors/disk. The returned frame is the
+    * bounded aggregate over the sink. */
+  def runStreamStreamJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.TempDirs.create("ss2")
+    val ev = graft.Tables.normalizeTs(
+      events.select("user_id", "ts", "event_type", "value"), "ts")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .write.mode("overwrite").parquet(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$base/purch")
+    val cSchema = spark.read.parquet(s"$base/clicks").schema
+    val pSchema = spark.read.parquet(s"$base/purch").schema
+    StateSizing.withStatePartitions(spark, 10000L) {
+      val cs = spark.readStream.schema(cSchema).parquet(s"$base/clicks")
+        .withWatermark("click_ts", "1 hour")
+      val ps = spark.readStream.schema(pSchema).parquet(s"$base/purch")
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = cs.join(ps, expr(
+        "user_id = p_user AND purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 1 hour"))
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$base/out").agg(
+      count(lit(1)).as("n_pairs"),
+      count_distinct(col("user_id")).as("n_users"),
+      round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+        .as("paired_value"))
+  }
+
   // ------------------------------------------------- stateful sessionize
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

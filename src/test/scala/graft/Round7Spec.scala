@@ -148,6 +148,48 @@ class Round7Spec extends SparkSpec {
     assert(m(1L)._2 > m(2L)._2) // repetitive text is more probable under its own LM
   }
 
+  // ---------------------------------------------------------- anomaly
+
+  test("anomaly: 3-sigma outlier counting with exact-decimal moments") {
+    import spark.implicits._
+    val dir = tmp()
+    // type 'a': 99 zeros + one 100 -> mean 1, std sqrt(99) ~ 9.95,
+    // 3-sigma ~ 29.85: exactly one outlier. type 'b': constant -> std 0.
+    val rows = (Seq.fill(99)(0.0) :+ 100.0).map(("a", _)) ++
+      Seq(("b", 5.0), ("b", 5.0))
+    rows.zipWithIndex
+      .map { case ((t, v), i) =>
+        (i.toLong, t, v, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = analytics.Queries.eventsAnomaly(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_value"),
+         r.getAs[Long]("n_outliers"))).toMap
+    assert(m("a") == ((100L, 1.0, 1L)))
+    assert(m("b") == ((2L, 5.0, 0L))) // zero variance, zero outliers
+  }
+
+  // ------------------------------------------------- stream-stream join
+
+  test("stream-stream join: time-bounded pairs match the batch semantics") {
+    import spark.implicits._
+    val h = 3600L * 1000000L // 1 hour in µs
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      (1L, "click", t0, 0.0),
+      (1L, "purchase", t0 + h / 2, 10.5),  // within 1 h -> pair
+      (1L, "purchase", t0 + 2 * h, 99.0),  // outside window
+      (2L, "purchase", t0, 7.0),           // purchase BEFORE its click
+      (2L, "click", t0 + h, 0.0))
+      .toDF("user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val r = streaming.EventsStream.runStreamStreamJoin(spark, ev).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 1)
+    assert(r.getAs[Long]("n_users") == 1)
+    assert(r.getAs[Double]("paired_value") == 10.5)
+  }
+
   // ---------------------------------------------------------- WAV layer
 
   test("wav: synth -> parse round-trips the law; header structurally ok") {
