@@ -49,9 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - distinct word n-gram shingles"),
       (e: Seq[Expression]) => WordNgrams(e(0), e(1).eval().asInstanceOf[Int])))
-    // whole-operator extension: the native backward as-of join's planner
+    // whole-operator extension: the native as-of join's planner
     // strategy (the per-session route installs the same object lazily via
     // spark.experimental.extraStrategies — see plans.AsOfJoin.asofNative)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
+    // left-only predicates commute with the as-of join; injected into the
+    // operator-optimization batch so the pushed Filter then rides the
+    // built-in PushDownPredicates all the way into the scan
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoin.PushLeftFiltersThroughAsOf)
   }
 }

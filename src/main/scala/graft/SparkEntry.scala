@@ -316,6 +316,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** #108 FORWARD as-of join through the native operator: each purchase
+    * gets the user's NEXT (earliest subsequent-or-simultaneous) signup
+    * timestamp — the `direction = forward` face of plans.AsOfJoin's
+    * dual-cursor merge, same shuffle shape as #104 (each side
+    * independently on user_id, O(1) state per partition). Checked
+    * against DuckDB's forward ASOF (`l.ts <= r.ts`) oracle. */
+  def joinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    plans.AsOfJoin.asofNative(purchases, signups, "user_id", "ts",
+        Seq("signup_ts"), direction = plans.AsOfJoin.Forward)
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** #42 Range join: orders bucketed into literal price bands (broadcast
     * band table, BNLJ on the between-condition — bands are tiny by
     * construction). */
@@ -1391,6 +1409,8 @@ object SparkEntry {
     "events_anomaly"      -> (Queries.eventsAnomaly _),
     "stream_stream_join"  -> ((s: SparkSession, dir: String) =>
       EventsStream.runStreamStreamJoin(s, Tables.events(s, dir))),
+    "stream_stream_outer" -> ((s: SparkSession, dir: String) =>
+      EventsStream.runStreamStreamOuterJoin(s, Tables.events(s, dir))),
     "agg_histogram"       -> (Queries.aggHistogram _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
@@ -1427,6 +1447,7 @@ object SparkEntry {
     "report_pivot"        -> (reportPivot _),
     "join_asof"           -> (joinAsof _),
     "join_asof_native"    -> (joinAsofNative _),
+    "join_asof_fwd"       -> (joinAsofFwd _),
     "join_range"          -> (joinRange _),
     "join_bucketed"       -> (joinBucketed _),
     "ingest_merge_schema" -> (ingestMergeSchema _),
@@ -1872,6 +1893,15 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
 
+    "join_asof_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY event_id""".stripMargin,
+
     "join_range" ->
       """SELECT band, count(*) AS n_orders,
         |       round(avg(o_totalprice), 2) AS avg_price
@@ -2085,6 +2115,22 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
         |         AS paired_value
         |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "stream_stream_outer" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_rows,
+        |       count(p.purchase_ts) AS n_pairs,
+        |       CAST(sum(CASE WHEN p.purchase_ts IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_unmatched,
+        |       count(DISTINCT c.user_id) AS n_users,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |         AS paired_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR""".stripMargin,
 

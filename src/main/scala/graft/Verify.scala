@@ -23,7 +23,19 @@ object Verify {
     // emit an `err` row instead of silently dropping the key (round 6: the
     // NTZ break removed 4 keys from CORRECTNESS with no trace)
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop subset (comma-separated keys), mirroring Bench's
+    // SPARK_GRAFT_BENCH_ONLY — the driver never sets this, so the full
+    // registry always runs in the round gate
+    val registry = sys.env.get("SPARK_GRAFT_VERIFY_ONLY") match {
+      case None => SparkEntry.queries
+      case Some(list) =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty)
+        val missing = want.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${missing.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(want.toSet).toMap
+    }
+    registry.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -74,6 +74,24 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Oracle-parity guard for the stream-stream joins: both rely on the
+    * file source ingesting ALL staged parquet in ONE micro-batch (the
+    * default when `maxFilesPerTrigger` is unset). If batching ever
+    * splits — config drift, a future default change — the 1-hour
+    * watermarks could silently drop out-of-order rows relative to the
+    * batch oracle, so divergence fails loudly here instead. Sentinel
+    * watermark-advancing batches (which carry only far-future rows) are
+    * exempt via `maxDataBatches`. */
+  private def assertSingleIngestBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      label: String, maxDataBatches: Int = 1): Unit = {
+    val n = q.recentProgress.count(_.numInputRows > 0)
+    require(n <= maxDataBatches,
+      s"$label: staged files must ingest in <= $maxDataBatches micro-batch(es), " +
+        s"got $n — single-batch ingestion is what makes the watermarked " +
+        "stream equal to the batch oracle")
+  }
+
   /** Stream–STREAM join, run as a real streaming query: the click
     * stream joins the purchase stream on user within a 1-hour
     * event-time window. This is the canonical two-feed correlation
@@ -109,13 +127,86 @@ object EventsStream {
         .option("checkpointLocation", s"$base/ckpt")
         .format("parquet").option("path", s"$base/out")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        assertSingleIngestBatch(q, "stream_stream_join")
+      } finally q.stop()
     }
     spark.read.parquet(s"$base/out").agg(
       count(lit(1)).as("n_pairs"),
       count_distinct(col("user_id")).as("n_users"),
       round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
         .as("paired_value"))
+  }
+
+  /** Stream–stream LEFT OUTER join: same two-feed correlation as
+    * [[runStreamStreamJoin]], but clicks that never convert inside the
+    * 1-hour window ALSO emit — null-extended — which exercises the
+    * state-eviction emit path the inner join never touches. An outer
+    * stream-stream join can only emit an unmatched row once the
+    * watermark proves no future match can arrive (click state evicts at
+    * `click_ts + 1h` past the joint watermark), so the stream's end is
+    * modeled the way production streams experience it: two sentinel
+    * batches of far-future rows (user `Long.MinValue`, exact-match
+    * filtered afterward) written to BOTH feeds advance the joint
+    * watermark — min across inputs — past every real click's eviction
+    * horizon; two because eviction uses the watermark committed by the
+    * PREVIOUS batch. State stays O(events inside the watermark window)
+    * exactly as in the inner join, and each unmatched click emits
+    * EXACTLY once (eviction removes it from the buffer — the second
+    * sentinel batch cannot re-emit it; spec-pinned). Returns the
+    * bounded aggregate over the file sink: matched pairs, unmatched
+    * clicks, distinct click users, and matched value. */
+  def runStreamStreamOuterJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.TempDirs.create("ss2o")
+    val ev = graft.Tables.normalizeTs(
+      events.select("user_id", "ts", "event_type", "value"), "ts")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .write.mode("overwrite").parquet(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$base/purch")
+    val clicksStaged = spark.read.parquet(s"$base/clicks")
+    val cSchema = clicksStaged.schema
+    val pSchema = spark.read.parquet(s"$base/purch").schema
+    // one metadata+agg pass for the sentinel horizon (max real ts)
+    val maxTs = clicksStaged.agg(max(col("click_ts"))).collect()(0).getTimestamp(0)
+    import spark.implicits._
+    StateSizing.withStatePartitions(spark, 10000L) {
+      val cs = spark.readStream.schema(cSchema).parquet(s"$base/clicks")
+        .withWatermark("click_ts", "1 hour")
+      val ps = spark.readStream.schema(pSchema).parquet(s"$base/purch")
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = cs.join(ps, expr(
+        "user_id = p_user AND purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 1 hour"), "left_outer")
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      try {
+        q.processAllAvailable()
+        assertSingleIngestBatch(q, "stream_stream_outer")
+        Seq(30, 60).foreach { days =>
+          val ts = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+          Seq((Long.MinValue, ts)).toDF("user_id", "click_ts")
+            .write.mode("append").parquet(s"$base/clicks")
+          Seq((Long.MinValue, ts, 0.0)).toDF("p_user", "purchase_ts", "value")
+            .write.mode("append").parquet(s"$base/purch")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.read.parquet(s"$base/out")
+      .filter(col("user_id") =!= Long.MinValue)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("purchase_ts")).as("n_pairs"),
+        sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("paired_value"))
   }
 
   // ------------------------------------------------- stateful sessionize

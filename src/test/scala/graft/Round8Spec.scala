@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Round-8 operators: the stream-stream LEFT OUTER join's
+  * state-eviction emit path. Edge semantics pinned on constructed data
+  * (the sf oracle checks corpus-level agreement with the batch left
+  * join; this checks the streaming-only laws — exactly-once null
+  * emission and state drain). */
+class Round8Spec extends SparkSpec {
+
+  private def eventsDf(rows: Seq[(Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  test("stream-stream outer: unmatched clicks emit exactly once, state drains") {
+    val s = 1000000L // 1 second in µs
+    val hr = 3600 * s
+    // modern base time, not epoch 0: an outer join's derived state
+    // watermark (global watermark + the join-condition constraint) sits
+    // ~1h above the epoch floor in batch 0, so epoch-adjacent rows would
+    // be dropped as late before ever reaching the join buffers
+    val t0 = 1704067200L * s // 2024-01-01T00:00:00Z
+    val df = eventsDf(Seq(
+      // user 1: click with a purchase 30 min later -> matched pair
+      (1L, t0, "click", 0.0), (1L, t0 + hr / 2, "purchase", 10.0),
+      // user 2: click never converts -> ONE null-extended row via eviction
+      (2L, t0, "click", 0.0),
+      // user 3: purchase with no click -> absent (left outer on clicks)
+      (3L, t0, "purchase", 30.0),
+      // user 4: purchase 2h after the click -> outside window, click unmatched
+      (4L, t0, "click", 0.0), (4L, t0 + 2 * hr, "purchase", 40.0)))
+    val r = EventsStream.runStreamStreamOuterJoin(spark, df).collect()(0)
+    // 1 matched pair + 2 unmatched clicks; were eviction re-emitting on
+    // the second sentinel batch, n_unmatched would read 4, not 2
+    assert(r.getAs[Long]("n_rows") == 3)
+    assert(r.getAs[Long]("n_pairs") == 1)
+    assert(r.getAs[Long]("n_unmatched") == 2)
+    assert(r.getAs[Long]("n_users") == 3)
+    assert(r.getAs[Double]("paired_value") == 10.0)
+  }
+
+  test("stream-stream outer equals the batch left join on the events corpus") {
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val batch = c.join(p, expr(
+        "user_id = p_user AND purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 1 hour"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("purchase_ts")).as("n_pairs"),
+           sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+           count_distinct(col("user_id")).as("n_users"),
+           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+             .as("paired_value"))
+      .collect()(0)
+    val stream = EventsStream.runStreamStreamOuterJoin(spark, ev).collect()(0)
+    assert(stream == batch)
+  }
+}
