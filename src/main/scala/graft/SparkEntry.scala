@@ -1150,6 +1150,42 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #110 MERGE with schema evolution (Delta `mergeSchema`/autoMerge on
+    * MERGE INTO): the correction batch arrives carrying a NEW
+    * `audit_reason` column — the CDC-upsert companion of #59's
+    * overwriteSchema, hit the moment an upstream adds a column. One ACID
+    * commit widens the schema (new column appended nullable), rewrites
+    * only the matched files (their rows materialize the value or a
+    * typed NULL), and leaves every other file byte-untouched — those
+    * back-fill typed NULLs lazily through the widened read schema, the
+    * process_data_glue.py:158-174 discipline on an ACID target.
+    * `n_cols_v1`/`n_cols_v2` prove the old snapshot still reads with
+    * its own narrower schema. */
+  def deltaMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txmev")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts) // v1
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+      .withColumn("audit_reason", lit("fare_audit")) // the evolving column
+    graft.acid.TxLog.merge(corrections, path, Seq("event_id"),
+      evolveSchema = true) // v2: widen + upsert in ONE commit
+    val v1Cols = graft.acid.TxLog.read(s, path, versionAsOf = Some(1L)).schema.size
+    val cur = graft.acid.TxLog.read(s, path)
+    cur.groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"),
+           count(col("audit_reason")).as("n_audited"))
+      .withColumn("n_cols_v1", lit(v1Cols.toLong))
+      .withColumn("n_cols_v2", lit(cur.schema.size.toLong))
+      .select("trip_type", "n_rows", "total", "n_audited",
+              "n_cols_v1", "n_cols_v2")
+      .orderBy("trip_type")
+  }
+
   /** #75 Change data feed (Delta CDF): after a MERGE (late corrections +
     * new arrivals) and a DELETE (low-value trip purge), the feed lists
     * exactly the changed rows per commit — pre/post images for updates,
@@ -1467,6 +1503,7 @@ object SparkEntry {
     "delta_time_travel"   -> (deltaTimeTravel _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "delta_merge"         -> (deltaMerge _),
+    "delta_merge_evolve"  -> (deltaMergeEvolve _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
@@ -2566,6 +2603,20 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT event_type, value FROM events
          |  WHERE event_type = 'view' AND $dqSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_merge_evolve" ->
+      s"""SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(total_amount), 2) AS total,
+         |       CAST(sum(CASE WHEN audited THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_audited,
+         |       CAST(6 AS BIGINT) AS n_cols_v1, CAST(7 AS BIGINT) AS n_cols_v2
+         |FROM (
+         |  SELECT event_type AS trip_type,
+         |         CASE WHEN event_type = 'purchase' AND value >= 100
+         |              THEN value + 10 ELSE value END AS total_amount,
+         |         (event_type = 'purchase' AND value >= 100) AS audited
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_cdf" ->

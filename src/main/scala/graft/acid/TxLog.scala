@@ -517,9 +517,24 @@ object TxLog {
     * feed tags the preimage `delete`); an UNMATCHED source row satisfying
     * it is a no-op — delete-marked rows are never inserted. This is what
     * makes a single MERGE commit able to express "upsert live groups,
-    * drop emptied ones" (see [[MaterializedView.refresh]]). */
+    * drop emptied ones" (see [[MaterializedView.refresh]]).
+    *
+    * `evolveSchema=true` is Delta's `mergeSchema`/autoMerge on MERGE
+    * INTO: source columns absent from the target are APPENDED to the
+    * table schema (forced nullable) in the same ACID commit. Rewritten
+    * files carry the new columns materialized; untouched files back-fill
+    * typed NULLs lazily at read time (the widened read schema projects
+    * them — the process_data_glue.py:158-174 typed-NULL completion
+    * discipline, applied to an ACID target with zero data rewritten
+    * beyond what the merge touched anyway). Historical snapshots keep
+    * their own narrower schema: the meta action lives in this commit, so
+    * `versionAsOf` reads below it never see the new columns. Note that
+    * with evolution on, EVERY extra source column becomes a table column
+    * — columns meant only for `deleteWhen` to reference must be absent
+    * from the source (or evolution off) to stay ephemeral. */
   def merge(source: DataFrame, table: String, keyCols: Seq[String],
-            deleteWhen: Option[org.apache.spark.sql.Column] = None): MergeStats = {
+            deleteWhen: Option[org.apache.spark.sql.Column] = None,
+            evolveSchema: Boolean = false): MergeStats = {
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
@@ -534,27 +549,42 @@ object TxLog {
     while (attempts < 10) {
       val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
         s"merge into non-existent table $table — overwrite first"))
-      val cols = snap.meta.schema.fieldNames.toSeq
+      // schema evolution: source-only columns append to the table schema
+      // (nullable — old rows have no value); partition columns can never
+      // arrive this way (they'd re-layout the table, which MERGE is not)
+      val extras =
+        if (!evolveSchema) Array.empty[org.apache.spark.sql.types.StructField]
+        else source.schema.fields.filterNot(f =>
+          snap.meta.schema.fieldNames.contains(f.name))
+      val meta2 =
+        if (extras.isEmpty) snap.meta
+        else snap.meta.copy(schema = org.apache.spark.sql.types.StructType(
+          snap.meta.schema.fields ++ extras.map(_.copy(nullable = true))))
+      val cols = meta2.schema.fieldNames.toSeq
       // the source may carry EXTRA columns for the deleteWhen clause to
       // reference (Delta's MERGE condition sees the whole source row);
-      // only the table's columns are written, and they must be compatible
+      // without evolution only the table's columns are written, and the
+      // shared ones must be compatible
       requireCompatible(snap.meta.schema,
         org.apache.spark.sql.types.StructType(
-          cols.map(c => source.schema(source.schema.fieldIndex(c)))), table)
+          snap.meta.schema.fieldNames.toSeq
+            .map(c => source.schema(source.schema.fieldIndex(c)))), table)
       // __del is computed BEFORE projecting the extras away; null
       // (unmatched join side) and absent clause both mean "not a delete"
       val src = source.select(
         cols.map(col) :+ coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
-      val full = relationFor(spark, table, snap.meta, snap.files)._1
+      val full = relationFor(spark, table, meta2, snap.files)._1
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       // file-granular match: which live files hold a matched key
-      val touchedPaths = relationFor(spark, table, snap.meta, snap.files)._1
+      val touchedPaths = relationFor(spark, table, meta2, snap.files)._1
         .withColumn("__path", col("_metadata.file_path"))
         .join(srcKeys, keyCols, "left_semi")
         .select("__path").distinct().collect()
         .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
-      val touchedRows = relationFor(spark, table, snap.meta, touched)._1
+      // widened meta: rewritten files materialize the new columns; the
+      // old rows they carry surface typed NULLs through the parquet read
+      val touchedRows = relationFor(spark, table, meta2, touched)._1
       val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       val wide = touchedRows.alias("t")
         .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
@@ -588,8 +618,9 @@ object TxLog {
           .withColumn("_change_type", lit("delete")))
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
       val cdcFiles = stageCdc(cdcFrame, table)
-      val lines = commitInfoJson("merge") +:
-        (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+      val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
+      val lines = commitInfoJson("merge") +: (metaLine ++
+        touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
           cdcFiles.map(cdcJson))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)

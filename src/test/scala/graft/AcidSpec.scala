@@ -190,6 +190,45 @@ class AcidSpec extends SparkSpec {
       rows(base.select("id", "amt")))
   }
 
+  test("merge evolveSchema widens in-commit; old snapshots keep their schema") {
+    import spark.implicits._
+    val t = tmp()
+    val base = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0))
+      .toDF("fleet", "id", "amt")
+    TxLog.overwrite(base, t, Seq("fleet")) // v1: one file per partition
+    val source = Seq(
+      ("a", 2L, 99.0, "audit"),  // update carrying the NEW column
+      ("b", 9L, 90.0, "late"))   // insert carrying the NEW column
+      .toDF("fleet", "id", "amt", "reason")
+    val stats = TxLog.merge(source, t, Seq("id"), evolveSchema = true)
+    // file-granular rewrite is unchanged by evolution: only fleet=a's
+    // file holds a matched key (the insert appends, never rewrites)
+    assert(stats.filesRewritten == 1 && stats.filesTotalBefore == 2)
+    val cur = TxLog.read(spark, t)
+    // new column appended LAST and nullable
+    assert(cur.schema.fieldNames.toSeq == Seq("fleet", "id", "amt", "reason"))
+    assert(cur.schema("reason").nullable)
+    // typed-NULL back-fill: rows in UNTOUCHED files (fleet=b, ids 3/4) and
+    // unmatched neighbors in the rewritten file (id 1) read NULL; matched
+    // and inserted rows carry their source value
+    assert(rows(cur.select("fleet", "id", "amt", "reason")) == Set(
+      Seq("a", 1L, 10.0, null), Seq("a", 2L, 99.0, "audit"),
+      Seq("b", 3L, 30.0, null), Seq("b", 4L, 40.0, null),
+      Seq("b", 9L, 90.0, "late")))
+    // the old snapshot still reads with its OWN (narrower) schema
+    val v1 = TxLog.read(spark, t, Some(1L))
+    assert(v1.schema.fieldNames.toSeq == Seq("fleet", "id", "amt"))
+    assert(rows(v1) == rows(base))
+    // without evolution the same source still merges, extras ignored
+    // (deleteWhen-helper semantics preserved)
+    val t2 = tmp()
+    TxLog.overwrite(base, t2, Seq("fleet"))
+    TxLog.merge(source, t2, Seq("id"))
+    assert(TxLog.read(spark, t2).schema.fieldNames.toSeq ==
+      Seq("fleet", "id", "amt"))
+  }
+
   test("delete/update rewrite only files that hold matching rows") {
     import spark.implicits._
     val t = tmp()
