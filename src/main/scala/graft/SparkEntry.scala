@@ -813,6 +813,25 @@ object SparkEntry {
       .orderBy("new_doc", "matched_doc")
   }
 
+  /** #111 Incremental span-statistics index: the growing-corpus face of
+    * #99 — corpus-level span stats stay current by folding per-batch
+    * per-span PARTIAL aggregates persisted in a bucketed index, so each
+    * ingested batch pays O(batch tokens) (hash + one batch-sized
+    * shuffle + bucket-preserving append) and the stats query folds the
+    * partials with ZERO exchanges above the index scan (the bucket
+    * layout satisfies the per-span groupBy). Two document-disjoint
+    * batches here; the result must equal the full-corpus recompute —
+    * the oracle IS #99's oracle. */
+  def spanIndexIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idxPath = tempDir("spanidx")
+    graft.text.SpanIndex.initIndex(
+      docs.filter(col("doc_id") % 2 === 0), "graft_span_index", idxPath)
+    graft.text.SpanIndex.appendBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), "graft_span_index")
+    graft.text.SpanIndex.stats(s, "graft_span_index")
+  }
+
   /** #92 STREAMING incremental dedup: the document stream dedups
     * micro-batch by micro-batch against the persisted bucketed LSH
     * index via foreachBatch — the ingest-time shape of #82. Two staged
@@ -892,6 +911,25 @@ object SparkEntry {
         col("duration_ms"), round(col("rms"), 4).as("rms"),
         col("peak"), round(col("zcr"), 6).as("zcr"), col("header_ok"))
       .orderBy("doc_id")
+
+  /** #112 STREAMING audio feature extraction: the document stream runs
+    * the #100 codec path micro-batch by micro-batch via foreachBatch
+    * into a durable per-batch sink — proving the per-partition codec
+    * handle lifecycle survives micro-batching (each batch's tasks build
+    * their own handles inside the partition closure; nothing serializes
+    * or leaks across batches). Two document-disjoint staged drops; the
+    * union must equal the batch #100 run — the oracle IS #100's
+    * oracle. */
+  def mmAudioStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    streaming.StreamAudio.run(s, Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0)))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), round(col("rms"), 4).as("rms"),
+        col("peak"), round(col("zcr"), 6).as("zcr"), col("header_ok"))
+      .orderBy("doc_id")
+  }
 
   /** #88 Perceptual image dedup (aHash over DECODED pixels — possible
     * because the codecs are real): every doc's blob — ppm, png, or jpg,
@@ -1452,8 +1490,12 @@ object SparkEntry {
                                Queries.textSpanDedup(s, dir)),
     "corpus_overlap"      -> ((s: SparkSession, dir: String) =>
                                Queries.corpusOverlap(s, dir)),
+    "span_index_incremental" -> (spanIndexIncremental _),
+    "corpus_overlap_topk" -> ((s: SparkSession, dir: String) =>
+                               Queries.corpusOverlapTopk(s, dir)),
     "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
+    "mm_audio_stream"     -> (mmAudioStream _),
     "stream_window_agg"   -> (streamWindowAgg _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_minhash"       -> (dedupMinhash _),
@@ -2251,7 +2293,77 @@ object SparkEntry {
         |       CAST(max(n_docs) AS BIGINT) AS max_span_doc_freq
         |FROM g""".stripMargin,
 
+    "corpus_overlap_topk" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT DISTINCT doc_id, source,
+        |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
+        |      FROM t, unnest(range(len(w) - 8 + 1)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
+        |ss AS (SELECT DISTINCT source, h FROM s),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b, a.h
+        |       FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source),
+        |r AS (SELECT source_a, source_b, h, n_docs,
+        |        row_number() OVER (PARTITION BY source_a, source_b
+        |                           ORDER BY n_docs DESC, h ASC) AS rank
+        |      FROM sh JOIN df USING (h))
+        |SELECT source_a, source_b, rank, h AS span_hex,
+        |       CAST(n_docs AS BIGINT) AS n_docs
+        |FROM r WHERE rank <= 3
+        |ORDER BY source_a, source_b, rank""".stripMargin,
+
+    // the incremental index must equal the full recompute — same oracle
+    // as text_span_dedup by construction
+    "span_index_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash
+        |      FROM t, unnest(range(len(w) - 8 + 1)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |g AS (SELECT span_hash, count(*) AS n_occ,
+        |             count(DISTINCT doc_id) AS n_docs
+        |      FROM s GROUP BY 1)
+        |SELECT count(*) AS n_distinct_spans,
+        |       CAST(sum(n_occ) AS BIGINT) AS n_span_instances,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cross_doc_spans,
+        |       CAST(max(n_docs) AS BIGINT) AS max_span_doc_freq
+        |FROM g""".stripMargin,
+
     "mm_audio_meta" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        CASE b % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                   ELSE 44100 END AS rate,
+        |        256 + (b * 7) % 1024 AS ns,
+        |        (b * 2654435761) % 2147483647 AS seed
+        |      FROM d),
+        |s AS (SELECT doc_id, rate, ns, i,
+        |        ((seed + (i + 1) * 48271) % 65536) - 32768 AS v
+        |      FROM p, unnest(range(ns)) AS u(i)),
+        |z AS (SELECT doc_id, v,
+        |        v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0 AS zc
+        |      FROM s),
+        |a AS (SELECT doc_id,
+        |        sum(CAST(v AS BIGINT) * v) AS sum_sq, count(*) AS n,
+        |        max(abs(v)) AS peak,
+        |        sum(CASE WHEN zc THEN 1 ELSE 0 END) AS n_zc
+        |      FROM z GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.rate AS BIGINT) AS sample_rate,
+        |  CAST(p.ns AS BIGINT) AS n_samples,
+        |  CAST(p.ns * 1000 // p.rate AS BIGINT) AS duration_ms,
+        |  round(sqrt(CAST(a.sum_sq AS DOUBLE) / a.n), 4) AS rms,
+        |  CAST(a.peak AS BIGINT) AS peak,
+        |  round(CAST(a.n_zc AS DOUBLE) / (a.n - 1), 6) AS zcr,
+        |  true AS header_ok
+        |FROM p JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // streamed extraction must equal the batch run — same oracle as
+    // mm_audio_meta by construction (disjoint drops, pure feature law)
+    "mm_audio_stream" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b
         |           FROM documents),
         |p AS (SELECT doc_id,

@@ -547,6 +547,51 @@ object Queries {
       .orderBy("source_a", "source_b")
   }
 
+  /** #113 Sub-span attribution for cross-corpus overlap (round 8) —
+    * turns #105's contamination MEASURE into a contamination TRIAGE
+    * tool: for each overlapping source pair, WHICH spans drive the
+    * overlap? Reports the top-k shared spans per pair ranked by
+    * corpus-wide document frequency (the spans most likely to be
+    * boilerplate/license/template text), tie-broken deterministically
+    * by the span digest — the 16-byte binary orders identically to the
+    * lowercase-hex string both engines print, so the oracle's
+    * `ORDER BY n_docs DESC, h ASC` is exact.
+    *
+    * Shape: ONE O(tokens) explode+distinct shuffle builds the
+    * (doc, source, span) set, materialized and reused three ways —
+    * corpus doc-frequency (groupBy span), the per-source span sets
+    * (projection+distinct over the already-distinct rows), and nothing
+    * else re-reads text. The pair join's per-span blowup is bounded by
+    * sources² (the #105 bound), and the rank window partitions by
+    * (source_a, source_b) — O(shared spans) rows, never O(corpus). */
+  def corpusOverlapTopk(s: SparkSession, dir: String, k: Int = 8,
+                        topK: Int = 3): DataFrame = {
+    val docSpans = graft.Caching.materialize(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= k)
+        .select(col("doc_id"), col("source"), explode(expr(
+          s"transform(sequence(0, n - $k), i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"
+        )).as("h"))
+        .distinct())
+    val docFreq = docSpans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val srcSpans = docSpans.select("source", "h").distinct()
+    val shared = srcSpans
+      .join(srcSpans.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .select(col("source").as("source_a"), col("source_b"), col("h"))
+    val w = Window.partitionBy("source_a", "source_b")
+      .orderBy(col("n_docs").desc, col("h").asc)
+    shared.join(docFreq, Seq("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source_a"), col("source_b"), col("rank"),
+        lower(hex(col("h"))).as("span_hex"), col("n_docs"))
+      .orderBy("source_a", "source_b", "rank")
+  }
+
   /** #106 Z-score anomaly counts per event type (round 7) — the
     * metric-outlier triage step before any value lands in a training
     * signal. Engine-stability discipline: both moments accumulate as

@@ -63,4 +63,66 @@ class Round8Spec extends SparkSpec {
     val stream = EventsStream.runStreamStreamOuterJoin(spark, ev).collect()(0)
     assert(stream == batch)
   }
+
+  test("span index: incremental batches equal the full recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),        // spans abc..h, bcd..i, cde..j
+      (2L, "a b c d e f g h"),            // exactly one span, shared with doc 1
+      (3L, "x y z w v u t s r"),          // disjoint spans
+      (4L, "a b c d e f g h i j"),        // duplicate of doc 1
+      (5L, "too short")                   // below k, contributes nothing
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("spanidx-spec").toString
+    spark.sql("DROP TABLE IF EXISTS span_idx_spec")
+    graft.text.SpanIndex.initIndex(
+      docs.filter(col("doc_id") <= 2), "span_idx_spec", path)
+    graft.text.SpanIndex.appendBatch(
+      docs.filter(col("doc_id") > 2), "span_idx_spec")
+    val inc = graft.text.SpanIndex.stats(spark, "span_idx_spec").collect()(0)
+    // full recompute over the same docs via the #99 operator body
+    val full = graft.text.SpanIndex.batchSpanPartials(docs)
+      .agg(count(lit(1)).as("n_distinct_spans"),
+        sum(col("occ")).as("n_span_instances"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_cross_doc_spans"),
+        max(col("docs")).as("max_span_doc_freq"))
+      .collect()(0)
+    assert(inc == full)
+    // and the law the data was built to pin: doc1∩doc2 share 1 span,
+    // doc4 duplicates doc1's 3 spans -> abc..h seen in 3 docs
+    assert(inc.getAs[Long]("max_span_doc_freq") == 3L)
+    spark.sql("DROP TABLE IF EXISTS span_idx_spec")
+  }
+
+  test("streaming audio extraction equals the batch codec run") {
+    // deterministic subset (limit() is plan-order-dependent across runs)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val batch = graft.multimodal.BinaryColumns.audioMeta(docs).toDF()
+      .orderBy("doc_id").collect()
+    val streamed = graft.streaming.StreamAudio.run(spark, Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0)))
+      .orderBy("doc_id").collect()
+    // the feature law is pure: micro-batched extraction must be
+    // byte-identical to the single-pass batch run, one row per doc
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("span index: per-span fold runs with zero exchanges above the scan") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, s"w$i a b c d e f g h tail${i % 3}")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("spanidx-plan").toString
+    spark.sql("DROP TABLE IF EXISTS span_idx_plan")
+    graft.text.SpanIndex.initIndex(docs, "span_idx_plan", path)
+    val plan = graft.text.SpanIndex.perSpanTotals(spark, "span_idx_plan")
+      .queryExecution.executedPlan.toString
+    // the bucketed layout satisfies the groupBy distribution: the fold
+    // must not re-shuffle the index (O(corpus) exchange per query is
+    // exactly what the incremental design exists to avoid)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"span-partial fold re-shuffled the bucketed index:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS span_idx_plan")
+  }
 }
