@@ -1317,6 +1317,82 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #115 Shallow clone (Delta `SHALLOW CLONE`): the clone's first
+    * commit references the source snapshot's files by absolute path —
+    * zero data copied (`zero_copy` observes no parquet under the clone
+    * root before the clone's own write). Independence proven in BOTH
+    * directions by diverging both sides after the clone: the SOURCE
+    * purges views (the clone still reports them), the CLONE
+    * copy-on-write-deletes cheap purchases (the source still reports
+    * them); each side's aggregate must match its own independent model.
+    * At 100 TB this is a writable dev copy of a petabyte table in one
+    * O(files) log write. */
+  def deltaClone(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val src = tempDir("txclsrc")
+    val dst = tempDir("txcldst")
+    graft.acid.TxLog.overwrite(consumerSlim(s, dir), src, Seq("trip_type"))
+    graft.acid.TxLog.cloneShallow(s, src, dst)
+    def dataFiles(p: String): Int = {
+      val root = new Path(p)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = hfs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_txlog")) n += 1
+      }
+      n
+    }
+    val zeroCopy = dataFiles(dst) == 0
+    // diverge the SOURCE: purge the green fleet — invisible to the clone
+    graft.acid.TxLog.delete(s, src,
+      col("trip_type") === ConsumerPipeline.GreenType)
+    // diverge the CLONE: copy-on-write delete of cheap yellows — the
+    // rewrite lands under the CLONE root, the source is untouched
+    graft.acid.TxLog.delete(s, dst,
+      col("trip_type") === ConsumerPipeline.YellowType &&
+        col("total_amount") < 100)
+    def agg(side: String, table: String): DataFrame =
+      graft.acid.TxLog.read(s, table)
+        .groupBy("trip_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("total_amount")), 2).as("total"))
+        .withColumn("side", lit(side))
+    agg("clone", dst).unionByName(agg("source", src))
+      .withColumn("zero_copy", lit(zeroCopy))
+      .select("side", "trip_type", "n_rows", "total", "zero_copy")
+      .orderBy("side", "trip_type")
+  }
+
+  /** #116 CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`): the
+    * registry face of TxLog's constraint layer — a constraint is
+    * validated against the CURRENT snapshot when added, then every
+    * subsequent commit validates its frame BEFORE staging becomes
+    * visible (commit aborted atomically on violation — the table never
+    * exposes a half-written bad batch). Scenario: constrain the
+    * consumer to non-negative amounts, reject a violating append
+    * transactionally (`violation_rejected`, table content unchanged),
+    * accept a valid one. */
+  def deltaConstraints(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txcons")
+    val consumer = consumerSlim(s, dir)
+    graft.acid.TxLog.overwrite(consumer, path, Seq("trip_type"))
+    graft.acid.TxLog.addCheckConstraint(s, path, "nonneg", "total_amount >= 0")
+    val bad = consumer.limit(5).withColumn("total_amount", lit(-1.0))
+    val rejected = scala.util.Try(graft.acid.TxLog.append(bad, path)).isFailure
+    // valid append passes: re-append the view fleet (doubles its rows)
+    graft.acid.TxLog.append(
+      consumer.filter(col("trip_type") === ConsumerPipeline.GreenType), path)
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("violation_rejected", lit(rejected))
+      .select("trip_type", "n_rows", "total", "violation_rejected")
+      .orderBy("trip_type")
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -1493,6 +1569,10 @@ object SparkEntry {
     "span_index_incremental" -> (spanIndexIncremental _),
     "corpus_overlap_topk" -> ((s: SparkSession, dir: String) =>
                                Queries.corpusOverlapTopk(s, dir)),
+    "events_transitions"  -> ((s: SparkSession, dir: String) =>
+                               Queries.eventsTransitions(s, dir)),
+    "join_interval_overlap" -> ((s: SparkSession, dir: String) =>
+                               Queries.joinIntervalOverlap(s, dir)),
     "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
     "mm_audio_stream"     -> (mmAudioStream _),
@@ -1553,6 +1633,8 @@ object SparkEntry {
     "delta_bloom_skip"    -> (deltaBloomSkip _),
     "delta_data_skipping" -> (deltaDataSkipping _),
     "delta_vacuum"        -> (deltaVacuum _),
+    "delta_clone"         -> (deltaClone _),
+    "delta_constraints"   -> (deltaConstraints _),
     "catalog_partitions"  -> (catalogPartitions _),
     "catalog_persistent"  -> (catalogPersistent _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -2293,6 +2375,43 @@ object SparkEntry {
         |       CAST(max(n_docs) AS BIGINT) AS max_span_doc_freq
         |FROM g""".stripMargin,
 
+    "join_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_overlap_pairs,
+        |       count(DISTINCT (a.user_id, b.user_id)) AS n_user_pairs
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id
+        | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""".stripMargin,
+
+    "events_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |g AS (SELECT event_type AS from_type, next_type AS to_type,
+        |             count(*) AS n
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
+
     "corpus_overlap_topk" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |           FROM documents),
@@ -2772,6 +2891,31 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql AND value >= 50
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_clone" ->
+      s"""SELECT * FROM (
+         |  SELECT 'clone' AS side, event_type AS trip_type,
+         |         count(*) AS n_rows, round(sum(value), 2) AS total,
+         |         true AS zero_copy
+         |  FROM events
+         |  WHERE $dqSql AND (event_type = 'view'
+         |        OR (event_type = 'purchase' AND value >= 100))
+         |  GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source', event_type, count(*), round(sum(value), 2), true
+         |  FROM events
+         |  WHERE $dqSql AND event_type = 'purchase'
+         |  GROUP BY 2)
+         |ORDER BY side, trip_type""".stripMargin,
+
+    "delta_constraints" ->
+      s"""WITH c AS (SELECT event_type AS trip_type, value FROM events
+         |           WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |u AS (SELECT * FROM c
+         |      UNION ALL SELECT * FROM c WHERE trip_type = 'view')
+         |SELECT trip_type, count(*) AS n_rows, round(sum(value), 2) AS total,
+         |       true AS violation_rejected
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_bloom_skip" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,

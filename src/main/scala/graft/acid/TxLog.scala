@@ -826,6 +826,40 @@ object TxLog {
         (removes.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
     }
 
+  /** Shallow clone — Delta `CREATE TABLE t SHALLOW CLONE src [VERSION AS
+    * OF v]`: the target's FIRST commit re-adds the source snapshot's
+    * data files by fully-qualified absolute path — zero bytes copied,
+    * O(files) metadata, constant in data size (the whole point at
+    * 100 TB: a writable dev/test copy of a petabyte table in one log
+    * write). Hadoop `Path(root, child)` resolves an absolute child AS
+    * the child, so every reader (snapshot stat-fill, TxLogFileIndex,
+    * CDF) follows the reference transparently; per-file stats + blooms
+    * ride along in the copied add actions, so data skipping on the
+    * clone is as good as on the source.
+    *
+    * Independence from the commit on: writes to either side touch only
+    * their own log; copy-on-write rewrites land under the WRITER's
+    * root; the clone pins the source as-of clone time (later source
+    * commits invisible). `vacuum` on the clone only deletes files under
+    * the clone's root (the deletion candidate list comes from listing
+    * that root — the source's absolute-path files never appear in it);
+    * vacuum on the SOURCE can strand a clone, exactly as in Delta.
+    * Returns the number of referenced files. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+                   versionAsOf: Option[Long] = None): Int = {
+    val snap = snapshot(spark, source, versionAsOf).getOrElse(
+      throw new IllegalStateException(s"no txlog table at $source"))
+    val (srcFs, srcRoot) = fs(spark, source)
+    val qual = srcFs.makeQualified(srcRoot)
+    val adds = snap.files.map(f => f.copy(path = new Path(qual, f.path).toString))
+    retryCommit(spark, target) { prior =>
+      require(prior.isEmpty, s"clone target $target already exists")
+      commitInfoJson("clone") +: metaJson(snap.meta) +:
+        adds.map(actionJson("add", _))
+    }
+    adds.size
+  }
+
   /** Change data feed (Delta CDF `table_changes`): every row-level change
     * in commits `fromVersion..toVersion` (inclusive; default = latest),
     * as table rows tagged `_change_type` — `insert`, `delete`,

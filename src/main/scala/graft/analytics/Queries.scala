@@ -633,6 +633,73 @@ object Queries {
     * min + per-day distinct) and one co-partitioned join; the final
     * aggregate is one row per cohort DATE — bounded output however
     * large the corpus. */
+  /** #117 Interval-overlap self-join via time-bucket decomposition
+    * (round 8) — the co-activity question ("which users were online at
+    * the same time?") and the canonical SCALE PATH for interval joins:
+    * a naive interval-interval join is a cross product with two range
+    * predicates (O(n²) everywhere, unshardable); decomposing each
+    * interval into the hour buckets it covers turns it into an
+    * EQUI-join on the bucket key — one hash shuffle, per-bucket blowup
+    * bounded by concurrent-session count, never total sessions. The
+    * multi-bucket double-count is eliminated WITHOUT a dedup shuffle:
+    * a pair is attributed only to the bucket containing the LATER of
+    * the two session starts (both sessions provably cover it, exactly
+    * one bucket satisfies it). Sessions come from the #16 sessionizer;
+    * bucket ids use integer `div` on epoch-µs (no float-floor boundary
+    * risk). Counts exact; oracle is DuckDB's native inequality join
+    * over the same sessions. */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.Caching.materialize(
+      windowSessionize(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us")))
+    intervalOverlapPairs(sessions, bucketUs = 3600L * 1000000L)
+      .agg(count(lit(1)).as("n_overlap_pairs"),
+        count_distinct(col("a_id"), col("b_id")).as("n_user_pairs"))
+  }
+
+  /** The bucketed interval join itself: `(a_id, b_id)` rows, one per
+    * overlapping interval pair with `a_id < b_id`, EXACTLY once each —
+    * the single-attribution-bucket condition replaces a pair-dedup
+    * shuffle. Input schema: `(user_id, s_us, e_us)`, inclusive bounds.
+    * `bucketUs` trades explode fan-out (long intervals → many buckets)
+    * against per-bucket join blowup (short buckets → fewer collisions);
+    * at 100 TB it is tuned to the typical interval length. */
+  private[graft] def intervalOverlapPairs(intervals: DataFrame,
+                                          bucketUs: Long): DataFrame = {
+    val buckets = intervals.withColumn("bucket",
+      explode(expr(s"sequence(s_us div $bucketUs, e_us div $bucketUs)")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.user_id") < col("b.user_id") &&
+        col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us") &&
+        col("a.bucket") === expr(s"greatest(a.s_us, b.s_us) div $bucketUs"))
+      .select(col("a.user_id").as("a_id"), col("b.user_id").as("b_id"))
+  }
+
+  /** #114 Event-type transition matrix (round 8) — the Markov-chain
+    * view of user behavior (the "what follows a click?" question; also
+    * the session-shape feature a behavioral-cloning data pipeline
+    * extracts): consecutive event pairs per user via one `lead` window
+    * (total order `(ts, event_id)` — the sessionize discipline, so
+    * duplicate timestamps can't flip pairs between runs), counted into
+    * a |types|² matrix with per-source transition probabilities. ONE
+    * user_id shuffle for the window; the matrix aggregate and the
+    * probability window run on O(types²) rows. Counts exact; p is one
+    * identical IEEE division of the same two longs on both engines. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -689,10 +756,24 @@ object Queries {
       docs.select(col("doc_id"), explode(expr(
         "transform(sequence(0, n - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
       )).as("b")).select(col("doc_id"), col("b.w1"), col("b.w2")))
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = graft.Caching.materialize(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
+    // vocab WITHOUT a second full-corpus explode: every token of an
+    // n>=2 doc appears in some bigram (positions 0..n-2 as w1, position
+    // n-1 as w2), so distinct(w1) ∪ distinct(w2) over the distinct-
+    // bigram table c12 IS the n>=2 vocabulary; only sub-2-token docs
+    // (their tokens never enter a bigram) need a corpus look — a split
+    // + length filter with no explode shuffle (the exploded short-doc
+    // token set is ~0 rows). The previous round re-exploded the whole
+    // corpus for this one scalar — the last duplicate token pass, gone.
+    val shortToks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) < 2)
+      .select(explode(col("w")).as("tok"))
+    val vocab = c12.select(col("w1").as("tok"))
+      .unionByName(c12.select(col("w2").as("tok")))
+      .unionByName(shortToks)
       .agg(count_distinct(col("tok")).as("v"))
     bigrams
       .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)

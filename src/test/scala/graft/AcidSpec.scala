@@ -278,6 +278,38 @@ class AcidSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, t)).size == 10000, "OPTIMIZE must not change data")
   }
 
+  test("shallow clone: zero-copy, pins clone-time version, isolated both ways") {
+    import spark.implicits._
+    val src = tmp() + "/s"
+    val dst = tmp() + "/c"
+    val v1 = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+      .toDF("fleet", "id", "amt")
+    TxLog.overwrite(v1, src, Seq("fleet"))
+    TxLog.addCheckConstraint(spark, src, "nonneg", "amt >= 0")
+    val nFiles = TxLog.cloneShallow(spark, src, dst)
+    assert(nFiles > 0)
+    // zero-copy: no data files under the clone root
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).iterator()
+      .asScala.exists(p => p.toString.endsWith(".parquet")))
+    assert(rows(TxLog.read(spark, dst)) == rows(v1))
+    // meta rides along: the clone enforces the source's constraint
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq(("c", 4L, -1.0)).toDF("fleet", "id", "amt"), dst)
+    }
+    // later SOURCE commits are invisible to the clone (pinned snapshot)
+    TxLog.append(Seq(("c", 4L, 40.0)).toDF("fleet", "id", "amt"), src)
+    assert(rows(TxLog.read(spark, dst)) == rows(v1))
+    // CLONE writes are invisible to the source; copy-on-write rewrite
+    TxLog.delete(spark, dst, col("id") === 1L)
+    assert(TxLog.read(spark, dst).count() == 2)
+    assert(TxLog.read(spark, src).count() == 4)
+    // vacuum on the clone must never delete SOURCE files: after dropping
+    // clone history below the rewrite, the source still reads fully
+    TxLog.vacuum(spark, dst, retainVersion = TxLog.currentVersion(spark, dst))
+    assert(TxLog.read(spark, src).count() == 4)
+    assert(TxLog.read(spark, dst).count() == 2)
+  }
+
   test("CHECK constraints gate every write path transactionally") {
     import spark.implicits._
     val t = tmp()

@@ -94,6 +94,36 @@ class Round8Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS span_idx_spec")
   }
 
+  test("bucketed interval join counts each overlapping pair exactly once") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // intervals chosen to hit every attribution case: multi-bucket
+    // overlap (1,2 share 3 buckets), touch-at-boundary (1,3 share one
+    // µs), containment (4 inside 2), disjoint (5), same-bucket
+    // non-overlap (6 vs 3)
+    val iv = Seq(
+      (1L, 0L * h, 3L * h),
+      (2L, 1L * h, 5L * h),
+      (3L, 3L * h, 3L * h + 100),
+      (4L, 2L * h, 2L * h + 10),
+      (5L, 7L * h, 8L * h),
+      (6L, 3L * h + 500, 3L * h + 600)
+    ).toDF("user_id", "s_us", "e_us")
+    val got = graft.analytics.Queries.intervalOverlapPairs(iv, h)
+      .orderBy("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force reference over the same intervals
+    val want = iv.as("a").crossJoin(iv.as("b"))
+      .filter(col("a.user_id") < col("b.user_id") &&
+        col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us"))
+      .select(col("a.user_id"), col("b.user_id"))
+      .orderBy("a.user_id", "b.user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq) // exactly-once: no bucket dup survives
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((2L, 4L)) && !got.exists(p => p._1 == 5L || p._2 == 5L) &&
+      !got.contains((3L, 6L)))
+  }
+
   test("streaming audio extraction equals the batch codec run") {
     // deterministic subset (limit() is plan-order-dependent across runs)
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
