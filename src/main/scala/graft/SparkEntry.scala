@@ -832,6 +832,24 @@ object SparkEntry {
     graft.text.SpanIndex.stats(s, "graft_span_index")
   }
 
+  /** #118 Incremental cross-corpus overlap: #105's contamination
+    * measure over the persisted SOURCE-SPAN index — per batch the
+    * corpus pays O(batch tokens); at query time the cross-batch dedup
+    * fold AND the pair self-join both ride the index's bucket layout
+    * (no exchange above the scan on either join side); only the
+    * output-sized aggregates shuffle. Two document-disjoint batches;
+    * the result must equal the full batch recompute — the oracle IS
+    * #105's oracle. */
+  def corpusOverlapIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idxPath = tempDir("ovidx")
+    graft.text.SpanIndex.initSourceIndex(
+      docs.filter(col("doc_id") % 2 === 0), "graft_span_src_index", idxPath)
+    graft.text.SpanIndex.appendSourceBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), "graft_span_src_index")
+    graft.text.SpanIndex.overlap(s, "graft_span_src_index")
+  }
+
   /** #92 STREAMING incremental dedup: the document stream dedups
     * micro-batch by micro-batch against the persisted bucketed LSH
     * index via foreachBatch — the ingest-time shape of #82. Two staged
@@ -1567,6 +1585,7 @@ object SparkEntry {
     "corpus_overlap"      -> ((s: SparkSession, dir: String) =>
                                Queries.corpusOverlap(s, dir)),
     "span_index_incremental" -> (spanIndexIncremental _),
+    "corpus_overlap_incremental" -> (corpusOverlapIncremental _),
     "corpus_overlap_topk" -> ((s: SparkSession, dir: String) =>
                                Queries.corpusOverlapTopk(s, dir)),
     "events_transitions"  -> ((s: SparkSession, dir: String) =>
@@ -2374,6 +2393,29 @@ object SparkEntry {
         |         AS n_cross_doc_spans,
         |       CAST(max(n_docs) AS BIGINT) AS max_span_doc_freq
         |FROM g""".stripMargin,
+
+    // the incremental index must equal the full recompute — same oracle
+    // as corpus_overlap by construction
+    "corpus_overlap_incremental" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |d AS (SELECT DISTINCT source,
+        |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
+        |      FROM t, unnest(range(len(w) - 8 + 1)) AS u(i)
+        |      WHERE len(w) >= 8),
+        |s AS (SELECT source, count(*) AS n_spans FROM d GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             count(*) AS n_shared
+        |      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |       sa.n_spans AS n_a, sb.n_spans AS n_b,
+        |       round(n_shared /
+        |             CAST(sa.n_spans + sb.n_spans - n_shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM p JOIN s sa ON p.source_a = sa.source
+        |       JOIN s sb ON p.source_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
 
     "join_interval_overlap" ->
       """WITH e AS (

@@ -101,4 +101,73 @@ object SpanIndex {
       sum(col("n_occ")).as("n_span_instances"),
       sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_cross_doc_spans"),
       max(col("n_docs")).as("max_span_doc_freq"))
+
+  // ------------------------------------------------- source-span index
+  // The same discipline applied to `corpus_overlap` (#105): a persisted
+  // bucketed index of DISTINCT (span, source) rows makes the pairwise
+  // contamination measure incremental — each batch contributes its own
+  // distinct set (O(batch tokens)), and the overlap query's heavy
+  // stages all ride the bucket layout: the cross-batch dedup fold is a
+  // groupBy(span, source) that HashPartitioning(span) already satisfies
+  // (subset clustering), and the pair SELF-JOIN on the span key joins
+  // the bucketed scan with itself — co-located, no exchange on either
+  // side. The only shuffles left are the O(distinct spans) per-source
+  // sizes aggregate and the O(shared spans) pair rollup — both outputs,
+  // not corpus.
+
+  /** Distinct (span_hash, source) rows of ONE batch. Unlike the count
+    * partials, cross-batch duplicates are expected (the same source
+    * repeats a span in two batches) — [[dedupedSourceSpans]] folds them. */
+  def batchSourceSpans(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= k)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"
+      )).as("span_hash"))
+      .distinct()
+
+  def initSourceIndex(docs: DataFrame, indexTable: String, path: String,
+                      k: Int = 8): Unit =
+    graft.etl.Bucketing.writeBucketed(
+      batchSourceSpans(docs, k), indexTable, path, "span_hash", IndexBuckets)
+
+  def appendSourceBatch(docs: DataFrame, indexTable: String, k: Int = 8): Unit =
+    batchSourceSpans(docs, k).write.mode("append")
+      .format("parquet")
+      .bucketBy(IndexBuckets, "span_hash")
+      .sortBy("span_hash")
+      .saveAsTable(indexTable)
+
+  /** The corpus-wide distinct (span, source) set, folded from per-batch
+    * partials with no exchange above the index scan (bucket layout on
+    * `span_hash` satisfies the grouping's distribution). */
+  def dedupedSourceSpans(spark: SparkSession, indexTable: String): DataFrame =
+    spark.table(indexTable).groupBy("span_hash", "source").agg(lit(1))
+      .select("span_hash", "source")
+
+  /** `corpus_overlap`'s exact output, computed from the index: shared
+    * spans + Jaccard per source pair. The self-join reads the SAME
+    * bucketed scan on both sides — co-located on `span_hash`, no join
+    * exchange. */
+  def overlap(spark: SparkSession, indexTable: String): DataFrame = {
+    val spans = dedupedSourceSpans(spark, indexTable)
+    val sizes = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val pairs = spans.as("a")
+      .join(spans.as("b"), col("a.span_hash") === col("b.span_hash"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_spans").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_spans").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -139,6 +139,46 @@ class Round8Spec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("source-span index: incremental overlap equals the batch recompute") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ovidx-spec").toString
+    spark.sql("DROP TABLE IF EXISTS ov_idx_spec")
+    graft.text.SpanIndex.initSourceIndex(
+      docs.filter(col("doc_id") % 2 === 0), "ov_idx_spec", path)
+    graft.text.SpanIndex.appendSourceBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), "ov_idx_spec")
+    val inc = graft.text.SpanIndex.overlap(spark, "ov_idx_spec").collect()
+    val full = graft.analytics.Queries.corpusOverlap(spark, sf).collect()
+    assert(inc.nonEmpty && inc.sameElements(full))
+    spark.sql("DROP TABLE IF EXISTS ov_idx_spec")
+  }
+
+  test("source-span index: dedup fold and pair self-join ride the buckets") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, s"src${i % 3}", s"w$i a b c d e f g h tail${i % 2}"))
+      .toDF("doc_id", "source", "text")
+    val path = java.nio.file.Files.createTempDirectory("ovidx-plan").toString
+    spark.sql("DROP TABLE IF EXISTS ov_idx_plan")
+    graft.text.SpanIndex.initSourceIndex(docs, "ov_idx_plan", path)
+    val foldPlan = graft.text.SpanIndex
+      .dedupedSourceSpans(spark, "ov_idx_plan")
+      .queryExecution.executedPlan.toString
+    assert(!foldPlan.contains("Exchange hashpartitioning"),
+      s"cross-batch dedup fold re-shuffled the bucketed index:\n$foldPlan")
+    // full overlap: the only hash exchanges permitted are the two
+    // OUTPUT-sized aggregates (per-source sizes, per-pair rollup) and
+    // their join alignment — the span-keyed dedup + self-join must not
+    // shuffle the corpus-sized span stream
+    val plan = graft.text.SpanIndex.overlap(spark, "ov_idx_plan")
+      .queryExecution.executedPlan.toString
+    val spanKeyed = "Exchange hashpartitioning\\(span_hash".r
+      .findAllIn(plan).size
+    assert(spanKeyed == 0,
+      s"span-keyed exchange above the bucketed scan:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS ov_idx_plan")
+  }
+
   test("span index: per-span fold runs with zero exchanges above the scan") {
     import spark.implicits._
     val docs = (1L to 20L).map(i =>
