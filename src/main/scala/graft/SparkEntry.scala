@@ -1411,6 +1411,47 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #119 Log checkpointing (Delta `<v>.checkpoint` + tail replay): at
+    * 100 TB a hot table accrues thousands of commits, and replaying
+    * every one per read makes METADATA the bottleneck — the checkpoint
+    * materializes the live state once so every later read pays
+    * O(live files + commits since checkpoint). Scenario: three commits
+    * (overwrite, append, delete), checkpoint, one more append; the
+    * latest read must replay ONLY the post-checkpoint tail
+    * (`tail_replay_only`, observed via the snapshot replay counter)
+    * while time travel BELOW the checkpoint still reads v2 exactly
+    * (commit files are never deleted). */
+  def deltaCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txckpt")
+    val consumer = consumerSlim(s, dir)
+    graft.acid.TxLog.overwrite(
+      consumer.filter(col("trip_type") === ConsumerPipeline.YellowType), path)
+    graft.acid.TxLog.append(
+      consumer.filter(col("trip_type") === ConsumerPipeline.GreenType), path)
+    graft.acid.TxLog.delete(s, path, col("total_amount") < 20)
+    val ckptV = graft.acid.TxLog.checkpoint(s, path)
+    graft.acid.TxLog.append(
+      consumer.filter(col("trip_type") === ConsumerPipeline.GreenType), path)
+    def agg(df: DataFrame, v: Long): DataFrame =
+      df.groupBy("trip_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("total_amount")), 2).as("total"))
+        .withColumn("version", lit(v))
+    // latest read: snapshot seeds from the v3 checkpoint, replays only v4
+    val latest = graft.acid.TxLog.read(s, path)
+    val tailOnly = graft.acid.TxLog.lastReplayCommits == 1 && ckptV == 3L
+    // pre-checkpoint time travel: no checkpoint ≤ v2 exists, so the
+    // snapshot replays v1..v2 from scratch — and must still be exact
+    val v2 = graft.acid.TxLog.read(s, path, versionAsOf = Some(2L))
+    val fullReplay = graft.acid.TxLog.lastReplayCommits == 2
+    agg(v2, 2L).unionByName(agg(latest, 4L))
+      .withColumn("tail_replay_only", lit(tailOnly))
+      .withColumn("pre_ckpt_full_replay", lit(fullReplay))
+      .select("version", "trip_type", "n_rows", "total",
+              "tail_replay_only", "pre_ckpt_full_replay")
+      .orderBy("version", "trip_type")
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -1580,6 +1621,8 @@ object SparkEntry {
     "stream_stream_outer" -> ((s: SparkSession, dir: String) =>
       EventsStream.runStreamStreamOuterJoin(s, Tables.events(s, dir))),
     "agg_histogram"       -> (Queries.aggHistogram _),
+    "window_rolling_range" -> (Queries.windowRollingRange _),
+    "text_tfidf"          -> (Queries.textTfidf _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
     "corpus_overlap"      -> ((s: SparkSession, dir: String) =>
@@ -1654,6 +1697,7 @@ object SparkEntry {
     "delta_vacuum"        -> (deltaVacuum _),
     "delta_clone"         -> (deltaClone _),
     "delta_constraints"   -> (deltaConstraints _),
+    "delta_checkpoint"    -> (deltaCheckpoint _),
     "catalog_partitions"  -> (catalogPartitions _),
     "catalog_persistent"  -> (catalogPersistent _),
     "stream_sessionize"   -> (streamSessionize _),
@@ -2336,6 +2380,40 @@ object SparkEntry {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "window_rolling_range" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id,
+        |        count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_n,
+        |        CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS roll_cents
+        |      FROM e)
+        |SELECT user_id, max(roll_n) AS peak_hour_n,
+        |       max(roll_cents) AS peak_hour_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        tf.tf * CAST(floor(ln((n.n_docs + 1.0) / (df.dfreq + 1.0))
+        |                           * 1000000) AS BIGINT) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
@@ -2958,6 +3036,23 @@ object SparkEntry {
          |SELECT trip_type, count(*) AS n_rows, round(sum(value), 2) AS total,
          |       true AS violation_rejected
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_checkpoint" ->
+      s"""WITH c AS (SELECT event_type AS trip_type, value AS total_amount
+         |           FROM events
+         |           WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |v4 AS (SELECT * FROM c WHERE total_amount >= 20
+         |       UNION ALL SELECT * FROM c WHERE trip_type = 'view')
+         |SELECT * FROM (
+         |  SELECT CAST(2 AS BIGINT) AS version, trip_type,
+         |         count(*) AS n_rows, round(sum(total_amount), 2) AS total,
+         |         true AS tail_replay_only, true AS pre_ckpt_full_replay
+         |  FROM c GROUP BY 2
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), trip_type, count(*),
+         |         round(sum(total_amount), 2), true, true
+         |  FROM v4 GROUP BY 2)
+         |ORDER BY version, trip_type""".stripMargin,
 
     "delta_bloom_skip" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,

@@ -80,12 +80,33 @@ object TxLog {
     if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption else None
   }
 
-  private def listVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+  private def listVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    listLog(fs, root)._1
+
+  private val CheckpointSuffix = ".checkpoint.json"
+
+  private def checkpointVersionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.endsWith(CheckpointSuffix)) n.stripSuffix(CheckpointSuffix).toLongOption
+    else None
+  }
+
+  /** One listing of the log dir yields BOTH commit files and checkpoint
+    * files — checkpoint discovery costs no extra round-trip (Delta's
+    * `_last_checkpoint` pointer exists to SKIP the listing; this engine
+    * must list anyway to learn the latest version, so the pointer would
+    * be redundant metadata). */
+  private def listLog(fs: FileSystem, root: Path):
+      (Seq[(Long, Path)], Seq[(Long, Path)]) = {
     val dir = new Path(root, LogDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .flatMap(s => versionOf(s.getPath).map(_ -> s.getPath))
-      .sortBy(_._1)
+    if (!fs.exists(dir)) (Seq.empty, Seq.empty)
+    else {
+      val entries = fs.listStatus(dir).toSeq.map(_.getPath)
+      // a name matches at most one shape: versionOf requires the whole
+      // stem to parse as a long, which `<v>.checkpoint` never does
+      (entries.flatMap(p => versionOf(p).map(_ -> p)).sortBy(_._1),
+       entries.flatMap(p => checkpointVersionOf(p).map(_ -> p)).sortBy(_._1))
+    }
   }
 
   // ---------------------------------------------------------- JSON codec
@@ -222,10 +243,17 @@ object TxLog {
     } finally in.close()
   }
 
+  /** Commit files parsed by the most recent [[snapshot]] call —
+    * spec-level observability for the checkpoint contract (a read above
+    * a checkpoint must replay only the tail). Not part of the public
+    * API; last-writer-wins under concurrency is fine for its use. */
+  @volatile private[graft] var lastReplayCommits: Int = -1
+
   private def snapshot(spark: SparkSession, table: String,
                        versionAsOf: Option[Long]): Option[Snapshot] = {
     val (hfs, root) = fs(spark, table)
-    val versions = listVersions(hfs, root)
+    val (allVersions, checkpoints) = listLog(hfs, root)
+    val versions = allVersions
       .filter { case (v, _) => versionAsOf.forall(v <= _) }
     if (versions.isEmpty) return None
     versionAsOf.foreach { want =>
@@ -234,7 +262,21 @@ object TxLog {
     }
     var meta: Option[Meta] = None
     val live = mutable.LinkedHashMap.empty[String, AddFile]
-    versions.foreach { case (_, p) =>
+    // seed from the newest checkpoint at-or-below the target version:
+    // replay cost is then O(commits since checkpoint), not O(history) —
+    // and a time travel BELOW the oldest checkpoint still replays from
+    // v0 because commit files are never deleted
+    val seedV = checkpoints.filter(_._1 <= versions.last._1).lastOption match {
+      case Some((cv, cp)) =>
+        val c = parseCommit(readText(hfs, cp))
+        meta = c.meta
+        c.adds.foreach(a => live(a.path) = a)
+        cv
+      case None => -1L
+    }
+    val tail = versions.filter(_._1 > seedV)
+    lastReplayCommits = tail.size
+    tail.foreach { case (_, p) =>
       val c = parseCommit(readText(hfs, p))
       c.meta.foreach(mm => meta = Some(mm))
       c.removes.foreach(live.remove)
@@ -1032,6 +1074,38 @@ object TxLog {
   /** Live file count of the current snapshot (compaction observability). */
   def fileCount(spark: SparkSession, table: String): Int =
     snapshot(spark, table, None).map(_.files.size).getOrElse(0)
+
+  /** Write a checkpoint of the CURRENT snapshot (Delta's
+    * `<v>.checkpoint.parquet` design, JSON-lines here like the rest of
+    * this log): the full live state — meta + every add with its stats
+    * and blooms — materialized beside the log as
+    * `<v>.checkpoint.json`. Subsequent snapshot reads seed from it and
+    * replay only commits AFTER it, so read-side metadata cost is
+    * O(live files + tail commits) however long the history grows —
+    * the difference from [[compactLog]] (which folds state into a NEW
+    * commit but still leaves every older commit on the replay path).
+    * Commit files are never deleted, so time travel below the
+    * checkpoint keeps working (it replays from v0). Idempotent at a
+    * version; concurrent checkpointers race benignly (same content).
+    * Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table, None)
+      .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
+    val (hfs, root) = fs(spark, table)
+    val target = new Path(new Path(root, LogDir),
+      f"${snap.version}%020d$CheckpointSuffix")
+    if (!hfs.exists(target)) {
+      val lines = metaJson(snap.meta) +: snap.files.map(actionJson("add", _))
+      val tmp = new Path(new Path(root, LogDir),
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = hfs.create(tmp, false)
+      try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // atomic publish; a lost race to an identical checkpoint is fine
+      if (!hfs.rename(tmp, target)) hfs.delete(tmp, false)
+    }
+    snap.version
+  }
 
   /** Fold the whole log into one equivalent commit (checkpoint analogue):
     * replay cost returns to O(live files) after many small commits. */

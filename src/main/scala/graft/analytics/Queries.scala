@@ -785,4 +785,71 @@ object Queries {
         round(col("sum_q") / (col("n_bigrams") * 1e6), 4).as("lm_score"))
       .orderBy("doc_id")
   }
+
+  /** #120 Time-RANGE rolling window (round 8) — the rate/burst detector
+    * ("peak events per trailing hour, per user"): a RANGE frame over
+    * epoch-µs longs, `[ts − 1h, ts]` inclusive at every event. RANGE
+    * (not ROWS) makes duplicate timestamps frame-stable: all peers of
+    * an equal ts share one frame, so the result is deterministic with
+    * no total-order requirement — the discipline ROWS frames can't
+    * give. Values quantized to integer cents BEFORE the rolling sum
+    * (a windowed float sum accumulates in engine-specific order; long
+    * addition is associative, so the oracle is exact). One user_id
+    * shuffle; the window sort rides it; the per-user peak fold reuses
+    * the same partitioning — no second exchange. */
+  def windowRollingRange(s: SparkSession, dir: String): DataFrame =
+    rollingRangePeaks(Tables.events(s, dir), windowUs = 3600L * 1000000L)
+
+  /** The rolling core over any `(user_id, ts, value)` frame: trailing
+    * `[ts − windowUs, ts]` inclusive count + cents sum, folded to the
+    * per-user peak. */
+  private[graft] def rollingRangePeaks(events: DataFrame,
+                                       windowUs: Long): DataFrame = {
+    val ev = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    ev.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_cents", sum(col("cents")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("roll_n")).as("peak_hour_n"),
+           max(col("roll_cents")).as("peak_hour_cents"))
+      .orderBy("user_id")
+  }
+
+  /** #121 TF-IDF top terms per document (round 8) — the keyword
+    * extractor of every text pipeline: tf from one tokenize+explode
+    * pass, document frequency rolled up FROM the tf table (it is
+    * already distinct per (doc, term) — no second corpus pass), idf
+    * quantized to integer micro-nats (`floor(ln((N+1)/(df+1))·1e6)`,
+    * the textLmScore stability discipline) so score = tf × idf_µ is
+    * exact long arithmetic and the per-doc top-3 rank (score desc,
+    * term asc — total order) is deterministic. Scale: O(tokens)
+    * explode → (doc,term) shuffle; df is a map-side-partial rollup;
+    * the idf join is token-keyed shuffle-to-shuffle (the term table of
+    * a 100 TB corpus is itself huge — never assumed broadcastable);
+    * corpus size N joins as a 1-row frame. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(s, dir), k = 3)
+
+  private[graft] def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(nDocs)
+      .withColumn("idf_micro", floor(
+        log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)) * 1e6).cast("long"))
+      .withColumn("score", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
 }

@@ -88,6 +88,31 @@ class AcidSpec extends SparkSpec {
     assert(h.last._1 == 4L && h.last._4, "compaction commit carries meta")
   }
 
+  test("checkpoint seeds the snapshot; only the tail replays; time travel intact") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 25.0)).toDF("id", "amt"), t)
+    (0 until 5).foreach(i => TxLog.append(Seq((10L + i, 30.0)).toDF("id", "amt"), t))
+    TxLog.delete(spark, t, col("amt") < 20)              // v7
+    val before = rows(TxLog.read(spark, t))
+    assert(TxLog.lastReplayCommits == 7, "no checkpoint yet: full replay")
+    assert(TxLog.checkpoint(spark, t) == 7L)
+    TxLog.append(Seq((100L, 40.0)).toDF("id", "amt"), t) // v8
+    val after = rows(TxLog.read(spark, t))
+    assert(TxLog.lastReplayCommits == 1, "checkpointed: only v8 replays")
+    assert(after == before + Seq[Any](100L, 40.0))
+    // stats/blooms ride the checkpoint: the snapshot still carries sizes
+    assert(TxLog.fileCount(spark, t) >= 2)
+    // time travel below the checkpoint replays the full prefix, exactly
+    val v2 = TxLog.read(spark, t, versionAsOf = Some(2L))
+    assert(TxLog.lastReplayCommits == 2)
+    assert(rows(v2) == Set(Seq[Any](1L, 10.0), Seq[Any](2L, 25.0), Seq[Any](10L, 30.0)))
+    // idempotent at a version; a second checkpoint at v8 layers on top
+    assert(TxLog.checkpoint(spark, t) == 8L)
+    assert(rows(TxLog.read(spark, t)) == after)
+    assert(TxLog.lastReplayCommits == 0, "checkpoint at head: empty tail")
+  }
+
   test("optimize compacts to one file per partition, preserving data and history") {
     import spark.implicits._
     val t = tmp()

@@ -195,4 +195,38 @@ class Round8Spec extends SparkSpec {
       s"span-partial fold re-shuffled the bucketed index:\n$plan")
     spark.sql("DROP TABLE IF EXISTS span_idx_plan")
   }
+
+  test("rolling RANGE window: inclusive bounds, duplicate-ts peers share a frame") {
+    val s = 1000000L
+    val hr = 3600 * s
+    val t0 = 1704067200L * s
+    val ev = eventsDf(Seq(
+      // user 1: four events; at t0+1h the frame still holds t0 (inclusive
+      // lower bound), at t0+1h+1µs it no longer does
+      (1L, t0, "e", 1.0), (1L, t0 + hr / 2, "e", 2.0),
+      (1L, t0 + hr, "e", 4.0), (1L, t0 + hr + 1, "e", 8.0),
+      // user 2: duplicate timestamps — RANGE peers see each other, so
+      // BOTH rows already count 2 (a ROWS frame would depend on order)
+      (2L, t0, "e", 1.0), (2L, t0, "e", 1.0)))
+    val got = graft.analytics.Queries.rollingRangePeaks(ev, hr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1 peak: frame at t0+1h = {1,2,4} -> n=3, cents=700; the
+    // t0+1h+1µs frame = {2,4,8} -> n=3, cents=1400 (larger sum, same n)
+    assert(got == Seq((1L, 3L, 1400L), (2L, 2L, 200L)))
+  }
+
+  test("tf-idf: rarer terms outrank frequent ones; ties break on term asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana rare"),
+      (2L, "apple banana"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    val got = graft.analytics.Queries.tfidfTopTerms(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // idf_micro: apple/banana df=3 -> 0, rare/cherry df=1 -> ln(2)*1e6.
+    // doc 1: rare wins (tf=1 on positive idf beats tf=2 on zero idf);
+    // apple/banana tie at score 0 -> lexicographic
+    assert(got.take(3) == Seq((1L, 1L, "rare"), (1L, 2L, "apple"), (1L, 3L, "banana")))
+    assert(got.filter(_._1 == 3L).head._3 == "cherry")
+  }
 }
