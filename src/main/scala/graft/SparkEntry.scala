@@ -1623,6 +1623,9 @@ object SparkEntry {
     "agg_histogram"       -> (Queries.aggHistogram _),
     "window_rolling_range" -> (Queries.windowRollingRange _),
     "text_tfidf"          -> (Queries.textTfidf _),
+    "agg_grouping_sets"   -> (Queries.aggGroupingSets _),
+    "events_sliding_window" -> (Queries.eventsSlidingWindow _),
+    "text_phrase_search"  -> (Queries.textPhraseSearch _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
     "corpus_overlap"      -> ((s: SparkSession, dir: String) =>
@@ -2413,6 +2416,38 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, rank, term, score FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       n_orders, total_price
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        |  FROM orders
+        |  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()))
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, us,
+        |             (us // 900000000 - k) * 900000000 AS win_start_us
+        |      FROM e, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT win_start_us, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM w
+        |WHERE us - win_start_us >= 0 AND us - win_start_us < 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+        |       FROM t, unnest(range(len(w) - 1)) AS u(i)
+        |       WHERE len(w) >= 2)
+        |SELECT doc_id, count(*) AS n_hits FROM bg
+        |WHERE w1 = 'hash' AND w2 = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

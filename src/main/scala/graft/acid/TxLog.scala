@@ -434,18 +434,31 @@ object TxLog {
     files.toSeq
   }
 
+  /** Commits per automatic checkpoint (Delta's
+    * `delta.checkpointInterval`, default 10); 0 disables. */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.txlog.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+
   private def retryCommit(spark: SparkSession, table: String)(
       mkLines: Option[Snapshot] => Seq[String]): Unit = {
     val (hfs, root) = fs(spark, table)
     var attempts = 0
     var committed = false
+    var version = -1L
     while (!committed && attempts < 10) {
       val snap = snapshot(spark, table, None)
-      committed = tryCommit(hfs, root, snap.map(_.version).getOrElse(0L), mkLines(snap))
+      val expected = snap.map(_.version).getOrElse(0L)
+      committed = tryCommit(hfs, root, expected, mkLines(snap))
+      if (committed) version = expected + 1
       attempts += 1
     }
     if (!committed) throw new IllegalStateException(
       s"txlog commit on $table lost ${attempts} optimistic races; giving up")
+    // Delta discipline: checkpoint every N commits, so no reader ever
+    // replays an unbounded history — writers pay it, amortized 1/N
+    val interval = checkpointInterval(spark)
+    if (interval > 0 && version % interval == 0) checkpoint(spark, table)
   }
 
   // ------------------------------------------------------------- writers
@@ -820,6 +833,27 @@ object TxLog {
     * `listFiles`, before any footer I/O. */
   def read(spark: SparkSession, table: String, versionAsOf: Option[Long] = None): DataFrame =
     readWithSkipInfo(spark, table, versionAsOf)._1
+
+  /** Time travel by TIMESTAMP (Delta `timestampAsOf`): read the latest
+    * version whose commit file landed at or before `tsMillis` (epoch
+    * ms). Commit mtimes are written by a single optimistic-rename
+    * sequence, so they are monotone non-decreasing in version on any
+    * one filesystem; production Delta additionally rewrites
+    * non-monotone timestamps from clock skew across writers — on an
+    * object store that adjustment belongs in the commit-coordination
+    * service, like the rename primitive itself. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+                        tsMillis: Long): DataFrame = {
+    val (hfs, root) = fs(spark, table)
+    val versions = listVersions(hfs, root)
+    require(versions.nonEmpty, s"no txlog table at $table")
+    val eligible = versions.filter { case (_, p) =>
+      hfs.getFileStatus(p).getModificationTime <= tsMillis }
+    require(eligible.nonEmpty,
+      s"no commit in $table at or before epoch-ms $tsMillis " +
+        s"(earliest: ${hfs.getFileStatus(versions.head._2).getModificationTime})")
+    read(spark, table, versionAsOf = Some(eligible.last._1))
+  }
 
   /** [[read]] plus the backing file index, whose `lastListing` exposes
     * (files selected, files total) after the scan plans — the

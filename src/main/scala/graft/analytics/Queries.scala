@@ -654,7 +654,28 @@ object Queries {
         .select(col("user_id"),
           unix_micros(col("session_start")).as("s_us"),
           unix_micros(col("session_end")).as("e_us")))
-    intervalOverlapPairs(sessions, bucketUs = 3600L * 1000000L)
+    // ADAPTIVE bucket width = mean interval length (integer µs, exact
+    // division — deterministic), clamped to [1s, span]. Candidate-pair
+    // work is Σ n_bucket²; with B far above the typical length every
+    // co-resident interval pair is compared in EVERY bucket hour it
+    // shares (measured at sf10: 130G candidate pairs at B=1h vs 7.9G at
+    // B=mean — the distribution is 96% point sessions with a ~1-hour
+    // p99.9 tail, and mean = total_length/n balances tail membership
+    // against point occupancy). One tiny aggregate over the already-
+    // materialized session frame, a bounded driver scalar (same class
+    // as the IVF centroid pull). The PAIR SET is bucket-invariant —
+    // width only moves work, never results (spec-pinned).
+    val stats = sessions.agg(
+      sum(col("e_us") - col("s_us")).as("len"), count(lit(1)).as("n"),
+      min(col("s_us")).as("lo"), max(col("e_us")).as("hi")).collect()(0)
+    val bucketUs =
+      if (stats.isNullAt(0)) 3600L * 1000000L // empty input: width is moot
+      else {
+        val span = math.max(stats.getLong(3) - stats.getLong(2), 1L)
+        math.min(span,
+          math.max(1000000L, stats.getLong(0) / math.max(stats.getLong(1), 1L)))
+      }
+    intervalOverlapPairs(sessions, bucketUs)
       .agg(count(lit(1)).as("n_overlap_pairs"),
         count_distinct(col("a_id"), col("b_id")).as("n_user_pairs"))
   }
@@ -852,4 +873,63 @@ object Queries {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** #122 GROUPING SETS (round 8) — the mixed-dimension subtotal shape
+    * ROLLUP and CUBE can't express: status-only and priority-only
+    * marginals plus the grand total, WITHOUT the full cross
+    * (status × priority) level. One Expand over three grouping ids —
+    * each input row fans out exactly |sets| times map-side, the shuffle
+    * carries only the low-cardinality group keys. Sums in exact
+    * decimal (the report discipline). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** #123 Sliding-window distinct users (round 8) — the overlapping-
+    * window rate metric (1-hour windows every 15 minutes): each event
+    * belongs to exactly duration/slide = 4 windows, so the fan-out is a
+    * small CONSTANT (never a range-join against a calendar), and the
+    * shuffle key is the window start — output-sized, not event-sized,
+    * per group. Exact distinct per window; the batch twin of the
+    * streaming window aggregate (#19). */
+  def eventsSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("n_users"), col("n_events"))
+      .orderBy("win_start_us")
+
+  /** #124 Phrase search (round 8) — the contamination/provenance probe
+    * run as a QUERY ("which documents contain this exact phrase, how
+    * often?"): adjacent-bigram generation per row (the textLmScore
+    * codegen idiom — `transform(sequence(...))`, no pre-filter
+    * explode shuffle), phrase predicate applied MAP-SIDE before any
+    * exchange, so the one shuffle carries only matching (doc, hit)
+    * rows — output-sized at any corpus scale. */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseHits(Tables.documents(s, dir), "hash", "join")
+
+  private[graft] def phraseHits(docs: DataFrame,
+                                first: String, second: String): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+      )).as("b"))
+      .filter(col("b.w1") === first && col("b.w2") === second)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
 }

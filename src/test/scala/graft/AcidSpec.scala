@@ -113,6 +113,34 @@ class AcidSpec extends SparkSpec {
     assert(TxLog.lastReplayCommits == 0, "checkpoint at head: empty tail")
   }
 
+  test("auto-checkpoint fires every N commits; readers replay only the tail") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((0L, 1.0)).toDF("id", "amt"), t)
+    (1 to 11).foreach(i => TxLog.append(Seq((i.toLong, 1.0)).toDF("id", "amt"), t))
+    // default interval 10: versions 1..12 exist, checkpoint landed at 10
+    val ckpts = new java.io.File(t, "_txlog").list()
+      .filter(_.endsWith(".checkpoint.json")).toSeq
+    assert(ckpts == Seq(f"${10L}%020d.checkpoint.json"))
+    assert(TxLog.read(spark, t).count() == 12)
+    assert(TxLog.lastReplayCommits == 2, "v11..v12 tail above the v10 checkpoint")
+  }
+
+  test("timestampAsOf picks the latest commit at-or-before the instant") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.overwrite(Seq((1L, 1.0)).toDF("id", "amt"), t)
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
+    TxLog.append(Seq((2L, 2.0)).toDF("id", "amt"), t)
+    assert(TxLog.readAsOfTimestamp(spark, t, betweenMs).count() == 1)
+    assert(TxLog.readAsOfTimestamp(spark, t, System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      TxLog.readAsOfTimestamp(spark, t, betweenMs - 3600 * 1000L)
+    }
+  }
+
   test("optimize compacts to one file per partition, preserving data and history") {
     import spark.implicits._
     val t = tmp()

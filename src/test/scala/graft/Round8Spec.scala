@@ -122,6 +122,14 @@ class Round8Spec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
       got.contains((2L, 4L)) && !got.exists(p => p._1 == 5L || p._2 == 5L) &&
       !got.contains((3L, 6L)))
+    // bucket-invariance: width moves work between explode fan-out and
+    // per-bucket blowup but can NEVER change the pair set — the adaptive
+    // width in joinIntervalOverlap leans on exactly this law
+    Seq(7L * 1000000L, 997L * 1000000L, 24L * h).foreach { b =>
+      val alt = graft.analytics.Queries.intervalOverlapPairs(iv, b)
+        .orderBy("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(alt.toSeq == want.toSeq, s"pair set changed at bucketUs=$b")
+    }
   }
 
   test("streaming audio extraction equals the batch codec run") {
@@ -228,5 +236,42 @@ class Round8Spec extends SparkSpec {
     // apple/banana tie at score 0 -> lexicographic
     assert(got.take(3) == Seq((1L, 1L, "rare"), (1L, 2L, "apple"), (1L, 3L, "banana")))
     assert(got.filter(_._1 == 3L).head._3 == "cherry")
+  }
+
+  test("grouping sets: marginals + grand total, no cross level") {
+    val got = graft.analytics.Queries.aggGroupingSets(spark, sf).collect()
+    val keys = got.map(r => (r.getString(0), r.getString(1))).toSeq
+    // every row has at least one ALL key — the cross level is absent
+    assert(keys.forall { case (a, b) => a == "ALL" || b == "ALL" })
+    assert(keys.count { case (a, b) => a == "ALL" && b == "ALL" } == 1)
+    // marginals each sum to the grand total
+    val grand = got.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get.getLong(2)
+    val byStatus = got.filter(r => r.getString(0) != "ALL").map(_.getLong(2)).sum
+    val byPrio = got.filter(r => r.getString(1) != "ALL").map(_.getLong(2)).sum
+    assert(byStatus == grand && byPrio == grand)
+  }
+
+  test("sliding windows: each event lands in exactly duration/slide windows") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val windows = graft.analytics.Queries.eventsSlidingWindow(spark, sf)
+    val total = windows.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total == 4 * n, "1h/15m slide: every event must appear in 4 windows")
+    // window starts are slide-aligned
+    val misaligned = windows
+      .filter(col("win_start_us") % (900L * 1000000L) =!= 0).count()
+    assert(misaligned == 0)
+  }
+
+  test("phrase search: adjacent-only matches, counted per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join beats sort"),      // one hit
+      (2L, "hash anti join"),            // adjacency broken -> no hit
+      (3L, "Hash JOIN or hash join"),    // case-folded, two hits
+      (4L, "join hash")).toDF("doc_id", "text") // order matters -> no hit
+    val got = graft.analytics.Queries.phraseHits(docs, "hash", "join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L)))
   }
 }
