@@ -744,6 +744,27 @@ object SparkEntry {
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
 
+  /** #129 Boilerplate n-gram detection (round 8) — exact frequent
+    * bigrams via a count-min-sketch prefilter ([[graft.text.Boilerplate]]):
+    * the template/license-header/scaffolding scan every LLM pipeline
+    * runs before dedup. The naive groupBy shuffles the whole n-gram
+    * vocabulary (terabytes at 100 TB); the sketch pass shuffles ≤
+    * depth·width cells and the exact pass shuffles candidates only —
+    * and because count-min never undercounts, the output is EXACTLY
+    * `{bigram : count ≥ max(10, N div 800)}`, oracle-equal to the naive
+    * plan. Bigrams generate per-row via the codegen `transform` idiom
+    * (no pre-filter explode shuffle). */
+  def textBoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, n - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("elem"))
+    graft.text.Boilerplate.heavyHitters(bigrams)
+      .withColumnRenamed("elem", "bigram")
+  }
+
   /** #48 Deterministic hash train/test split, bounded-oracle form: the
     * concrete assignment is xxhash64-specific, but its CONTRACT is
     * SQL-checkable — the splits partition the corpus (disjoint and
@@ -1475,6 +1496,48 @@ object SparkEntry {
       lit(sel >= 1).as("scanned_some"))
   }
 
+  /** #130 Dynamic file pruning (round 8) — Databricks DFP / Spark DPP
+    * at the file level: a star join whose dim-side predicate is highly
+    * selective should prune FACT FILES at runtime, not scan-then-drop.
+    * The fact (events) lands in the txlog range-clustered by ingest
+    * order (`event_id` — monotone with `ts` in any append-only event
+    * log, so time locality IS id locality); the dim side is "one day's
+    * purchases" — a predicate whose matching id range is unknowable at
+    * plan time. At runtime the dim's key bounds are collected (two
+    * scalars off the already-filtered, broadcast-bound side — the exact
+    * payload a DPP subquery reuses) and injected as a fact predicate,
+    * which the txlog's per-file min/max stats turn into file skips:
+    * `pruned_files` observes selected < total while the join result is
+    * provably unchanged (the injected range is a superset of the dim
+    * keys). At 100 TB this is the difference between scanning a day and
+    * scanning a year. */
+  def deltaDynamicPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txdfp")
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      .repartitionByRange(16, col("event_id"))
+    graft.acid.TxLog.overwrite(ev, path)
+    val dim = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        to_date(col("ts")) === lit("2024-01-10"))
+      .select(col("event_id"), col("event_type"))
+    val b = dim.agg(min("event_id").as("lo"), max("event_id").as("hi")).collect()(0)
+    val (table, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
+    val hit = table
+      .filter(col("event_id") >= b.getLong(0) && col("event_id") <= b.getLong(1))
+      .join(broadcast(dim), Seq("event_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("value")), 2).as("total"),
+           count_distinct(col("user_id")).as("n_users"))
+      .collect()(0)
+    val (sel, tot) = idx.lastListing.get
+    s.range(1).select(
+      lit(hit.getLong(0)).as("n_rows"),
+      lit(hit.getDouble(1)).as("total"),
+      lit(hit.getLong(2)).as("n_users"),
+      lit(sel < tot).as("pruned_files"),
+      lit(sel >= 1).as("scanned_some"))
+  }
+
   /** #79 Bloom-filter file skipping (Delta's bloom filter index): on a
     * hash-id column every file's min/max spans the whole domain, so
     * range stats never skip (`range_scans_all` observes the full scan);
@@ -1638,6 +1701,18 @@ object SparkEntry {
                                Queries.eventsTransitions(s, dir)),
     "join_interval_overlap" -> ((s: SparkSession, dir: String) =>
                                Queries.joinIntervalOverlap(s, dir)),
+    "join_point_in_interval" -> ((s: SparkSession, dir: String) =>
+                               Queries.joinPointInInterval(s, dir)),
+    "events_path_topk"    -> ((s: SparkSession, dir: String) =>
+                               Queries.eventsPathTopk(s, dir)),
+    "window_distribution" -> ((s: SparkSession, dir: String) =>
+                               Queries.windowDistribution(s, dir)),
+    "agg_corr"            -> ((s: SparkSession, dir: String) =>
+                               Queries.aggCorr(s, dir)),
+    "text_boilerplate_ngrams" -> (textBoilerplateNgrams _),
+    "delta_dynamic_prune" -> (deltaDynamicPrune _),
+    "events_gap_fill"     -> ((s: SparkSession, dir: String) =>
+                               Queries.eventsGapFill(s, dir)),
     "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
     "mm_audio_stream"     -> (mmAudioStream _),
@@ -2566,6 +2641,107 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) /
         |             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+
+    "join_point_in_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id),
+        |c AS (
+        |  SELECT p.event_id, count(*) AS n_active
+        |  FROM e p JOIN iv
+        |    ON iv.s_us <= epoch_us(p.ts) AND epoch_us(p.ts) <= iv.e_us
+        |  GROUP BY 1)
+        |SELECT n_active, count(*) AS n_events
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_path_topk" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1),
+        |g AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1)
+        |SELECT path, n_users FROM g
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "window_distribution" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |             CAST(ntile(4) OVER w AS BIGINT) AS q,
+        |             percent_rank() OVER w AS pr,
+        |             cume_dist() OVER w AS cd
+        |           FROM orders
+        |           WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey))
+        |SELECT o_orderpriority, q, count(*) AS n_orders,
+        |       round(max(pr), 4) AS max_pct_rank,
+        |       round(max(cd), 4) AS max_cume_dist,
+        |       round(CAST(sum(p) AS DOUBLE), 2) AS total_price
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_corr" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS x,
+        |             CAST(hour(ts) AS BIGINT) AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+        |         AS corr_value_hour
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "text_boilerplate_ngrams" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (SELECT w[i + 1] || ' ' || w[i + 2] AS bigram
+        |       FROM t, unnest(range(len(w) - 1)) AS u(i)
+        |       WHERE len(w) >= 2),
+        |tot AS (SELECT greatest(10, count(*) // 800) AS thr FROM bg),
+        |g AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1)
+        |SELECT bigram, n FROM g, tot WHERE g.n >= tot.thr
+        |ORDER BY n DESC, bigram""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH e AS (SELECT event_type,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        |           FROM events),
+        |hourly AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |spine AS (SELECT t.event_type, gs.h
+        |          FROM (SELECT DISTINCT event_type FROM events) t,
+        |               b, unnest(generate_series(b.lo, b.hi,
+        |                                         INTERVAL 1 HOUR)) AS gs(h))
+        |SELECT event_type, epoch_us(h) AS hour_us,
+        |       coalesce(n, 0) AS n_events
+        |FROM spine LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    "delta_dynamic_prune" ->
+      """WITH dim AS (SELECT event_id FROM events
+        |             WHERE event_type = 'purchase'
+        |               AND CAST(ts AS DATE) = DATE '2024-01-10')
+        |SELECT count(*) AS n_rows, round(sum(e.value), 2) AS total,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       true AS pruned_files, true AS scanned_some
+        |FROM events e JOIN dim USING (event_id)""".stripMargin,
 
     "corpus_overlap_topk" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w

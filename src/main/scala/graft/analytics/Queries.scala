@@ -654,30 +654,32 @@ object Queries {
         .select(col("user_id"),
           unix_micros(col("session_start")).as("s_us"),
           unix_micros(col("session_end")).as("e_us")))
-    // ADAPTIVE bucket width = mean interval length (integer µs, exact
-    // division — deterministic), clamped to [1s, span]. Candidate-pair
-    // work is Σ n_bucket²; with B far above the typical length every
-    // co-resident interval pair is compared in EVERY bucket hour it
-    // shares (measured at sf10: 130G candidate pairs at B=1h vs 7.9G at
-    // B=mean — the distribution is 96% point sessions with a ~1-hour
-    // p99.9 tail, and mean = total_length/n balances tail membership
-    // against point occupancy). One tiny aggregate over the already-
-    // materialized session frame, a bounded driver scalar (same class
-    // as the IVF centroid pull). The PAIR SET is bucket-invariant —
-    // width only moves work, never results (spec-pinned).
-    val stats = sessions.agg(
-      sum(col("e_us") - col("s_us")).as("len"), count(lit(1)).as("n"),
-      min(col("s_us")).as("lo"), max(col("e_us")).as("hi")).collect()(0)
-    val bucketUs =
-      if (stats.isNullAt(0)) 3600L * 1000000L // empty input: width is moot
-      else {
-        val span = math.max(stats.getLong(3) - stats.getLong(2), 1L)
-        math.min(span,
-          math.max(1000000L, stats.getLong(0) / math.max(stats.getLong(1), 1L)))
-      }
-    intervalOverlapPairs(sessions, bucketUs)
+    // ADAPTIVE width: candidate-pair work is Σ n_bucket²; with B far
+    // above the typical length every co-resident interval pair is
+    // compared in EVERY bucket hour it shares (measured at sf10: 130G
+    // candidate pairs at B=1h vs 7.9G at B=mean — the distribution is
+    // 96% point sessions with a ~1-hour p99.9 tail, and mean =
+    // total_length/n balances tail membership against point occupancy).
+    intervalOverlapPairs(sessions, adaptiveBucketUs(sessions))
       .agg(count(lit(1)).as("n_overlap_pairs"),
         count_distinct(col("a_id"), col("b_id")).as("n_user_pairs"))
+  }
+
+  /** Adaptive bucket width for interval↔bucket decompositions = mean
+    * interval length over `(s_us, e_us)` rows (integer µs, exact
+    * division — deterministic), clamped to [1s, span]. One tiny
+    * aggregate, a bounded driver scalar (same class as the IVF centroid
+    * pull). Result sets are bucket-invariant — width only moves work. */
+  private[graft] def adaptiveBucketUs(intervals: DataFrame): Long = {
+    val stats = intervals.agg(
+      sum(col("e_us") - col("s_us")).as("len"), count(lit(1)).as("n"),
+      min(col("s_us")).as("lo"), max(col("e_us")).as("hi")).collect()(0)
+    if (stats.isNullAt(0)) 3600L * 1000000L // empty input: width is moot
+    else {
+      val span = math.max(stats.getLong(3) - stats.getLong(2), 1L)
+      math.min(span,
+        math.max(1000000L, stats.getLong(0) / math.max(stats.getLong(1), 1L)))
+    }
   }
 
   /** The bucketed interval join itself: `(a_id, b_id)` rows, one per
@@ -932,4 +934,144 @@ object Queries {
       .filter(col("b.w1") === first && col("b.w2") === second)
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+
+  /** #125 Point-in-interval join (round 8) — the stab query behind
+    * effective-dated lookups, IP-range enrichment, and concurrency
+    * accounting, here as "how many sessions (any user) were active at
+    * each event's instant", folded to a concurrency histogram. Scale
+    * path mirrors #117's decomposition with one asymmetry that makes it
+    * cheaper: intervals explode to every covered bucket, but each POINT
+    * lands in exactly ONE bucket — so the join is a plain equi-join on
+    * the bucket key with zero double-count risk (no attribution
+    * condition needed at all), and the per-bucket blowup is
+    * points-in-bucket × intervals-covering-bucket, i.e. bounded by
+    * concurrency, never by corpus size. Bucket width adapts to the mean
+    * interval length ([[adaptiveBucketUs]]). Every count is exact; the
+    * oracle is DuckDB's native inequality join. */
+  def joinPointInInterval(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.Caching.materialize(
+      windowSessionize(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us")))
+    val bucketUs = adaptiveBucketUs(sessions)
+    val iv = sessions.withColumn("bucket",
+      explode(expr(s"sequence(s_us div $bucketUs, e_us div $bucketUs)")))
+    val pts = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", expr(s"p_us div $bucketUs"))
+    pts.join(iv, Seq("bucket"))
+      .filter(col("s_us") <= col("p_us") && col("p_us") <= col("e_us"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_active"))
+      // every event lies inside its own user's session, so n_active >= 1
+      // and no zero bucket is ever lost to the inner join
+      .groupBy("n_active").agg(count(lit(1)).as("n_events"))
+      .orderBy("n_active")
+  }
+
+  /** #126 Top user journeys (round 8) — sequence mining's entry query
+    * ("what are the most common first-five-event paths?"): each user's
+    * first 5 events in total `(ts, event_id)` order (the sessionize
+    * discipline — duplicate timestamps can't flip paths between runs)
+    * concatenated to a path string, counted, global top-20. Scale: one
+    * user_id shuffle for the rank window, per-user state capped at 5
+    * rows; path cardinality is bounded by |types|⁵ so the count shuffle
+    * is tiny; the global top-20 is orderBy+limit = TakeOrdered
+    * (per-partition heaps, never a full sort). Tie-broken on the path
+    * string — a total order, exact across engines. */
+  def eventsPathTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      // collect_list is order-nondeterministic under retries — sorting
+      // the (rn, type) structs restores the total order before join
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("a"))
+      .select(concat_ws(">", expr("transform(a, x -> x.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** #127 Distribution windows (round 8) — percent_rank / cume_dist /
+    * ntile, the quartile-report family: orders ranked within priority by
+    * exact-decimal price under a TOTAL order (price, orderkey — no peer
+    * groups, so every rank function is deterministic), folded to
+    * per-(priority, quartile) counts and bounds. percent_rank and
+    * cume_dist are single IEEE divisions of exact integers — identical
+    * on both engines. One priority shuffle; the rank sort rides it; the
+    * quartile fold reuses the partitioning. */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderpriority"), col("q"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(max(col("pr")), 4).as("max_pct_rank"),
+           round(max(col("cd")), 4).as("max_cume_dist"),
+           round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "q")
+  }
+
+  /** #131 Calendar gap fill (round 8) — the dense-time-series transform
+    * every dashboard and forecasting feed needs: hourly event counts per
+    * type with EXPLICIT zero rows for silent hours (an aggregate alone
+    * cannot distinguish "no data" from "not yet ingested"). The spine
+    * generates from two bound scalars (`sequence(lo, hi, 1 hour)` — one
+    * tiny aggregate, never a calendar table scan), crossed with the
+    * distinct type set; the event stream itself is touched exactly once
+    * by the hourly aggregate, and the fill join aligns two OUTPUT-sized
+    * frames (hours × types) — gap filling costs nothing extra at any
+    * corpus scale. */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** #128 Correlation from exact moments (round 8) — "do high-value
+    * events cluster at certain hours?": Pearson r between event value
+    * and hour-of-day per event type. Engine-stability: a built-in
+    * `corr` accumulates doubles in engine-specific merge order (the
+    * reassociation hazard every float aggregate carries), so instead
+    * the five moments are summed EXACTLY — cents and hours as longs,
+    * the square/cross terms in DECIMAL(38,0) (cents² overflows a long
+    * at petabyte row counts) — and r is assembled in ONE closed-form
+    * double expression per group: identical operands, identical IEEE
+    * ops, identical result on any engine. Map-side partials; shuffle
+    * carries |types| rows of constant-size moment state — the same
+    * sketch-shaped profile as a count, at any scale. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+           sum(d38(col("y")) * d38(col("y"))).as("syy"),
+           sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+      .select(col("event_type"), col("n"),
+        round((d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast("double") /
+          (sqrt((d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double")) *
+           sqrt((d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy"))).cast("double"))),
+          4).as("corr_value_hour"))
+      .orderBy("event_type")
+  }
 }
