@@ -765,6 +765,58 @@ object SparkEntry {
       .withColumnRenamed("elem", "bigram")
   }
 
+  /** #132 Corpus curation funnel (round 8) — the END-TO-END pre-training
+    * data pipeline as one operator, with per-stage drop accounting (the
+    * number every curation run reports first): language filter (en) →
+    * quality filter (score ≥ 0.5) → exact dedup (min-doc_id canonical
+    * per content hash, among quality survivors) → benchmark
+    * decontamination (8-gram overlap with the eval docs). All four
+    * stage flags compute in ONE corpus pass (langid + quality are
+    * per-row codegen; the dedup canon is one hash-window shuffle; the
+    * contamination flag joins a broadcast eval-gram set), so the funnel
+    * costs one scan + one window + one output-sized aggregate — the
+    * events_funnel lesson applied to documents. Per-stage survivor and
+    * token counts are exact. */
+  def corpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val contaminated = TextOps.contamination(docs, docs.filter(col("doc_id") < 3))
+      .select(col("doc_id"), col("contaminated"))
+    val flags = graft.Caching.materialize(
+      TextOps.langId(TextOps.qualityScore(docs))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (col("lang_pred") === "en").as("lang_ok"),
+          (col("quality_score") >= 0.5).as("q_ok"),
+          md5(col("text")).as("h"))
+        .join(contaminated, Seq("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val staged = flags
+      .withColumn("s2", col("lang_ok") && col("q_ok"))
+      .withColumn("canon_id", min(when(col("s2"), col("doc_id"))).over(w))
+      .withColumn("s3", col("s2") && col("doc_id") === col("canon_id"))
+      .withColumn("s4", col("s3") && !col("contaminated"))
+    def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def t(c: org.apache.spark.sql.Column) =
+      sum(when(c, col("n_tokens")).otherwise(0L))
+    staged.agg(
+        count(lit(1)).as("n0"),
+        n(col("lang_ok")).as("n1"), n(col("s2")).as("n2"),
+        n(col("s3")).as("n3"), n(col("s4")).as("n4"),
+        t(col("lang_ok")).as("t1"), t(col("s2")).as("t2"),
+        t(col("s3")).as("t3"), t(col("s4")).as("t4"))
+      .select(explode(array(
+        struct(lit("1_lang").as("stage"), col("n0").as("n_in"),
+          col("n1").as("n_kept"), col("t1").as("tokens_kept")),
+        struct(lit("2_quality").as("stage"), col("n1").as("n_in"),
+          col("n2").as("n_kept"), col("t2").as("tokens_kept")),
+        struct(lit("3_dedup").as("stage"), col("n2").as("n_in"),
+          col("n3").as("n_kept"), col("t3").as("tokens_kept")),
+        struct(lit("4_contamination").as("stage"), col("n3").as("n_in"),
+          col("n4").as("n_kept"), col("t4").as("tokens_kept")))).as("r"))
+      .select("r.*")
+      .orderBy("stage")
+  }
+
   /** #48 Deterministic hash train/test split, bounded-oracle form: the
     * concrete assignment is xxhash64-specific, but its CONTRACT is
     * SQL-checkable — the splits partition the corpus (disjoint and
@@ -1713,6 +1765,7 @@ object SparkEntry {
     "delta_dynamic_prune" -> (deltaDynamicPrune _),
     "events_gap_fill"     -> ((s: SparkSession, dir: String) =>
                                Queries.eventsGapFill(s, dir)),
+    "corpus_curation_funnel" -> (corpusCurationFunnel _),
     "text_lm_score"       -> (Queries.textLmScore _),
     "mm_audio_meta"       -> (mmAudioMeta _),
     "mm_audio_stream"     -> (mmAudioStream _),
@@ -1816,6 +1869,70 @@ object SparkEntry {
        |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
        |       CASE $caseChain ELSE 'und' END AS lang_pred
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB curation-funnel oracle — langid scores, quality formula,
+    * 8-gram contamination and the hash-window dedup composed exactly as
+    * [[corpusCurationFunnel]] stages them; stopword inventory shared
+    * with the Spark operator (single source of truth). */
+  private def curationOracle: String = {
+    val langs = TextOps.stopwords.map(_._1)
+    val scoreDefs = TextOps.stopwords.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    val caseChain = langs.map { lang =>
+      val conds = (langs.filter(_ != lang).map(o => s"score_$lang >= score_$o")
+        :+ s"score_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |sc AS (SELECT doc_id, text, n_tokens, toks, $scoreDefs FROM t),
+       |lp AS (SELECT doc_id, text, n_tokens,
+       |         CASE $caseChain ELSE 'und' END AS lang_pred FROM sc),
+       |qs AS (SELECT doc_id, text, n_tokens, lang_pred,
+       |         round(least(CAST(n_tokens AS DOUBLE) / 50, 1.0) *
+       |           (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |                AS DOUBLE) / length(text)), 4) AS quality_score
+       |       FROM lp),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 7),
+       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' ||
+       |              toks[i+7] || ' ' || toks[i+8])) AS sh FROM t),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 3),
+       |hits AS (SELECT s.doc_id, count(*) AS n_hits
+       |         FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
+       |         JOIN bench USING (g) GROUP BY 1),
+       |flags AS (SELECT q.doc_id, q.n_tokens,
+       |            (q.lang_pred = 'en') AS lang_ok,
+       |            (q.quality_score >= 0.5) AS q_ok,
+       |            md5(q.text) AS h,
+       |            coalesce(h2.n_hits, 0) > 0 AS contaminated
+       |          FROM qs q LEFT JOIN hits h2 ON q.doc_id = h2.doc_id),
+       |staged AS (SELECT *, (lang_ok AND q_ok) AS s2,
+       |             min(CASE WHEN lang_ok AND q_ok THEN doc_id END)
+       |               OVER (PARTITION BY h) AS canon_id
+       |           FROM flags),
+       |st AS (SELECT *, (s2 AND doc_id = canon_id) AS s3,
+       |              (s2 AND doc_id = canon_id AND NOT contaminated) AS s4
+       |       FROM staged),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |        CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |        CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |        CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |        CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |        CAST(sum(CASE WHEN lang_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+       |        CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+       |        CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+       |        CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+       |      FROM st)
+       |SELECT '1_lang' AS stage, n0 AS n_in, n1 AS n_kept, t1 AS tokens_kept FROM a
+       |UNION ALL SELECT '2_quality', n1, n2, t2 FROM a
+       |UNION ALL SELECT '3_dedup', n2, n3, t3 FROM a
+       |UNION ALL SELECT '4_contamination', n3, n4, t4 FROM a
+       |ORDER BY stage""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2718,6 +2835,8 @@ object SparkEntry {
         |g AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1)
         |SELECT bigram, n FROM g, tot WHERE g.n >= tot.thr
         |ORDER BY n DESC, bigram""".stripMargin,
+
+    "corpus_curation_funnel" -> curationOracle,
 
     "events_gap_fill" ->
       """WITH e AS (SELECT event_type,
