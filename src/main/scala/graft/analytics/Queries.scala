@@ -996,25 +996,62 @@ object Queries {
   }
 
   /** #127 Distribution windows (round 8) — percent_rank / cume_dist /
-    * ntile, the quartile-report family: orders ranked within priority by
-    * exact-decimal price under a TOTAL order (price, orderkey — no peer
-    * groups, so every rank function is deterministic), folded to
-    * per-(priority, quartile) counts and bounds. percent_rank and
-    * cume_dist are single IEEE divisions of exact integers — identical
-    * on both engines. One priority shuffle; the rank sort rides it; the
-    * quartile fold reuses the partitioning. */
+    * ntile, the quartile-report family, under a TOTAL order (price,
+    * orderkey — no peer groups, so every rank function is
+    * deterministic). THE SCALE TRAP of rank windows: `Window.partitionBy
+    * (priority)` sorts each priority in ONE task, capping parallelism at
+    * |groups| (= 5) — measured 29.5 s at sf10 for what is a fully
+    * parallel problem. This plan computes the GLOBAL per-group rank
+    * distributedly instead (the Packing prefix-sum discipline applied to
+    * analytics ranks): value-domain price buckets (≤ 4096, adaptive
+    * width) → per-(group, bucket) counts cumulated on the driver
+    * (bounded metadata, the IVF-centroid class) → broadcast offsets →
+    * intra-bucket `row_number` on a (group, bucket)-partitioned window
+    * — thousands-way parallel. percent_rank/cume_dist/ntile are then
+    * pure arithmetic on (rank, n): the same single IEEE divisions and
+    * SQL-standard tile formula on both engines, bit-equal to the
+    * built-in window functions (spec-pinned against them). Worst-case
+    * price clustering degrades parallelism toward the naive plan, never
+    * below it. */
   def windowDistribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("q", ntile(4).over(w).cast("long"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
-      .groupBy(col("o_orderpriority"), col("q"))
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("g"), dec(col("o_totalprice")).as("p"),
+      col("o_orderkey").as("k"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val b = o.agg(min("cents"), max("cents")).collect()(0)
+    val (lo, hi) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / 4096L + 1L)
+    val bucketed = o.withColumn("bucket", expr(s"(cents - ${lo}L) div ${width}L"))
+    val counts = bucketed.groupBy("g", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, bkt, c) =>
+        val off = acc; acc += c; (g, bkt, off) }
+    }
+    val totals = counts.groupBy(_._1).toSeq
+      .map { case (g, rows) => (g, rows.map(_._3).sum) }
+    val offDf = s.createDataFrame(offsets).toDF("g", "bucket", "off")
+    val totDf = s.createDataFrame(totals).toDF("g", "n_g")
+    val w = Window.partitionBy("g", "bucket").orderBy(col("p"), col("k"))
+    bucketed
+      .join(broadcast(offDf), Seq("g", "bucket"))
+      .join(broadcast(totDf), Seq("g"))
+      .withColumn("r", col("off") + row_number().over(w))
+      // SQL-standard ntile from (r, n): first n%4 tiles carry one extra row
+      .withColumn("q", expr(
+        """CASE WHEN r <= (n_g % 4) * (n_g div 4 + 1)
+          |     THEN (r - 1) div (n_g div 4 + 1) + 1
+          |     ELSE (n_g % 4) + (r - (n_g % 4) * (n_g div 4 + 1) - 1)
+          |          div (n_g div 4) + 1 END""".stripMargin).cast("long"))
+      .withColumn("pr", when(col("n_g") === 1, lit(0.0)).otherwise(
+        (col("r") - 1).cast("double") / (col("n_g") - 1).cast("double")))
+      .withColumn("cd", col("r").cast("double") / col("n_g").cast("double"))
+      .groupBy(col("g").as("o_orderpriority"), col("q"))
       .agg(count(lit(1)).as("n_orders"),
            round(max(col("pr")), 4).as("max_pct_rank"),
            round(max(col("cd")), 4).as("max_cume_dist"),
-           round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total_price"))
+           round(sum(col("p")).cast("double"), 2).as("total_price"))
       .orderBy("o_orderpriority", "q")
   }
 

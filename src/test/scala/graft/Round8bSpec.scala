@@ -124,6 +124,27 @@ class Round8bSpec extends SparkSpec {
       s"$k: exact-moment $v vs estimator ${ref(k)}") }
   }
 
+  test("distributed rank equals the built-in window functions") {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    // the naive plan: correct semantics, |groups|-way parallelism — the
+    // distributed-rank plan must reproduce it bit-for-bit
+    val naive = Tables.orders(spark, sf)
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderpriority"), col("q"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(max(col("pr")), 4).as("max_pct_rank"),
+           round(max(col("cd")), 4).as("max_cume_dist"),
+           round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "q").collect()
+    val got = Queries.windowDistribution(spark, sf).collect()
+    assert(got.sameElements(naive))
+  }
+
   test("distribution windows: quartiles partition each priority") {
     val rows = Queries.windowDistribution(spark, sf).collect()
     val byPrio = rows.groupBy(_.getString(0))
