@@ -334,6 +334,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** #134 NEAREST as-of join with a tolerance bound (round 8): each
+    * purchase gets whichever signup is CLOSER in time (ties prefer the
+    * earlier row), and any match farther than 1 hour is null-extended —
+    * the sensor-alignment semantics (pandas `merge_asof
+    * direction='nearest', tolerance=...`). Same dual-cursor merge and
+    * shuffle shape as #104; the oracle assembles nearest-with-tolerance
+    * from DuckDB's backward/forward extrema, so every branch (backward
+    * closer, forward closer, tie, tolerance expiry, no candidate) is
+    * exact-checked. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    plans.AsOfJoin.asofNative(purchases, signups, "user_id", "ts",
+        Seq("signup_ts"), direction = plans.AsOfJoin.Nearest,
+        tolerance = Some(3600L * 1000000L))
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** #42 Range join: orders bucketed into literal price bands (broadcast
     * band table, BNLJ on the between-condition — bands are tiny by
     * construction). */
@@ -1525,6 +1547,41 @@ object SparkEntry {
       .orderBy("version", "trip_type")
   }
 
+  /** #133 Concurrent writers (round 8) — optimistic concurrency control
+    * under a real race: three threads append disjoint slices to the same
+    * ACID table simultaneously. Each append stages its files, reads the
+    * snapshot, and claims the next version with an atomic-no-overwrite
+    * commit (hard-link claim on local filesystems — POSIX rename
+    * overwrites, so exists-check+rename could silently LOSE a
+    * transaction; HDFS rename is contractually no-overwrite); losers
+    * re-read and retry against the new snapshot, Delta's exact
+    * protocol. Done right, every commit lands (4 versions: 1 overwrite
+    * + 3 appends), no rows are lost, and the history is a strict
+    * serialization of the race. */
+  def deltaConcurrentAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txconc")
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    graft.acid.TxLog.overwrite(ev.filter(col("event_id") % 4 === 0), path)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 3).map { i =>
+      new Thread(() =>
+        try graft.acid.TxLog.append(ev.filter(col("event_id") % 4 === i), path)
+        catch { case _: Throwable => failures.incrementAndGet() })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val commits = graft.acid.TxLog.currentVersion(s, path)
+    val hit = graft.acid.TxLog.read(s, path)
+      .agg(count(lit(1)).as("n_rows"),
+           count_distinct(col("event_id")).as("n_ids"),
+           round(sum(col("value")), 2).as("total"))
+      .collect()(0)
+    s.range(1).select(
+      lit(hit.getLong(0)).as("n_rows"),
+      lit(hit.getLong(1)).as("n_ids"),
+      lit(hit.getDouble(2)).as("total"),
+      lit(commits == 4L && failures.get() == 0).as("serialized_commits"))
+  }
+
   /** #72 File-level data skipping on a NON-partition predicate: the
     * txlog records per-file min/max from parquet footers at commit time,
     * so a selective `event_id` range over range-clustered files reads a
@@ -1799,6 +1856,7 @@ object SparkEntry {
     "join_asof"           -> (joinAsof _),
     "join_asof_native"    -> (joinAsofNative _),
     "join_asof_fwd"       -> (joinAsofFwd _),
+    "join_asof_nearest"   -> (joinAsofNearest _),
     "join_range"          -> (joinRange _),
     "join_bucketed"       -> (joinBucketed _),
     "ingest_merge_schema" -> (ingestMergeSchema _),
@@ -1827,6 +1885,7 @@ object SparkEntry {
     "delta_data_skipping" -> (deltaDataSkipping _),
     "delta_vacuum"        -> (deltaVacuum _),
     "delta_clone"         -> (deltaClone _),
+    "delta_concurrent_append" -> (deltaConcurrentAppend _),
     "delta_constraints"   -> (deltaConstraints _),
     "delta_checkpoint"    -> (deltaCheckpoint _),
     "catalog_partitions"  -> (catalogPartitions _),
@@ -2320,6 +2379,32 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT l.event_id, max(r.ts) AS bts
+        |      FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |      GROUP BY 1),
+        |f AS (SELECT l.event_id, min(r.ts) AS fts
+        |      FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        |      GROUP BY 1),
+        |j AS (SELECT l.event_id, l.user_id, l.ts, b.bts, f.fts
+        |      FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        |  CASE
+        |    WHEN bts IS NOT NULL AND epoch_us(ts) - epoch_us(bts) <= 3600000000
+        |         AND (fts IS NULL
+        |              OR epoch_us(fts) - epoch_us(ts) > 3600000000
+        |              OR epoch_us(ts) - epoch_us(bts)
+        |                 <= epoch_us(fts) - epoch_us(ts))
+        |    THEN bts
+        |    WHEN fts IS NOT NULL AND epoch_us(fts) - epoch_us(ts) <= 3600000000
+        |    THEN fts
+        |    ELSE NULL END AS signup_ts
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "join_range" ->
       """SELECT band, count(*) AS n_orders,
@@ -2852,6 +2937,11 @@ object SparkEntry {
         |       coalesce(n, 0) AS n_events
         |FROM spine LEFT JOIN hourly USING (event_type, h)
         |ORDER BY event_type, hour_us""".stripMargin,
+
+    "delta_concurrent_append" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
+        |       round(sum(value), 2) AS total, true AS serialized_commits
+        |FROM events""".stripMargin,
 
     "delta_dynamic_prune" ->
       """WITH dim AS (SELECT event_id FROM events

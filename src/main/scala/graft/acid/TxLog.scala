@@ -310,10 +310,26 @@ object TxLog {
     try out.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename-if-absent is the commit point (atomic on HDFS and local fs;
-    // object stores need a coordination service, exactly as Delta does)
-    val won = !hfs.exists(target) && hfs.rename(tmp, target)
-    if (!won) hfs.delete(tmp, false)
+    // The commit point must be ATOMIC-NO-OVERWRITE: two writers racing
+    // the same version number must serialize to exactly one winner.
+    // HDFS rename contractually fails when the destination exists, but
+    // POSIX rename() silently OVERWRITES — an exists-check + rename on a
+    // local fs leaves a window where the slower writer replaces the
+    // faster one's commit file and a transaction is silently lost. On
+    // file: schemes the claim is therefore a HARD LINK (link() is atomic
+    // and fails with EEXIST — the no-overwrite rename local filesystems
+    // don't offer); elsewhere the HDFS rename contract stands. Object
+    // stores need a coordination service, exactly as Delta does.
+    val won =
+      if (hfs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !hfs.exists(target) && hfs.rename(tmp, target)
+    hfs.delete(tmp, false) // claimed targets are links; tmp is always dead
     won
   }
 

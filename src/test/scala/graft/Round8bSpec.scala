@@ -160,6 +160,28 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appends: every racing commit lands exactly once") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("txrace-spec").toString
+    graft.acid.TxLog.overwrite(
+      Seq((0L, 0.0)).toDF("id", "v"), path)
+    // 8 writers race the commit claim; optimistic retry must serialize
+    // them with zero lost transactions (the exists-check+rename hole
+    // this spec exists to keep closed: POSIX rename overwrites)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() =>
+        try graft.acid.TxLog.append(Seq((i.toLong, i * 1.0)).toDF("id", "v"), path)
+        catch { case _: Throwable => failures.incrementAndGet() })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.get() == 0)
+    assert(graft.acid.TxLog.currentVersion(spark, path) == 9L)
+    val rows = graft.acid.TxLog.read(spark, path).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 8L))
+  }
+
   test("gap fill: silent hours surface as explicit zero rows") {
     val rows = Queries.eventsGapFill(spark, sf).collect()
     val types = Tables.events(spark, sf)
