@@ -424,6 +424,48 @@ object SparkEntry {
       .agg(round(avg(col("total_amount")), 2))
       .orderBy("report_hour")
 
+  /** #135 UNPIVOT / melt (round 8) — the inverse of #40's pivot and the
+    * other half of every reshape workflow (wide metrics table → long
+    * form for plotting/joining): daily per-type value totals widened to
+    * three metric columns, then melted back to (day, metric, value)
+    * rows via `Dataset.unpivot`. Totals coalesce to 0 before the melt so
+    * row counts are shape-determined (days × metrics), not
+    * data-determined. Map-side reshape — the only shuffle is the daily
+    * aggregate. */
+  def reportMelt(s: SparkSession, dir: String): DataFrame = {
+    def tot(t: String) =
+      round(coalesce(sum(when(col("event_type") === t, col("value"))),
+        lit(0.0)), 2).as(s"${t}_value")
+    Tables.events(s, dir)
+      .groupBy(dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(tot("view"), tot("click"), tot("purchase"))
+      .unpivot(Array(col("d")),
+        Array(col("view_value"), col("click_value"), col("purchase_value")),
+        "metric", "value")
+      .orderBy("d", "metric")
+  }
+
+  /** #136 Higher-order array functions (round 8) — the lambda surface
+    * (`filter`/`transform`/`aggregate`/`array_max`) run per-row inside
+    * codegen, the idiom this engine uses everywhere (shingles, bigrams,
+    * quality): per-document token statistics with zero explode — the
+    * token stream never leaves its row, so the only movement is the
+    * final ordered output. */
+  def arraysFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(expr("filter(w, t -> length(t) >= 5)")).cast("long")
+          .as("n_long_tokens"),
+        expr("aggregate(w, 0L, (acc, t) -> acc + length(t))")
+          .as("sum_token_chars"),
+        expr("array_max(transform(w, t -> length(t)))").cast("long")
+          .as("max_token_len"),
+        round(expr("aggregate(w, 0L, (acc, t) -> acc + length(t))") /
+          size(col("w")).cast("double"), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
   /** #36 Ad-hoc SQL over the registered catalog (the reference's Athena
     * consumption path, reference analysis/analytics_job.py:29-54). The
     * SQL here runs verbatim on both engines. */
@@ -1792,6 +1834,8 @@ object SparkEntry {
       EventsStream.runStreamStreamJoin(s, Tables.events(s, dir))),
     "stream_stream_outer" -> ((s: SparkSession, dir: String) =>
       EventsStream.runStreamStreamOuterJoin(s, Tables.events(s, dir))),
+    "stream_late_data"    -> ((s: SparkSession, dir: String) =>
+      EventsStream.runLateDataAccounting(s, Tables.events(s, dir))),
     "agg_histogram"       -> (Queries.aggHistogram _),
     "window_rolling_range" -> (Queries.windowRollingRange _),
     "text_tfidf"          -> (Queries.textTfidf _),
@@ -1853,6 +1897,8 @@ object SparkEntry {
     "join_outer"          -> (Queries.joinOuter _),
     "set_ops"             -> (Queries.setOps _),
     "report_pivot"        -> (reportPivot _),
+    "report_melt"         -> (reportMelt _),
+    "arrays_funcs"        -> (arraysFuncs _),
     "join_asof"           -> (joinAsof _),
     "join_asof_native"    -> (joinAsofNative _),
     "join_asof_fwd"       -> (joinAsofFwd _),
@@ -2352,6 +2398,54 @@ object SparkEntry {
          |FROM events
          |WHERE event_type IN ('purchase', 'view') AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_events_kept/total_kept include the 1-row value-0 mid batch at
+    // 2024-01-30 23:59 (its window is already populated, so n_windows
+    // is unchanged); n_dropped_late counts PARTIAL-aggregate rows — one
+    // per distinct late hour for the single-split staged file
+    "stream_late_data" ->
+      """WITH kept AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value
+        |              FROM events WHERE day(ts) >= 16)
+        |SELECT
+        |  CAST((SELECT count(DISTINCT h) FROM (
+        |          SELECT date_trunc('hour', ts) AS h FROM kept
+        |          UNION SELECT TIMESTAMP '2024-01-30 23:00:00'))
+        |       AS BIGINT) AS n_windows,
+        |  CAST((SELECT count(*) + 1 FROM kept) AS BIGINT) AS n_events_kept,
+        |  round(CAST((SELECT sum(CAST(value AS DECIMAL(18,2))) FROM kept)
+        |             AS DOUBLE), 2) AS total_kept,
+        |  CAST((SELECT count(DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |        FROM events WHERE day(ts) <= 15) AS BIGINT)
+        |    AS n_dropped_late""".stripMargin,
+
+    "report_melt" ->
+      """WITH w AS (SELECT CAST(day(ts) AS BIGINT) AS d,
+        |  round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END),
+        |                 0), 2) AS view_value,
+        |  round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END),
+        |                 0), 2) AS click_value,
+        |  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+        |                 0), 2) AS purchase_value
+        |           FROM events GROUP BY 1)
+        |SELECT d, 'view_value' AS metric, view_value AS value FROM w
+        |UNION ALL SELECT d, 'click_value', click_value FROM w
+        |UNION ALL SELECT d, 'purchase_value', purchase_value FROM w
+        |ORDER BY d, metric""".stripMargin,
+
+    "arrays_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> length(t) >= 5)) AS BIGINT)
+        |    AS n_long_tokens,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+        |    AS sum_token_chars,
+        |  CAST(list_max(list_transform(w, t -> length(t))) AS BIGINT)
+        |    AS max_token_len,
+        |  round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+        |        / len(w), 4) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "join_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -332,4 +332,73 @@ object EventsStream {
     }
     spark.read.parquet(s"$base/out").filter(col("user_id") =!= Long.MinValue)
   }
+
+  /** Watermark late-data ACCOUNTING, run as a real streaming query — the
+    * observability face of event-time semantics no other operator here
+    * exercises: how many rows did the watermark actually drop, and does
+    * the surviving aggregate match what the watermark contract promises?
+    * Micro-batches in a forced order (mtime-staged files +
+    * `maxFilesPerTrigger=1`): (1) the on-time slice (days ≥ 16)
+    * advances the watermark to its max event time − 30 min; (2) a
+    * 1-row mid batch — REQUIRED, because Spark's late-record filter
+    * uses the PREVIOUS batch's watermark (`watermarkForLateEvents` lags
+    * `watermarkForEviction` by one batch; measured here: a late batch
+    * arriving immediately after the advancing batch is still fully
+    * aggregated), so the watermark only rejects data from two batches
+    * on; (3) the late slice (days ≤ 15), now entirely below the
+    * late-event watermark — its contributions are dropped at the
+    * PARTIAL-aggregate granularity (`numRowsDroppedByWatermark` counts
+    * post-map-side partial rows: one per late window for a single-split
+    * file, measured exactly); (4) a far-future sentinel pushes the
+    * watermark past every real window so append mode finalizes them.
+    * The oracle checks both sides of the contract: the kept aggregate
+    * equals the batch aggregate over days ≥ 16 plus the mid row, and
+    * the drop counter equals the distinct late-hour count exactly. */
+  def runLateDataAccounting(spark: SparkSession, events: DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = graft.TempDirs.create("late")
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val ev = graft.Tables.normalizeTs(events.select("ts", "value"), "ts")
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(src, s"$name.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    // the file source orders by (modification time, path): both agree here
+    val t0 = System.currentTimeMillis()
+    stageFile(ev.filter(dayofmonth(col("ts")) >= 16), "b1_ontime", t0 - 180000)
+    stageFile(spark.range(1).select(
+      to_timestamp(lit("2024-01-30 23:59:00")).as("ts"),
+      lit(0.0).as("value")), "b2_mid", t0 - 120000)
+    stageFile(ev.filter(dayofmonth(col("ts")) <= 15), "b3_late", t0 - 60000)
+    stageFile(spark.range(1).select(
+      to_timestamp(lit("2024-02-15 00:00:00")).as("ts"),
+      lit(0.0).as("value")), "b4_sentinel", t0)
+    val schema = spark.read.parquet(src).schema
+    val name = s"graft_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("tv"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"), col("tv"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    spark.table(name)
+      // the sentinel's own window never finalizes; the guard makes that
+      // an invariant rather than an accident of batch order
+      .filter(col("ws") < unix_micros(to_timestamp(lit("2024-02-01 00:00:00"))))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events_kept"),
+           round(sum(col("tv")), 2).cast("double").as("total_kept"))
+      .withColumn("n_dropped_late", lit(dropped))
+  }
 }
