@@ -1841,6 +1841,7 @@ object SparkEntry {
     "text_tfidf"          -> (Queries.textTfidf _),
     "agg_grouping_sets"   -> (Queries.aggGroupingSets _),
     "events_sliding_window" -> (Queries.eventsSlidingWindow _),
+    "events_sliding_window_approx" -> (Queries.eventsSlidingWindowApprox _),
     "text_phrase_search"  -> (Queries.textPhraseSearch _),
     "text_span_dedup"     -> ((s: SparkSession, dir: String) =>
                                Queries.textSpanDedup(s, dir)),
@@ -2806,6 +2807,16 @@ object SparkEntry {
         |      FROM e, unnest([0, 1, 2, 3]) AS t(k))
         |SELECT win_start_us, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
+        |FROM w
+        |WHERE us - win_start_us >= 0 AND us - win_start_us < 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sliding_window_approx" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, us,
+        |             (us // 900000000 - k) * 900000000 AS win_start_us
+        |      FROM e, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT win_start_us, count(*) AS n_events, true AS within_3pct
         |FROM w
         |WHERE us - win_start_us >= 0 AND us - win_start_us < 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -912,6 +912,43 @@ object Queries {
         col("n_users"), col("n_events"))
       .orderBy("win_start_us")
 
+  /** #138 Sliding-window distinct via mergeable HLL cells (round 8) —
+    * the SUB-LINEAR twin of #123 that SCALE.md's sf10 analysis calls
+    * for: the exact form shuffles (window, user) pairs — 4× the event
+    * stream — and holds per-window distinct state proportional to
+    * active users (74.8 s at sf10, linear by contract). This plan
+    * sketches each 15-minute CELL once (one event-stream shuffle into
+    * O(cells) sketch rows), then fans the SKETCHES (constant-size
+    * binaries) out to their 4 covering windows and unions per window —
+    * the fan-out and second shuffle carry cells×4 sketch rows at ANY
+    * corpus size. HLL union over sketches is lossless (the #95 merge
+    * law), so the windowed estimate equals a direct per-window sketch;
+    * the operator emits the bound check against the exact distinct
+    * (±3% at lgK 14 — generous against the ~0.8% typical error), the
+    * bounded-oracle discipline of #18b/#95. */
+  def eventsSlidingWindowApprox(s: SparkSession, dir: String): DataFrame = {
+    val cellUs = 900L * 1000000L
+    val ev = Tables.events(s, dir)
+    val approx = ev
+      .groupBy(expr(s"unix_micros(ts) div ${cellUs}L").as("cell"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"), count(lit(1)).as("n"))
+      .select(col("sk"), col("n"),
+        explode(expr("sequence(cell - 3, cell)")).as("w"))
+      .groupBy((col("w") * cellUs).as("win_start_us"))
+      .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"),
+        sum(col("n")).as("n_events"))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("wd"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .select(unix_micros(col("wd.start")).as("win_start_us"), col("exact_users"))
+    approx.join(exact, Seq("win_start_us"))
+      .select(col("win_start_us"), col("n_events"),
+        (abs(col("est") - col("exact_users")) / col("exact_users") <= 0.03)
+          .as("within_3pct"))
+      .orderBy("win_start_us")
+  }
+
   /** #124 Phrase search (round 8) — the contamination/provenance probe
     * run as a QUERY ("which documents contain this exact phrase, how
     * often?"): adjacent-bigram generation per row (the textLmScore
