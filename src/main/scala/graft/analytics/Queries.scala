@@ -665,6 +665,32 @@ object Queries {
         count_distinct(col("a_id"), col("b_id")).as("n_user_pairs"))
   }
 
+  /** #139 Interval overlap with SKETCHED pair cardinality (round 8) —
+    * the 100 TB path SCALE.md's decomposition of #117 calls for: at
+    * sf10 the exact operator's cost is dominated not by the join but by
+    * `count_distinct(a_id, b_id)` whose state is Θ(distinct user pairs)
+    * (~pair-sized, spilling). This variant estimates the pair
+    * cardinality with HLL++ (constant aggregation state per partition,
+    * mergeable partials — no spill at any pair volume) while keeping
+    * `n_overlap_pairs` exact (a plain count — constant state too). The
+    * operator also runs the exact distinct to emit the ±5% bound check
+    * (the #138 bounded-oracle discipline); ProbeIntervalHll isolates
+    * the sketch-only cost at scale. */
+  def joinIntervalOverlapApprox(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.Caching.materialize(
+      windowSessionize(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us")))
+    intervalOverlapPairs(sessions, adaptiveBucketUs(sessions))
+      .agg(count(lit(1)).as("n_overlap_pairs"),
+        count_distinct(col("a_id"), col("b_id")).as("n_user_pairs"),
+        approx_count_distinct(struct(col("a_id"), col("b_id")), 0.02).as("est"))
+      .select(col("n_overlap_pairs"), col("n_user_pairs"),
+        (abs(col("est") - col("n_user_pairs")) /
+          col("n_user_pairs") <= 0.05).as("within_5pct"))
+  }
+
   /** Adaptive bucket width for interval↔bucket decompositions = mean
     * interval length over `(s_us, e_us)` rows (integer µs, exact
     * division — deterministic), clamped to [1s, span]. One tiny

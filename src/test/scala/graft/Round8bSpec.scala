@@ -201,6 +201,33 @@ class Round8bSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) == 0L))
   }
 
+  test("sliding HLL: cell-union estimate equals the direct window sketch") {
+    val cellUs = 900L * 1000000L
+    val ev = Tables.events(spark, sf)
+    val viaCells = ev
+      .groupBy(expr(s"unix_micros(ts) div ${cellUs}L").as("cell"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      .select(col("sk"), explode(expr("sequence(cell - 3, cell)")).as("w"))
+      .groupBy((col("w") * cellUs).as("ws"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+    val direct = ev
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("wd"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("est"))
+      .select(unix_micros(col("wd.start")).as("ws"), col("est"))
+    val both = viaCells.as("a").join(direct.as("b"), Seq("ws"), "full_outer")
+      .collect()
+    assert(both.nonEmpty)
+    // the merge law (#95), per window: unioning the 4 cell sketches is
+    // lossless — identical estimate to sketching the window directly,
+    // which is what makes the constant-size fan-out plan exchangeable
+    // for the exact one at any corpus scale
+    both.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"window set mismatch: $r")
+      assert(r.getLong(1) == r.getLong(2), s"merge law broken at $r")
+    }
+  }
+
   test("curation funnel: stages chain and only ever shrink") {
     val rows = SparkEntry.queries("corpus_curation_funnel")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
