@@ -1834,6 +1834,8 @@ object SparkEntry {
       EventsStream.runStreamStreamJoin(s, Tables.events(s, dir))),
     "stream_stream_outer" -> ((s: SparkSession, dir: String) =>
       EventsStream.runStreamStreamOuterJoin(s, Tables.events(s, dir))),
+    "stream_stream_full_outer" -> ((s: SparkSession, dir: String) =>
+      EventsStream.runStreamStreamFullOuterJoin(s, Tables.events(s, dir))),
     "stream_late_data"    -> ((s: SparkSession, dir: String) =>
       EventsStream.runLateDataAccounting(s, Tables.events(s, dir))),
     "agg_histogram"       -> (Queries.aggHistogram _),
@@ -2406,6 +2408,29 @@ object SparkEntry {
     // 2024-01-30 23:59 (its window is already populated, so n_windows
     // is unchanged); n_dropped_late counts PARTIAL-aggregate rows — one
     // per distinct late hour for the single-split staged file
+    "stream_stream_full_outer" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |             value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT * FROM c FULL OUTER JOIN p
+        |      ON c.user_id = p.p_user
+        |     AND p.purchase_ts >= c.click_ts
+        |     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN click_ts IS NOT NULL AND purchase_ts IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_only,
+        |  CAST(sum(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_only,
+        |  CAST(count(DISTINCT coalesce(user_id, p_user)) AS BIGINT) AS n_users,
+        |  round(CAST(sum(CASE WHEN click_ts IS NOT NULL
+        |                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE),
+        |        2) AS paired_value
+        |FROM j""".stripMargin,
+
     "stream_late_data" ->
       """WITH kept AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value
         |              FROM events WHERE day(ts) >= 16)

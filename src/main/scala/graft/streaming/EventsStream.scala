@@ -157,7 +157,19 @@ object EventsStream {
     * sentinel batch cannot re-emit it; spec-pinned). Returns the
     * bounded aggregate over the file sink: matched pairs, unmatched
     * clicks, distinct click users, and matched value. */
-  def runStreamStreamOuterJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+  def runStreamStreamOuterJoin(spark: SparkSession, events: DataFrame): DataFrame =
+    runStreamStreamOuterTyped(spark, events, "left_outer")
+
+  /** FULL outer variant: eviction-driven null emission on BOTH buffers —
+    * unmatched clicks null-extend when the click buffer evicts (as in
+    * the left-outer face) AND unmatched purchases null-extend when the
+    * purchase buffer evicts, the path the left join never exercises.
+    * Oracle is the identical batch full join. */
+  def runStreamStreamFullOuterJoin(spark: SparkSession, events: DataFrame): DataFrame =
+    runStreamStreamOuterTyped(spark, events, "full_outer")
+
+  private def runStreamStreamOuterTyped(spark: SparkSession, events: DataFrame,
+                                        joinType: String): DataFrame = {
     val base = graft.TempDirs.create("ss2o")
     val ev = graft.Tables.normalizeTs(
       events.select("user_id", "ts", "event_type", "value"), "ts")
@@ -180,14 +192,14 @@ object EventsStream {
         .withWatermark("purchase_ts", "1 hour")
       val joined = cs.join(ps, expr(
         "user_id = p_user AND purchase_ts >= click_ts AND " +
-          "purchase_ts <= click_ts + interval 1 hour"), "left_outer")
+          "purchase_ts <= click_ts + interval 1 hour"), joinType)
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .format("parquet").option("path", s"$base/out")
         .start()
       try {
         q.processAllAvailable()
-        assertSingleIngestBatch(q, "stream_stream_outer")
+        assertSingleIngestBatch(q, s"stream_stream_$joinType")
         Seq(30, 60).foreach { days =>
           val ts = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
           Seq((Long.MinValue, ts)).toDF("user_id", "click_ts")
@@ -198,15 +210,30 @@ object EventsStream {
         }
       } finally q.stop()
     }
-    spark.read.parquet(s"$base/out")
-      .filter(col("user_id") =!= Long.MinValue)
-      .agg(
+    // sentinel rows can surface null-extended on EITHER side under full
+    // outer, so both key columns are screened (left outer never emits a
+    // null user_id — the generalized filter degenerates to the original)
+    val out = spark.read.parquet(s"$base/out")
+      .filter((col("user_id").isNull || col("user_id") =!= Long.MinValue) &&
+              (col("p_user").isNull || col("p_user") =!= Long.MinValue))
+    if (joinType == "left_outer")
+      out.agg(
         count(lit(1)).as("n_rows"),
         count(col("purchase_ts")).as("n_pairs"),
         sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
         count_distinct(col("user_id")).as("n_users"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
           .as("paired_value"))
+    else
+      out.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("click_ts").isNotNull && col("purchase_ts").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("purchase_ts").isNull, 1L).otherwise(0L)).as("n_click_only"),
+        sum(when(col("click_ts").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+        count_distinct(coalesce(col("user_id"), col("p_user"))).as("n_users"),
+        round(sum(when(col("click_ts").isNotNull, col("value"))
+          .cast("decimal(18,2)")), 2).cast("double").as("paired_value"))
   }
 
   // ------------------------------------------------- stateful sessionize

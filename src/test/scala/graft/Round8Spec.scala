@@ -44,6 +44,24 @@ class Round8Spec extends SparkSpec {
     assert(r.getAs[Double]("paired_value") == 10.0)
   }
 
+  test("stream-stream FULL outer: both buffers null-extend exactly once") {
+    val s = 1000000L
+    val hr = 3600 * s
+    val t0 = 1704067200L * s
+    val df = eventsDf(Seq(
+      (1L, t0, "click", 0.0), (1L, t0 + hr / 2, "purchase", 10.0),
+      (2L, t0, "click", 0.0),                     // click never converts
+      (3L, t0, "purchase", 30.0),                 // purchase with no click
+      (4L, t0, "click", 0.0), (4L, t0 + 2 * hr, "purchase", 40.0))) // both orphaned
+    val r = EventsStream.runStreamStreamFullOuterJoin(spark, df).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5)          // 1 pair + 2 + 2 orphans
+    assert(r.getAs[Long]("n_pairs") == 1)
+    assert(r.getAs[Long]("n_click_only") == 2)    // users 2 and 4
+    assert(r.getAs[Long]("n_purchase_only") == 2) // users 3 and 4
+    assert(r.getAs[Long]("n_users") == 4)
+    assert(r.getAs[Double]("paired_value") == 10.0)
+  }
+
   test("stream-stream outer equals the batch left join on the events corpus") {
     val ev = Tables.events(spark, sf)
     val c = ev.filter(col("event_type") === "click")
