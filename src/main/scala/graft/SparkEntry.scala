@@ -1672,6 +1672,13 @@ object SparkEntry {
         to_date(col("ts")) === lit("2024-01-10"))
       .select(col("event_id"), col("event_type"))
     val b = dim.agg(min("event_id").as("lo"), max("event_id").as("hi")).collect()(0)
+    // empty dim side (no purchases on the probed day at this corpus
+    // generation): min/max are NULL — an empty join result by definition,
+    // so short-circuit instead of injecting a NULL-bounds range filter
+    if (b.isNullAt(0) || b.isNullAt(1))
+      return s.range(1).select(
+        lit(0L).as("n_rows"), lit(0.0).as("total"), lit(0L).as("n_users"),
+        lit(true).as("pruned_files"), lit(false).as("scanned_some"))
     val (table, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
     val hit = table
       .filter(col("event_id") >= b.getLong(0) && col("event_id") <= b.getLong(1))
@@ -2432,12 +2439,14 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     "stream_late_data" ->
-      """WITH kept AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value
-        |              FROM events WHERE day(ts) >= 16)
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        |kept AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value
+        |         FROM events WHERE day(ts) >= 16)
         |SELECT
         |  CAST((SELECT count(DISTINCT h) FROM (
         |          SELECT date_trunc('hour', ts) AS h FROM kept
-        |          UNION SELECT TIMESTAMP '2024-01-30 23:00:00'))
+        |          UNION
+        |          SELECT date_trunc('hour', mx + INTERVAL 1 HOUR) FROM m))
         |       AS BIGINT) AS n_windows,
         |  CAST((SELECT count(*) + 1 FROM kept) AS BIGINT) AS n_events_kept,
         |  round(CAST((SELECT sum(CAST(value AS DECIMAL(18,2))) FROM kept)

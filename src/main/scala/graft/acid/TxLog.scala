@@ -24,6 +24,33 @@ private[graft] case class AddFile(
     maxValues: Map[String, Any] = Map.empty,
     blooms: Map[String, String] = Map.empty)
 
+/** One WHEN clause of [[TxLog.mergeConditional]] — the Delta MERGE INTO
+  * clause family. Conditions and SET / VALUES expressions are SQL strings
+  * over aliases `t` (target row) and `s` (source row); a NULL-evaluating
+  * condition means "not satisfied" (SQL MERGE three-valued logic).
+  * Clause ORDER is precedence: within each group (matched / not-matched /
+  * not-matched-by-source) the FIRST clause whose condition holds applies
+  * and the rest are ignored — exactly Delta's first-match-wins rule. */
+sealed trait MergeClause
+object MergeClause {
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... — columns
+    * absent from `set` keep their target value (column-level update). */
+  final case class MatchedUpdate(condition: Option[String],
+                                 set: Map[String, String]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class MatchedDelete(condition: Option[String]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT — `values` defaults to
+    * INSERT * (every table column from the source row). */
+  final case class NotMatchedInsert(condition: Option[String],
+      values: Option[Map[String, String]] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... — the
+    * table-sync shape (conditions see only `t`: there is no source row). */
+  final case class NotMatchedBySourceUpdate(condition: Option[String],
+      set: Map[String, String]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE */
+  final case class NotMatchedBySourceDelete(condition: Option[String]) extends MergeClause
+}
+
 /** ACID table format on plain parquet — the consumer-layer semantics the
   * reference gets from Delta Lake (process_data_glue.py:186-190 writes
   * `format("delta")`; reporting_etl_job.py:53 reads it back), re-expressed
@@ -318,16 +345,38 @@ object TxLog {
     // faster one's commit file and a transaction is silently lost. On
     // file: schemes the claim is therefore a HARD LINK (link() is atomic
     // and fails with EEXIST — the no-overwrite rename local filesystems
-    // don't offer); elsewhere the HDFS rename contract stands. Object
-    // stores need a coordination service, exactly as Delta does.
+    // don't offer); on the rename-contract schemes (HDFS family) the
+    // rename stands. Schemes whose rename is known to OVERWRITE the
+    // destination (the S3 connectors emulate rename as copy+delete) are
+    // REJECTED up front — a lost transaction is worse than a loud error;
+    // they need a commit-coordination service, exactly as Delta does.
+    // FileSystem.getScheme's base implementation throws for filesystems
+    // that never override it, so the probe itself is defensive.
+    val scheme = try hfs.getScheme catch { case _: UnsupportedOperationException => "" }
+    val OverwritingRename = Set("s3", "s3a", "s3n", "oss", "cos", "cosn")
+    if (OverwritingRename.contains(scheme.toLowerCase))
+      throw new UnsupportedOperationException(
+        s"txlog commit on scheme `$scheme` is unsafe: its rename overwrites an " +
+        "existing destination, so two racing writers could both believe they " +
+        "committed the same version — use a commit-coordination service")
     val won =
-      if (hfs.getScheme == "file") {
+      if (scheme == "file") {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(target.toUri.getPath),
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) =>
+            // volumes without hard-link support (FAT, some overlayfs and
+            // container mounts): name the filesystem instead of a bare
+            // stack trace — the fix is a different volume, not a retry
+            throw new UnsupportedOperationException(
+              s"txlog commit claim needs hard-link support, but linking " +
+              s"$tmp -> $target failed on this volume: ${e.getMessage}", e)
+        }
       } else !hfs.exists(target) && hfs.rename(tmp, target)
     hfs.delete(tmp, false) // claimed targets are links; tmp is always dead
     won

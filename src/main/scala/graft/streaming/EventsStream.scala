@@ -380,32 +380,58 @@ object EventsStream {
     * watermark past every real window so append mode finalizes them.
     * The oracle checks both sides of the contract: the kept aggregate
     * equals the batch aggregate over days ≥ 16 plus the mid row, and
-    * the drop counter equals the distinct late-hour count exactly. */
+    * the drop counter equals the distinct late-hour count exactly.
+    *
+    * Every batch-boundary timestamp derives from the OBSERVED max event
+    * time (the runStreamStreamOuterTyped discipline), never a corpus
+    * literal: mid = max + 1 h (its watermark, max + 30 min, is above
+    * every real row, so the whole late slice drops), sentinel =
+    * max + 30 d, and the append-finalization guard admits every real
+    * window plus the mid window and nothing else — a corpus spanning
+    * any date range keeps the oracle exact. The drop-counter contract
+    * additionally requires the late file to ingest as ONE split (one
+    * map-side partial per late hour): a file above `maxPartitionBytes`
+    * would split, double-counting shared hours, so staging asserts the
+    * bound loudly instead of letting the counter drift at scale. */
   def runLateDataAccounting(spark: SparkSession, events: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = graft.TempDirs.create("late")
     val src = s"$base/src"
     Files.createDirectories(Paths.get(src))
     val ev = graft.Tables.normalizeTs(events.select("ts", "value"), "ts")
+    val maxSplitBytes = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      "134217728").stripSuffix("b").toLong
     def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$base/stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
+      require(part.length() <= maxSplitBytes,
+        s"late-data staging: $name is ${part.length()} bytes > " +
+          s"maxPartitionBytes=$maxSplitBytes — it would ingest as multiple " +
+          "splits and numRowsDroppedByWatermark would count each late hour " +
+          "once PER SPLIT, diverging from the distinct-late-hour oracle")
       val dst = Paths.get(src, s"$name.parquet")
       Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(mtime)
     }
+    // boundary timestamps derived from the observed max event time
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val midTs = new java.sql.Timestamp(maxTs.getTime + 3600000L)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400000L)
+    // UTC session (GraftSession): hour windows are epoch-aligned, so the
+    // finalization guard is integer hour arithmetic — every real window
+    // starts <= trunc_hour(max), the mid window starts trunc_hour(max)+1h,
+    // and the sentinel's (max + 30 d) is the only window above the guard
+    val guardUs = (maxTs.getTime / 3600000L + 3L) * 3600000000L
     // the file source orders by (modification time, path): both agree here
     val t0 = System.currentTimeMillis()
     stageFile(ev.filter(dayofmonth(col("ts")) >= 16), "b1_ontime", t0 - 180000)
     stageFile(spark.range(1).select(
-      to_timestamp(lit("2024-01-30 23:59:00")).as("ts"),
-      lit(0.0).as("value")), "b2_mid", t0 - 120000)
+      lit(midTs).as("ts"), lit(0.0).as("value")), "b2_mid", t0 - 120000)
     stageFile(ev.filter(dayofmonth(col("ts")) <= 15), "b3_late", t0 - 60000)
     stageFile(spark.range(1).select(
-      to_timestamp(lit("2024-02-15 00:00:00")).as("ts"),
-      lit(0.0).as("value")), "b4_sentinel", t0)
+      lit(sentinelTs).as("ts"), lit(0.0).as("value")), "b4_sentinel", t0)
     val schema = spark.read.parquet(src).schema
     val name = s"graft_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = spark.readStream.schema(schema)
@@ -423,7 +449,7 @@ object EventsStream {
     spark.table(name)
       // the sentinel's own window never finalizes; the guard makes that
       // an invariant rather than an accident of batch order
-      .filter(col("ws") < unix_micros(to_timestamp(lit("2024-02-01 00:00:00"))))
+      .filter(col("ws") < guardUs)
       .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events_kept"),
            round(sum(col("tv")), 2).cast("double").as("total_kept"))
       .withColumn("n_dropped_late", lit(dropped))
