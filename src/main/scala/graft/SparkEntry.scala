@@ -1379,6 +1379,53 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #141 Conditional multi-clause MERGE (round 9) — the full Delta
+    * `MERGE INTO` clause family in ONE statement, the table-sync / SCD
+    * shape CDC pipelines graduate into from #71's wholesale upsert:
+    *  - `WHEN MATCHED AND s.total >= 100 THEN UPDATE SET total += 10`
+    *    (column-level SET — only the named column changes);
+    *  - `WHEN MATCHED AND (s.total >= 150 OR s.total < 20) THEN DELETE`
+    *    — rows ≥ 150 satisfy BOTH matched clauses and must take the
+    *    FIRST (update), pinning first-match-wins precedence in the
+    *    oracle itself (its CASE models the same order);
+    *  - `WHEN NOT MATCHED AND s.total >= 50 THEN INSERT` (conditional
+    *    insert: cheap arrivals are dropped, not inserted);
+    *  - `WHEN NOT MATCHED BY SOURCE AND t.total < 30 THEN DELETE`
+    *    (the CDC tombstone sweep: target rows the source no longer
+    *    carries are purged when cheap...);
+    *  - `WHEN NOT MATCHED BY SOURCE THEN UPDATE SET total += 5`
+    *    (...and surcharged otherwise — precedence again, now in the
+    *    by-source group).
+    * Source = the yellow fleet + re-keyed green arrivals, so matched =
+    * yellow, not-matched = arrivals, not-matched-by-source = the green
+    * originals. File-granular copy-on-write throughout (by-source
+    * candidates are found per file via their own conditions). */
+  def deltaMergeConditional(s: SparkSession, dir: String): DataFrame = {
+    import graft.acid.MergeClause._
+    val path = tempDir("txmc")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)
+    val yellow = consumer.filter(col("trip_type") === ConsumerPipeline.YellowType)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    graft.acid.TxLog.mergeConditional(
+      yellow.unionByName(arrivals), path, Seq("event_id"), Seq(
+        MatchedUpdate(Some("s.total_amount >= 100"),
+          Map("total_amount" -> "t.total_amount + 10")),
+        MatchedDelete(Some("s.total_amount >= 150 OR s.total_amount < 20")),
+        NotMatchedInsert(Some("s.total_amount >= 50")),
+        NotMatchedBySourceDelete(Some("t.total_amount < 30")),
+        NotMatchedBySourceUpdate(None,
+          Map("total_amount" -> "t.total_amount + 5"))))
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_type")
+  }
+
   /** #75 Change data feed (Delta CDF): after a MERGE (late corrections +
     * new arrivals) and a DELETE (low-value trip purge), the feed lists
     * exactly the changed rows per commit — pre/post images for updates,
@@ -1935,6 +1982,7 @@ object SparkEntry {
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "delta_merge"         -> (deltaMerge _),
     "delta_merge_evolve"  -> (deltaMergeEvolve _),
+    "delta_merge_conditional" -> (deltaMergeConditional _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
@@ -3554,6 +3602,36 @@ object SparkEntry {
          |              THEN value + 10 ELSE value END AS total_amount,
          |         (event_type = 'purchase' AND value >= 100) AS audited
          |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CTE-modeled clause semantics: one act CASE per target group whose
+    // WHEN order mirrors the clause order (CASE is first-match-wins, so
+    // the oracle pins precedence, not just end states)
+    "delta_merge_conditional" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |y AS (SELECT total_amount,
+         |             CASE WHEN total_amount >= 100 THEN 'upd'
+         |                  WHEN total_amount >= 150 OR total_amount < 20 THEN 'del'
+         |                  ELSE 'keep' END AS act
+         |      FROM c WHERE trip_type = 'purchase'),
+         |g AS (SELECT total_amount,
+         |             CASE WHEN total_amount < 30 THEN 'del'
+         |                  ELSE 'upd' END AS act
+         |      FROM c WHERE trip_type = 'view')
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(total_amount), 2) AS total
+         |FROM (
+         |  SELECT 'purchase' AS trip_type,
+         |         CASE WHEN act = 'upd' THEN total_amount + 10
+         |              ELSE total_amount END AS total_amount
+         |  FROM y WHERE act <> 'del'
+         |  UNION ALL
+         |  SELECT 'view', total_amount + 5 FROM g WHERE act = 'upd'
+         |  UNION ALL
+         |  SELECT 'view', total_amount FROM c
+         |  WHERE trip_type = 'view' AND total_amount >= 50)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_cdf" ->

@@ -750,6 +750,176 @@ object TxLog {
       s"txlog merge on $table lost $attempts optimistic races; giving up")
   }
 
+  /** Conditional multi-clause MERGE — the full Delta `MERGE INTO` clause
+    * family ([[MergeClause]]): `WHEN MATCHED [AND cond] THEN UPDATE SET
+    * col = expr / DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT`,
+    * and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE` —
+    * the table-sync / SCD shape CDC pipelines write. Clause order within
+    * each group is first-match-wins precedence; a row satisfying no
+    * clause of its group is left untouched (targets) or dropped
+    * (unmatched sources).
+    *
+    * Copy-on-write and file-granular like [[merge]]: without by-source
+    * clauses only files holding a matched key rewrite; WITH by-source
+    * clauses a file additionally rewrites only if it holds an UNMATCHED
+    * row satisfying some by-source condition (evaluated target-side
+    * against `_metadata.file_path` — a GDPR-style conditional purge
+    * touches the files it names, never the table). Source must be
+    * key-unique (checked up front, like [[merge]]); all key joins are
+    * plain `=` equality, so NULL-keyed rows never match. The source must
+    * carry every table column (extra source columns may be referenced by
+    * conditions/SET exprs but are not written). One ACID commit with CDF
+    * files for every row-level change. */
+  def mergeConditional(source: DataFrame, table: String, keyCols: Seq[String],
+                       clauses: Seq[MergeClause]): MergeStats = {
+    import MergeClause._
+    val spark = source.sparkSession
+    val (hfs, root) = fs(spark, table)
+    val qroot = hfs.makeQualified(root).toString
+    require(clauses.nonEmpty, "mergeConditional needs at least one WHEN clause")
+    val matchedCl = clauses.filter {
+      case _: MatchedUpdate | _: MatchedDelete => true; case _ => false }
+    val insertCl = clauses.collect { case c: NotMatchedInsert => c }
+    val bySrcCl = clauses.filter {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false }
+    def setOf(cl: MergeClause): Map[String, String] = cl match {
+      case MatchedUpdate(_, s) => s
+      case NotMatchedBySourceUpdate(_, s) => s
+      case _ => Map.empty
+    }
+    clauses.foreach(c => require(
+      setOf(c).keySet.intersect(keyCols.toSet).isEmpty,
+      s"merge clause must not update key column(s) " +
+        s"${setOf(c).keySet.intersect(keyCols.toSet).mkString(", ")} — " +
+        "re-keying rows mid-merge would change which rows the clauses match"))
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keyCols.map(col): _*).take(3)
+    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
+      s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
+      s"e.g. ${dupKeys.mkString("; ")}. Collapse the source to one row per key " +
+      "before merging.")
+    // SQL MERGE three-valued logic: a NULL condition is "not satisfied"
+    def condExpr(c: Option[String]): org.apache.spark.sql.Column =
+      coalesce(c.map(org.apache.spark.sql.functions.expr)
+        .getOrElse(lit(true)), lit(false))
+    def matchedCond(c: MergeClause): Option[String] = c match {
+      case MatchedUpdate(cd, _) => cd; case MatchedDelete(cd) => cd; case _ => None }
+    def bySrcCond(c: MergeClause): Option[String] = c match {
+      case NotMatchedBySourceUpdate(cd, _) => cd
+      case NotMatchedBySourceDelete(cd) => cd; case _ => None }
+    def inIdx(c: org.apache.spark.sql.Column, idx: Seq[Int]) =
+      if (idx.isEmpty) lit(false) else c.isin(idx: _*)
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
+        s"merge into non-existent table $table — overwrite first"))
+      val cols = snap.meta.schema.fieldNames.toSeq
+      requireCompatible(snap.meta.schema,
+        org.apache.spark.sql.types.StructType(
+          cols.map(c => source.schema(source.schema.fieldIndex(c)))), table)
+      val full = relationFor(spark, table, snap.meta, snap.files)._1
+      val srcKeys = source.select(keyCols.map(col): _*).distinct()
+      // file-granular candidates: matched keys always; by-source clauses
+      // add files holding an UNMATCHED row satisfying some condition
+      // (their conditions reference t only, so they evaluate target-side)
+      val matchedPaths = relationFor(spark, table, snap.meta, snap.files)._1
+        .withColumn("__path", col("_metadata.file_path"))
+        .join(srcKeys, keyCols, "left_semi")
+        .select("__path").distinct().collect()
+        .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
+      val bySrcPaths =
+        if (bySrcCl.isEmpty) Set.empty[String]
+        else relationFor(spark, table, snap.meta, snap.files)._1
+          .withColumn("__path", col("_metadata.file_path"))
+          .alias("t") // metadata cols resolve pre-alias; t.* post-alias
+          .join(srcKeys, keyCols, "left_anti")
+          .filter(bySrcCl.map(c => condExpr(bySrcCond(c))).reduce(_ || _))
+          .select("__path").distinct().collect()
+          .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
+      val touchedPaths = matchedPaths ++ bySrcPaths
+      val touched = snap.files.filter(f => touchedPaths.contains(f.path))
+      val touchedRows = relationFor(spark, table, snap.meta, touched)._1
+      val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val wide = touchedRows.alias("t")
+        .join(source.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
+      val isM = col("s.__m").isNotNull
+      // 1-based index of the first clause whose condition holds; 0 = none
+      val mAct = matchedCl.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(condExpr(matchedCond(c)), lit(i + 1)).otherwise(els) }
+      val bAct = bySrcCl.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(condExpr(bySrcCond(c)), lit(i + 1)).otherwise(els) }
+      val acted = wide
+        .withColumn("__isM", isM)
+        .withColumn("__mact", when(isM, mAct).otherwise(lit(0)))
+        .withColumn("__bact", when(!isM, bAct).otherwise(lit(0)))
+      val mDelIdx = matchedCl.zipWithIndex.collect { case (MatchedDelete(_), i) => i + 1 }
+      val bDelIdx = bySrcCl.zipWithIndex.collect {
+        case (NotMatchedBySourceDelete(_), i) => i + 1 }
+      val mUpdIdx = matchedCl.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i + 1 }
+      val bUpdIdx = bySrcCl.zipWithIndex.collect {
+        case (NotMatchedBySourceUpdate(_, _), i) => i + 1 }
+      val isDeleted = (col("__isM") && inIdx(col("__mact"), mDelIdx)) ||
+        (!col("__isM") && inIdx(col("__bact"), bDelIdx))
+      // final value of column c: the selected clause's SET expr, else t.c
+      def outCol(c: String): org.apache.spark.sql.Column = {
+        val mVal = matchedCl.zipWithIndex.foldRight(col(s"t.$c")) {
+          case ((MatchedUpdate(_, set), i), els) if set.contains(c) =>
+            when(col("__mact") === (i + 1),
+              org.apache.spark.sql.functions.expr(set(c))).otherwise(els)
+          case (_, els) => els }
+        val bVal = bySrcCl.zipWithIndex.foldRight(col(s"t.$c")) {
+          case ((NotMatchedBySourceUpdate(_, set), i), els) if set.contains(c) =>
+            when(col("__bact") === (i + 1),
+              org.apache.spark.sql.functions.expr(set(c))).otherwise(els)
+          case (_, els) => els }
+        when(col("__isM"), mVal).otherwise(bVal).as(c)
+      }
+      val survivors = acted.filter(!isDeleted).select(cols.map(outCol): _*)
+      // inserts: unmatched source rows through the not-matched chain
+      val unmatched = source
+        .join(full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .alias("s")
+      val iAct = insertCl.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(condExpr(c.condition), lit(i + 1)).otherwise(els) }
+      def insCol(c: String): org.apache.spark.sql.Column =
+        insertCl.zipWithIndex.foldRight(col(s"s.$c")) {
+          case ((NotMatchedInsert(_, Some(values)), i), els) if values.contains(c) =>
+            when(col("__iact") === (i + 1),
+              org.apache.spark.sql.functions.expr(values(c))).otherwise(els)
+          case (_, els) => els }
+      val inserts = unmatched.withColumn("__iact", iAct)
+        .filter(col("__iact") > 0)
+        .select(cols.map(c => insCol(c).as(c)): _*)
+      val staged = survivors.unionByName(inserts)
+      requireConstraintsSatisfied(staged, snap.meta.constraints, table)
+      val adds = stage(staged, table, snap.meta.partitionCols,
+        bloomCols = snap.meta.bloomCols)
+      val updatedRows = acted.filter(
+        (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
+        (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
+      val deletedRows = acted.filter(isDeleted)
+      val cdcFrame = updatedRows
+        .select(cols.map(c => col(s"t.$c").as(c)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(updatedRows.select(cols.map(outCol): _*)
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(deletedRows.select(cols.map(c => col(s"t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("delete")))
+        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+      val cdcFiles = stageCdc(cdcFrame, table)
+      val lines = commitInfoJson("merge") +:
+        (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+          cdcFiles.map(cdcJson))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(touched.size, snap.files.size, adds.size)
+      attempts += 1 // lost the race: recompute against the new snapshot
+    }
+    throw new IllegalStateException(
+      s"txlog mergeConditional on $table lost $attempts optimistic races; giving up")
+  }
+
   /** Copy-on-write DELETE: drop rows matching `condition`. File-granular
     * like [[merge]] — only files that MAY hold a matching row (decided
     * by partition pruning + min/max skipping against log metadata, zero
