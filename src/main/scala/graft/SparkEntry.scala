@@ -1519,6 +1519,74 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #142 Deletion vectors (round 9) — merge-on-read DELETE, the Delta
+    * DV design: purging the low-value trips commits an O(deleted rows)
+    * row-index sidecar per touched file instead of rewriting the files
+    * (#93's delete rewrites; at 100 TB with frequent small deletes —
+    * GDPR erasure, late corrections — rewriting terabytes per commit is
+    * the wall this removes). `no_data_rewrite` pins the claim: the live
+    * data-file set after the delete is a subset of before (files only
+    * leave when FULLY deleted; none is added or rewritten), while the
+    * snapshot read subtracts the DV rows exactly. `v1_intact` proves
+    * time travel below the DV commit still reads every pre-delete row. */
+  def deltaDeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txdvec")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)                  // v1
+    val before = graft.acid.TxLog.livePaths(s, path)
+    graft.acid.TxLog.deleteWithDv(s, path, col("total_amount") < 20)   // v2
+    val after = graft.acid.TxLog.livePaths(s, path)
+    val v1Rows = graft.acid.TxLog.read(s, path, versionAsOf = Some(1L)).count()
+    val allRows = consumer.count()
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("no_data_rewrite", lit(after.subsetOf(before)))
+      .withColumn("v1_intact", lit(v1Rows == allRows))
+      .select("trip_type", "n_rows", "total", "no_data_rewrite", "v1_intact")
+      .orderBy("trip_type")
+  }
+
+  /** #143 Column mapping (round 9) — Delta RENAME/DROP COLUMN as pure
+    * metadata commits: the consumer table renames `total_amount` to
+    * `fare_total` and drops `passenger_count` WITHOUT touching a single
+    * data file (`metadata_only` pins the live file set across both
+    * commits — at 100 TB a rename that rewrote the table would be a
+    * day-long job for a name change). Old files read through the
+    * logical->physical map; a post-rename APPEND writes under the same
+    * physical layout so old and new files stay uniform; time travel
+    * below the rename reads with the OLD names (`v1_old_names`). */
+  def deltaColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txcolmap")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)                 // v1
+    val before = graft.acid.TxLog.livePaths(s, path)
+    graft.acid.TxLog.renameColumn(s, path, "total_amount", "fare_total") // v2
+    graft.acid.TxLog.dropColumn(s, path, "passenger_count")              // v3
+    val metadataOnly = graft.acid.TxLog.livePaths(s, path) == before
+    // arrivals land AFTER the rename, under the new logical schema
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumnRenamed("total_amount", "fare_total")
+      .drop("passenger_count")
+    graft.acid.TxLog.append(arrivals, path)                              // v4
+    val v1 = graft.acid.TxLog.read(s, path, versionAsOf = Some(1L))
+    val v1OldNames = v1.columns.contains("total_amount") &&
+      v1.columns.contains("passenger_count")
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("fare_total")), 2).as("total"))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("v1_old_names", lit(v1OldNames))
+      .select("trip_type", "n_rows", "total", "metadata_only", "v1_old_names")
+      .orderBy("trip_type")
+  }
+
   /** #115 Shallow clone (Delta `SHALLOW CLONE`): the clone's first
     * commit references the source snapshot's files by absolute path —
     * zero data copied (`zero_copy` observes no parquet under the clone
@@ -1983,6 +2051,8 @@ object SparkEntry {
     "delta_merge"         -> (deltaMerge _),
     "delta_merge_evolve"  -> (deltaMergeEvolve _),
     "delta_merge_conditional" -> (deltaMergeConditional _),
+    "delta_deletion_vectors" -> (deltaDeletionVectors _),
+    "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
@@ -3602,6 +3672,28 @@ object SparkEntry {
          |              THEN value + 10 ELSE value END AS total_amount,
          |         (event_type = 'purchase' AND value >= 100) AS audited
          |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_column_mapping" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS fare_total
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(fare_total), 2) AS total,
+         |       true AS metadata_only, true AS v1_old_names
+         |FROM (SELECT trip_type, fare_total FROM c
+         |      UNION ALL
+         |      SELECT trip_type, fare_total FROM c WHERE trip_type = 'view')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delta_deletion_vectors" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(total_amount), 2) AS total,
+         |       true AS no_data_rewrite, true AS v1_intact
+         |FROM c WHERE total_amount >= 20
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CTE-modeled clause semantics: one act CASE per target group whose

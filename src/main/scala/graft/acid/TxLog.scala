@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One live data file of a txlog table: table-root-relative path, parsed
@@ -22,7 +22,13 @@ private[graft] case class AddFile(
     numRecords: Long = -1L,
     minValues: Map[String, Any] = Map.empty,
     maxValues: Map[String, Any] = Map.empty,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    // deletion vector (Delta DV): a parquet sidecar of deleted row
+    // indexes — the file's LOGICAL rows are its physical rows minus
+    // these. None = no deletes outstanding. min/max/bloom stats stay
+    // valid (conservative: a deleted row can only widen a range).
+    dvPath: Option[String] = None,
+    dvRows: Long = 0L)
 
 /** One WHEN clause of [[TxLog.mergeConditional]] — the Delta MERGE INTO
   * clause family. Conditions and SET / VALUES expressions are SQL strings
@@ -88,9 +94,21 @@ object TxLog {
   private val LogDir = "_txlog"
   private[acid] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** `columnMap`: logical column name -> PHYSICAL parquet column name
+    * (Delta column mapping). Empty entries mean physical == logical; a
+    * RENAME re-points the logical name at the old physical column in a
+    * metadata-only commit, so every already-written file reads through.
+    * `droppedPhysical`: physical names orphaned by DROP COLUMN — old
+    * files still carry their data, so re-adding a column under such a
+    * name is rejected (it would resurrect stale values; Delta avoids
+    * this with fresh field ids). */
   private case class Meta(schema: StructType, partitionCols: Seq[String],
                           constraints: Map[String, String] = Map.empty,
-                          bloomCols: Seq[String] = Seq.empty)
+                          bloomCols: Seq[String] = Seq.empty,
+                          columnMap: Map[String, String] = Map.empty,
+                          droppedPhysical: Seq[String] = Seq.empty) {
+    def physical(logical: String): String = columnMap.getOrElse(logical, logical)
+  }
 
   private case class Snapshot(version: Long, meta: Meta, files: Seq[AddFile])
 
@@ -165,7 +183,10 @@ object TxLog {
       "maxValues" -> (statMapJson(f.maxValues): JValue)) ++
       (if (f.blooms.isEmpty) Nil else List(
         "blooms" -> (JObject(f.blooms.toList.sortBy(_._1)
-          .map { case (k, v) => k -> (JString(v): JValue) }): JValue)))
+          .map { case (k, v) => k -> (JString(v): JValue) }): JValue))) ++
+      f.dvPath.toList.map(p => "dv" -> (JObject(List(
+        "path" -> (JString(p): JValue),
+        "rows" -> (JLong(f.dvRows): JValue))): JValue))
     else base
     JsonMethods.compact(JsonMethods.render(JObject(kind -> JObject(withStats))))
   }
@@ -177,7 +198,10 @@ object TxLog {
         "partitionCols" -> JArray(m.partitionCols.toList.map(JString)),
         "constraints" -> JObject(
           m.constraints.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
-        "bloomCols" -> JArray(m.bloomCols.toList.map(JString))))))
+        "bloomCols" -> JArray(m.bloomCols.toList.map(JString)),
+        "columnMap" -> JObject(
+          m.columnMap.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+        "droppedPhysical" -> JArray(m.droppedPhysical.toList.map(JString))))))
 
   /** Per-commit operation marker (Delta `commitInfo.operation`): lets the
     * change feed classify a commit without guessing from its action shape
@@ -218,8 +242,17 @@ object TxLog {
             case JArray(arr) => arr.collect { case JString(c) => c }
             case _ => Seq.empty[String]
           }
+          val cmap = m \ "columnMap" match {
+            case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val dropped = m \ "droppedPhysical" match {
+            case JArray(arr) => arr.collect { case JString(c) => c }
+            case _ => Seq.empty[String]
+          }
           meta = Some(Meta(
-            DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons, blooms))
+            DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons,
+            blooms, cmap, dropped))
         case JObject(List(("add", a))) =>
           val JString(p) = a \ "path"
           val pv = (a \ "partitionValues").asInstanceOf[JObject]
@@ -242,8 +275,16 @@ object TxLog {
             case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
             case _ => Map.empty[String, String]
           }
+          val (dvPath, dvRows) = a \ "dv" match {
+            case dv: JObject =>
+              val p = dv \ "path" match { case JString(s) => Some(s); case _ => None }
+              val r = dv \ "rows" match {
+                case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L }
+              (p, r)
+            case _ => (None, 0L)
+          }
           adds += AddFile(p, pv, longOf("size", -1L), longOf("numRecords", -1L),
-            statMap("minValues"), statMap("maxValues"), bl)
+            statMap("minValues"), statMap("maxValues"), bl, dvPath, dvRows)
         case JObject(List(("remove", r))) =>
           val JString(p) = r \ "path"
           removes += p
@@ -438,13 +479,21 @@ object TxLog {
     * bloom filter per column ([[computeBlooms]]). */
   private def stage(df: DataFrame, table: String, partitionCols: Seq[String],
                     rearrange: Boolean = true,
-                    bloomCols: Seq[String] = Seq.empty): Seq[AddFile] = {
+                    bloomCols: Seq[String] = Seq.empty,
+                    columnMap: Map[String, String] = Map.empty): Seq[AddFile] = {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"data-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
+    // column mapping: files are written under PHYSICAL names so every
+    // file of the table — pre- and post-rename — shares one layout;
+    // partition columns are never mapped (rename on them is rejected)
+    val physDf = if (columnMap.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(columnMap.getOrElse(c, c))): _*)
+    val physBloomCols = bloomCols.map(c => columnMap.getOrElse(c, c))
     val writer = (if (partitionCols.nonEmpty && rearrange)
-      df.repartition(partitionCols.map(col): _*) // one file per partition
-    else df).write.mode("overwrite")
+      physDf.repartition(partitionCols.map(col): _*) // one file per partition
+    else physDf).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
     val qualified = hfs.makeQualified(staging).toString
@@ -473,7 +522,7 @@ object TxLog {
     if (bloomCols.isEmpty) files.toSeq
     else {
       val expected = files.map(f => fileName(f.path) -> f.numRecords.max(1L)).toMap
-      val blooms = computeBlooms(df.sparkSession, staging, bloomCols, expected)
+      val blooms = computeBlooms(df.sparkSession, staging, physBloomCols, expected)
       files.toSeq.map(f =>
         f.copy(blooms = blooms.getOrElse(fileName(f.path), Map.empty)))
     }
@@ -539,13 +588,19 @@ object TxLog {
   private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
                             overwriteSchema: Boolean, rearrange: Boolean,
                             op: String): Unit = {
-    // bloom config is read pre-stage (files are staged once, outside the
-    // commit retry); a concurrent setBloomFilter applies from the next write
-    val priorBloomCols =
-      if (overwriteSchema) Seq.empty
-      else snapshot(df.sparkSession, table, None).map(_.meta.bloomCols)
-        .getOrElse(Seq.empty)
-    val adds = stage(df, table, partitionCols, rearrange, priorBloomCols)
+    // bloom/mapping config is read pre-stage (files are staged once,
+    // outside the commit retry); a concurrent config change applies from
+    // the next write
+    val priorMeta =
+      if (overwriteSchema) None
+      else snapshot(df.sparkSession, table, None).map(_.meta)
+    val priorBloomCols = priorMeta.map(_.bloomCols).getOrElse(Seq.empty)
+    val priorMap = priorMeta.map(_.columnMap).getOrElse(Map.empty)
+    // overwriteSchema replaces EVERY file, so the mapping (and its
+    // dropped-name tombstones) reset with the schema
+    val priorDropped = priorMeta.map(_.droppedPhysical).getOrElse(Seq.empty)
+    val adds = stage(df, table, partitionCols, rearrange, priorBloomCols,
+      priorMap)
     retryCommit(df.sparkSession, table) { snap =>
       snap.foreach { s =>
         if (!overwriteSchema) requireCompatible(s.meta.schema, df.schema, table)
@@ -558,7 +613,8 @@ object TxLog {
                  else snap.map(_.meta.constraints).getOrElse(Map.empty)
       requireConstraintsSatisfied(df, kept, table)
       commitInfoJson(op) +:
-        metaJson(Meta(df.schema, partitionCols, kept, priorBloomCols)) +:
+        metaJson(Meta(df.schema, partitionCols, kept, priorBloomCols,
+          priorMap, priorDropped)) +:
         (snap.toSeq.flatMap(_.files.map(f => actionJson("remove", f))) ++
           adds.map(actionJson("add", _)))
     }
@@ -574,7 +630,8 @@ object TxLog {
       // staged inside the retry: partition columns come from table meta
       commitInfoJson("append") +:
         stage(df, table, snap.meta.partitionCols,
-          bloomCols = snap.meta.bloomCols).map(actionJson("add", _))
+          bloomCols = snap.meta.bloomCols,
+          columnMap = snap.meta.columnMap).map(actionJson("add", _))
     }
   }
 
@@ -602,7 +659,8 @@ object TxLog {
       commitInfoJson("overwritePartitions") +:
         (removes.map(actionJson("remove", _)) ++
           stage(df, table, pcols,
-            bloomCols = snap.meta.bloomCols).map(actionJson("add", _)))
+            bloomCols = snap.meta.bloomCols,
+            columnMap = snap.meta.columnMap).map(actionJson("add", _)))
     }
   }
 
@@ -676,6 +734,16 @@ object TxLog {
         if (!evolveSchema) Array.empty[org.apache.spark.sql.types.StructField]
         else source.schema.fields.filterNot(f =>
           snap.meta.schema.fieldNames.contains(f.name))
+      // column-mapping safety: an evolved-in column must not land on a
+      // physical name that old files still carry (a dropped column's
+      // data, or a renamed column's pre-rename home) — reading it back
+      // would resurrect stale values
+      extras.foreach(f => require(
+        !snap.meta.droppedPhysical.contains(f.name) &&
+          !snap.meta.columnMap.values.toSet.contains(f.name),
+        s"cannot evolve column `${f.name}` into $table: old files still " +
+          "carry a physical column of that name (dropped or renamed away); " +
+          "pick a different name or rewrite the table"))
       val meta2 =
         if (extras.isEmpty) snap.meta
         else snap.meta.copy(schema = org.apache.spark.sql.types.StructType(
@@ -721,7 +789,7 @@ object TxLog {
       val staged = updated.unionByName(inserts)
       requireConstraintsSatisfied(staged, snap.meta.constraints, table)
       val adds = stage(staged, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols)
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
       // change feed (Delta CDF): pre/post images of genuinely matched
       // rows + deletes + inserts, written as cdc files the snapshot
       // never sees
@@ -895,7 +963,7 @@ object TxLog {
       val staged = survivors.unionByName(inserts)
       requireConstraintsSatisfied(staged, snap.meta.constraints, table)
       val adds = stage(staged, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols)
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
       val updatedRows = acted.filter(
         (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
         (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
@@ -931,6 +999,121 @@ object TxLog {
     rewriteWhere(spark, table, condition, op = "delete")(
       (rows, cond) => rows.filter(!cond || cond.isNull))(
       (rows, cond) => rows.filter(cond).withColumn("_change_type", lit("delete")))
+
+  /** Merge-on-read DELETE via deletion vectors (Delta DVs): instead of
+    * rewriting every touched file ([[delete]]'s copy-on-write), commit an
+    * O(deleted rows) parquet sidecar of deleted row indexes per file and
+    * re-add the UNTOUCHED data file pointing at it. At 100 TB with
+    * frequent small deletes (GDPR erasure, late corrections) this is the
+    * difference between rewriting terabytes per commit and writing
+    * kilobytes: commit cost is O(matched rows), not O(touched bytes).
+    *
+    * Contract mirrors Delta's:
+    *  - readers subtract DV rows via the snapshot path (broadcast
+    *    anti-join on (file, row index) — see [[relationFor]]);
+    *  - a repeat delete UNIONS into the file's outstanding DV (row
+    *    indexes are physical-file positions, immutable once written);
+    *  - a file whose every physical row is deleted is REMOVED outright
+    *    (no empty husk survives);
+    *  - OPTIMIZE / any copy-on-write rewrite materializes DVs away
+    *    (rewrites read through the DV filter and re-add without one);
+    *  - time travel below the DV commit reads the pre-delete rows;
+    *  - vacuum protects DV sidecars referenced by retained versions;
+    *  - CDF gets the deleted rows as cdc files, exactly like [[delete]].
+    * Returned stats: `filesRewritten` = files that gained DV rows,
+    * `filesAdded` = 0 — no data file is written, which the spec pins. */
+  def deleteWithDv(spark: SparkSession, table: String,
+                   condition: org.apache.spark.sql.Column): MergeStats = {
+    val (hfs, root) = fs(spark, table)
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
+        s"deleteWithDv on non-existent table $table — overwrite first"))
+      val cols = snap.meta.schema.fieldNames.toSeq
+      // qualified physical path -> add action (clone-safe: an absolute
+      // clone-referenced path round-trips through the same qualification)
+      val byQual = snap.files.map(f =>
+        hfs.makeQualified(new Path(root, f.path)).toString -> f).toMap
+      val rel = relationFor(spark, table, snap.meta, snap.files)._1
+      val hits = rel
+        .withColumn("__path", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .filter(condition)
+      val touchedQ = hits.select("__path").distinct().collect()
+        .map(_.getString(0))
+      if (touchedQ.isEmpty) return MergeStats(0, snap.files.size, 0)
+      val touched = touchedQ.toSeq.flatMap(byQual.get)
+      // the file's new DV = outstanding DV rows ∪ freshly matched rows,
+      // keyed by an md5 of the file's STORED path. Not the name (one
+      // write job reuses part-00000-<uuid> across every partition dir it
+      // touches — name-keying would merge unrelated files' row sets) and
+      // not the raw path (a partition-dir escaper turns its %2F into
+      // %252F through the dv scan's own _metadata and never joins back).
+      import spark.implicits._
+      def dvKey(stored: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(stored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      val pathLookup = broadcast(
+        touched.map(f =>
+          (hfs.makeQualified(new Path(root, f.path)).toString, dvKey(f.path)))
+          .toDF("__fp", "__f"))
+      val newDel = hits.select(col("__path").as("__fp"), col("__ri").as("__dri"))
+      val allDel = dvDeletedRows(spark, hfs, root, touched) match {
+        case None => newDel
+        case Some(old) => newDel.unionByName(old)
+      }
+      val stagingName = s"dv-${java.util.UUID.randomUUID()}"
+      val staging = new Path(root, stagingName)
+      // one sidecar parquet per data file: repartition on the file key so
+      // each partition dir gets exactly one writer/file
+      allDel.join(pathLookup, Seq("__fp"))
+        .select(col("__f"), col("__dri").as("row_index"))
+        .repartition(col("__f"))
+        .sortWithinPartitions("row_index")
+        .write.partitionBy("__f").mode("overwrite").parquet(staging.toString)
+      // read the staged sidecars back for exact per-file counts (tiny:
+      // O(deleted rows))
+      val counts = spark.read.parquet(staging.toString)
+        .groupBy("__f").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val qualifiedStaging = hfs.makeQualified(staging).toString
+      val dvFiles = mutable.Map.empty[String, String]
+      val it = hfs.listFiles(staging, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val relP = f.toString.stripPrefix(qualifiedStaging).stripPrefix("/")
+          relP.split("/").dropRight(1).foreach { seg =>
+            seg.split("=", 2) match {
+              case Array("__f", v) =>
+                dvFiles(ExternalCatalogUtils.unescapePathName(v)) =
+                  s"$stagingName/$relP"
+              case _ => ()
+            }
+          }
+        }
+      }
+      // fully-deleted files are removed outright; the rest re-add with
+      // their new DV (adds overwrite by path on replay — no remove needed)
+      val (gone, partial) = touched.partition(f =>
+        f.numRecords >= 0 && counts.getOrElse(dvKey(f.path), 0L) >= f.numRecords)
+      val adds = partial.map(f => f.copy(
+        dvPath = Some(dvFiles(dvKey(f.path))),
+        dvRows = counts(dvKey(f.path))))
+      val cdcFiles = stageCdc(
+        hits.select(cols.map(col): _*).withColumn("_change_type", lit("delete")),
+        table)
+      val lines = commitInfoJson("delete") +:
+        (gone.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+          cdcFiles.map(cdcJson))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(touched.size, snap.files.size, 0)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog deleteWithDv on $table lost $attempts optimistic races; giving up")
+  }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`.
     * Same file-granular selection as [[delete]]. */
@@ -978,7 +1161,7 @@ object TxLog {
       val rewritten = transform(rows, condition)
       requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
       val adds = stage(rewritten, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols)
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
       val cdcFiles = stageCdc(cdcOf(rows, condition), table)
       val lines = commitInfoJson(op) +:
         (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
@@ -1046,6 +1229,60 @@ object TxLog {
         metaJson(snap.meta.copy(constraints = snap.meta.constraints - name)))
     }
 
+  /** RENAME COLUMN as ONE metadata commit (Delta column mapping): the
+    * logical name re-points at the column's existing PHYSICAL name, so
+    * every already-written file — at 100 TB, all of them — reads through
+    * untouched; subsequent writes keep writing the physical name. Time
+    * travel below the rename reads with the old name (each version's
+    * meta is its own). Partition columns are rejected (their name is
+    * baked into directory layout and partitionValues); so are renames
+    * a registered CHECK constraint or bloom config still references. */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      val m = snap.meta
+      require(m.schema.fieldNames.contains(oldName),
+        s"no column `$oldName` in $table")
+      require(!m.schema.fieldNames.contains(newName),
+        s"column `$newName` already exists in $table")
+      require(!m.partitionCols.contains(oldName),
+        s"cannot rename partition column `$oldName` of $table")
+      require(!m.constraints.values.exists(_.contains(oldName)),
+        s"cannot rename `$oldName`: a CHECK constraint references it — drop " +
+          "the constraint first")
+      val schema2 = StructType(m.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val map2 = (m.columnMap - oldName) + (newName -> m.physical(oldName))
+      val blooms2 = m.bloomCols.map(c => if (c == oldName) newName else c)
+      Seq(commitInfoJson("renameColumn"),
+        metaJson(m.copy(schema = schema2, columnMap = map2, bloomCols = blooms2)))
+    }
+
+  /** DROP COLUMN as ONE metadata commit: the column leaves the logical
+    * schema; files keep carrying its (now invisible) physical data until
+    * they are naturally rewritten. The physical name is tombstoned so a
+    * later schema evolution cannot resurrect stale values under it. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      val m = snap.meta
+      require(m.schema.fieldNames.contains(name), s"no column `$name` in $table")
+      require(!m.partitionCols.contains(name),
+        s"cannot drop partition column `$name` of $table")
+      require(!m.constraints.values.exists(_.contains(name)),
+        s"cannot drop `$name`: a CHECK constraint references it — drop the " +
+          "constraint first")
+      Seq(commitInfoJson("dropColumn"),
+        metaJson(m.copy(
+          schema = StructType(m.schema.fields.filterNot(_.name == name)),
+          columnMap = m.columnMap - name,
+          bloomCols = m.bloomCols.filterNot(_ == name),
+          droppedPhysical = (m.droppedPhysical :+ m.physical(name)).distinct)))
+    }
+
   private def requireCompatible(table: StructType, incoming: StructType, name: String): Unit = {
     val want = table.fields.map(f => f.name -> f.dataType).toMap
     val got = incoming.fields.map(f => f.name -> f.dataType).toMap
@@ -1100,19 +1337,66 @@ object TxLog {
     relationFor(spark, table, snap.meta, snap.files)
   }
 
+  /** Deleted (file, row-index) pairs of every DV-carrying file in
+    * `files`, as a frame `(__fp: qualified data path, __dri: row index)`
+    * — None when no file carries a DV. O(Σ dvRows) rows by construction:
+    * each sidecar is a parquet of the deleted row indexes, tagged back
+    * to its data file through the sidecar's own `_metadata.file_path`
+    * and an O(files) broadcast lookup. */
+  private def dvDeletedRows(spark: SparkSession, hfs: FileSystem, root: Path,
+      files: Seq[AddFile]): Option[DataFrame] = {
+    val withDv = files.filter(_.dvPath.isDefined)
+    if (withDv.isEmpty) None
+    else {
+      val pairs = withDv.map { f =>
+        (hfs.makeQualified(new Path(root, f.dvPath.get)).toString,
+         hfs.makeQualified(new Path(root, f.path)).toString)
+      }
+      import spark.implicits._
+      val lookup = pairs.toDF("__dvf", "__fp")
+      Some(spark.read.parquet(pairs.map(_._1): _*)
+        .select(col("_metadata.file_path").as("__dvf"),
+                col("row_index").as("__dri"))
+        .join(broadcast(lookup), Seq("__dvf"))
+        .select("__fp", "__dri"))
+    }
+  }
+
   private def relationFor(spark: SparkSession, table: String, meta: Meta,
       files: Seq[AddFile]): (DataFrame, TxLogFileIndex) = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val (hfs, root) = fs(spark, table)
     val partitionSchema = StructType(meta.partitionCols.map(c => meta.schema(c)))
+    // column mapping: the scan reads PHYSICAL names (what the files
+    // carry); the projection below renames to logical. Filter pushdown
+    // substitutes through the aliases, so skipping stats and blooms —
+    // both keyed physical at commit time — keep working after a rename.
     val dataSchema = StructType(
-      meta.schema.filterNot(f => meta.partitionCols.contains(f.name)))
+      meta.schema.filterNot(f => meta.partitionCols.contains(f.name))
+        .map(f => f.copy(name = meta.physical(f.name))))
     val idx = new TxLogFileIndex(spark, hfs.makeQualified(root), partitionSchema, files)
     val rel = HadoopFsRelation(idx, partitionSchema, dataSchema,
       bucketSpec = None, new ParquetFileFormat(), Map.empty[String, String])(spark)
-    (spark.baseRelationToDataFrame(rel)
-      .select(meta.schema.fieldNames.map(col).toSeq: _*), idx)
+    val base = spark.baseRelationToDataFrame(rel)
+    // merge-on-read: DV-carrying files subtract their deleted row set via
+    // a broadcast anti-join on (file, row index) — O(outstanding deletes)
+    // build-side however large the table, and zero overhead (no row_index
+    // materialization, no join) when no DV is outstanding. OPTIMIZE
+    // rewrites DVs away, bounding how much a table ever carries.
+    val logical = meta.schema.fieldNames.toSeq
+      .map(n => col(meta.physical(n)).as(n))
+    val df = dvDeletedRows(spark, hfs, root, files) match {
+      case None => base.select(logical: _*)
+      case Some(del) => base
+        .withColumn("__fp0", col("_metadata.file_path"))
+        .withColumn("__ri0", col("_metadata.row_index"))
+        .join(broadcast(del),
+          col("__fp0") === col("__fp") && col("__ri0") === col("__dri"),
+          "left_anti")
+        .select(logical: _*)
+    }
+    (df, idx)
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): roll the table
@@ -1130,9 +1414,12 @@ object TxLog {
       val target = snapshot(spark, table, Some(version)).getOrElse(
         throw new IllegalStateException(s"version $version not found in $table"))
       val tgt = target.files.map(_.path).toSet
-      val cur = snap.files.map(_.path).toSet
+      val curByPath = snap.files.map(f => f.path -> f).toMap
       val removes = snap.files.filterNot(f => tgt.contains(f.path))
-      val adds = target.files.filterNot(f => cur.contains(f.path))
+      // re-add when the entry CHANGED, not just when the path is new: the
+      // same data file can differ across versions by its deletion vector
+      // (a DV commit re-adds in place), and replay overwrites by path
+      val adds = target.files.filterNot(f => curByPath.get(f.path).contains(f))
       commitInfoJson("restore") +: metaJson(target.meta) +:
         (removes.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
     }
@@ -1162,7 +1449,9 @@ object TxLog {
       throw new IllegalStateException(s"no txlog table at $source"))
     val (srcFs, srcRoot) = fs(spark, source)
     val qual = srcFs.makeQualified(srcRoot)
-    val adds = snap.files.map(f => f.copy(path = new Path(qual, f.path).toString))
+    val adds = snap.files.map(f => f.copy(
+      path = new Path(qual, f.path).toString,
+      dvPath = f.dvPath.map(p => new Path(qual, p).toString)))
     retryCommit(spark, target) { prior =>
       require(prior.isEmpty, s"clone target $target already exists")
       commitInfoJson("clone") +: metaJson(snap.meta) +:
@@ -1229,7 +1518,8 @@ object TxLog {
         case Some("overwrite") | Some("overwritePartitions") | Some("restore") =>
           removesOf(v, c).toSeq ++ addsOf(v, c, "insert").toSeq
         case Some("optimize") | Some("compactLog") | Some("setConstraint") |
-             Some("dropConstraint") | Some("setBloomFilter") => Seq.empty
+             Some("dropConstraint") | Some("setBloomFilter") |
+             Some("renameColumn") | Some("dropColumn") => Seq.empty
         case Some("merge") | Some("delete") | Some("update") =>
           Seq.empty // committed with no matching rows: nothing changed
         case Some(other) => throw new IllegalStateException(
@@ -1266,7 +1556,8 @@ object TxLog {
     val (hfs, root) = fs(spark, table)
     val versions = listVersions(hfs, root)
     val referenced = versions.map(_._1).filter(_ >= retainVersion)
-      .flatMap(v => snapshot(spark, table, Some(v)).toSeq.flatMap(_.files.map(_.path)))
+      .flatMap(v => snapshot(spark, table, Some(v)).toSeq.flatMap(_.files
+        .flatMap(f => f.path +: f.dvPath.toSeq))) // DV sidecars stay readable
       .toSet ++
       // cdc files of retained commits stay readable via the change feed
       versions.filter(_._1 >= retainVersion)
@@ -1343,6 +1634,18 @@ object TxLog {
   /** Live file count of the current snapshot (compaction observability). */
   def fileCount(spark: SparkSession, table: String): Int =
     snapshot(spark, table, None).map(_.files.size).getOrElse(0)
+
+  /** (data path, outstanding DV rows) per DV-carrying live file —
+    * deletion-vector observability for specs and probes. */
+  private[graft] def dvInfo(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): Seq[(String, Long)] =
+    snapshot(spark, table, versionAsOf).toSeq.flatMap(_.files
+      .filter(_.dvPath.isDefined).map(f => (f.path, f.dvRows)))
+
+  /** Live data-file paths of the current snapshot (spec observability:
+    * pins that a DV delete adds no data file and rewrites none). */
+  private[graft] def livePaths(spark: SparkSession, table: String): Set[String] =
+    snapshot(spark, table, None).toSeq.flatMap(_.files.map(_.path)).toSet
 
   /** Write a checkpoint of the CURRENT snapshot (Delta's
     * `<v>.checkpoint.parquet` design, JSON-lines here like the rest of

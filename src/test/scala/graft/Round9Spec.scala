@@ -119,6 +119,186 @@ class Round9Spec extends SparkSpec {
       (4L, "insert", 50.0)))
   }
 
+  // ------------------------------------------------------ deletion vectors
+
+  private def dataFilesOnDisk(table: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val root = new java.io.File(table)
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else if (f.getName.endsWith(".parquet") &&
+               !f.getPath.contains("_txlog")) out += f.getPath
+    walk(root)
+    out.toSet
+  }
+
+  test("deletion vectors: a small delete commits O(deleted), not a rewrite") {
+    import spark.implicits._
+    val t = tmp("dvt_small")
+    TxLog.overwrite((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"), t)
+    val dataBefore = TxLog.livePaths(spark, t)
+    val diskBefore = dataFilesOnDisk(t)
+    val stats = TxLog.deleteWithDv(spark, t, col("id") <= 10L)
+    // the data file set is IDENTICAL — no file rewritten, none added
+    assert(TxLog.livePaths(spark, t) === dataBefore)
+    assert(stats.filesAdded === 0 && stats.filesRewritten >= 1)
+    // on disk: only dv- sidecars appeared, no new data- parquet
+    val newFiles = dataFilesOnDisk(t) -- diskBefore
+    assert(newFiles.nonEmpty && newFiles.forall(p =>
+      p.contains("/dv-") || p.contains("/cdc-")), s"unexpected: $newFiles")
+    val dv = TxLog.dvInfo(spark, t)
+    assert(dv.map(_._2).sum === 10L)
+    // logical read subtracts the DV rows
+    assert(TxLog.read(spark, t).agg(count(lit(1)), sum(col("id")))
+      .collect()(0).getLong(0) === 90L)
+    assert(TxLog.read(spark, t).filter(col("id") <= 10L).isEmpty)
+  }
+
+  test("deletion vectors: repeat deletes union; full files drop out") {
+    import spark.implicits._
+    val t = tmp("dvt_union")
+    // two files via partition: grp=a (ids 1-50), grp=b (ids 51-60)
+    TxLog.overwrite(
+      ((1L to 50L).map((_, "a")) ++ (51L to 60L).map((_, "b")))
+        .toDF("id", "grp"), t, partitionCols = Seq("grp"))
+    TxLog.deleteWithDv(spark, t, col("id") <= 5L)        // v2: 5 rows of a
+    TxLog.deleteWithDv(spark, t, col("id").between(6L, 8L)) // v3: 3 more
+    assert(TxLog.dvInfo(spark, t).map(_._2).sum === 8L)
+    assert(TxLog.read(spark, t).count() === 52L)
+    // v2 snapshot sees only the first DV
+    assert(TxLog.read(spark, t, versionAsOf = Some(2L)).count() === 55L)
+    // v1 snapshot reads pre-delete rows
+    assert(TxLog.read(spark, t, versionAsOf = Some(1L)).count() === 60L)
+    // delete ALL of grp=b: its file must be removed, not DV'd to empty
+    TxLog.deleteWithDv(spark, t, col("grp") === "b")
+    assert(TxLog.read(spark, t).count() === 42L)
+    assert(!TxLog.livePaths(spark, t).exists(_.contains("grp=b")))
+  }
+
+  test("deletion vectors: CDF, optimize materialization, vacuum protection") {
+    import spark.implicits._
+    val t = tmp("dvt_cdf")
+    TxLog.overwrite((1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"), t) // v1
+    TxLog.deleteWithDv(spark, t, col("id") > 18L)                          // v2
+    val feed = TxLog.readChangeFeed(spark, t, fromVersion = 2L, Some(2L))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((19L, "delete"), (20L, "delete")))
+    // copy-on-write UPDATE on the DV'd table reads THROUGH the DV (the
+    // deleted rows are not resurrected, not updated) — and stays
+    // file-granular: the untouched file KEEPS its DV
+    TxLog.update(spark, t, col("id") === 1L, Map("v" -> lit(100.0)))       // v3
+    assert(TxLog.read(spark, t).agg(sum(col("v"))).collect()(0)
+      .getDouble(0) === (2L to 18L).map(_.toDouble).sum + 100.0)
+    assert(TxLog.dvInfo(spark, t).nonEmpty)
+    // OPTIMIZE rewrites the whole snapshot -> every DV materialized away
+    TxLog.optimize(spark, t)                                               // v4
+    assert(TxLog.dvInfo(spark, t).isEmpty)
+    assert(TxLog.read(spark, t).count() === 18L)
+    // vacuum retaining v2 keeps the sidecar (v2 still readable)...
+    TxLog.overwrite((1L to 3L).map(i => (i, 0.0)).toDF("id", "v"), t)      // v5
+    TxLog.vacuum(spark, t, retainVersion = 2L)
+    assert(TxLog.read(spark, t, versionAsOf = Some(2L)).count() === 18L)
+    // ...and vacuum past it reclaims dv sidecars with the data files
+    TxLog.vacuum(spark, t, retainVersion = 5L)
+    val leftover = dataFilesOnDisk(t).filter(_.contains("/dv-"))
+    assert(leftover.isEmpty, s"dv sidecars survived vacuum: $leftover")
+  }
+
+  test("deletion vectors: shallow clone follows the source's DVs") {
+    import spark.implicits._
+    val src = tmp("dvt_clone_src"); val dst = tmp("dvt_clone_dst") + "/t"
+    TxLog.overwrite((1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v"), src)
+    TxLog.deleteWithDv(spark, src, col("id") > 25L)
+    TxLog.cloneShallow(spark, src, dst)
+    assert(TxLog.read(spark, dst).count() === 25L)
+    // a DV delete on the CLONE stays under the clone's root; the source
+    // is untouched
+    TxLog.deleteWithDv(spark, dst, col("id") === 1L)
+    assert(TxLog.read(spark, dst).count() === 24L)
+    assert(TxLog.read(spark, src).count() === 25L)
+  }
+
+  // -------------------------------------------------------- column mapping
+
+  test("column mapping: rename is metadata-only and everything reads through") {
+    import spark.implicits._
+    val t = tmp("cmap_basic")
+    TxLog.overwrite((1L to 40L).map(i => (i, i * 1.0, s"u$i"))
+      .toDF("id", "amount", "who"), t)                                  // v1
+    val before = TxLog.livePaths(spark, t)
+    TxLog.renameColumn(spark, t, "amount", "fare")                      // v2
+    assert(TxLog.livePaths(spark, t) === before) // zero files touched
+    val cur = TxLog.read(spark, t)
+    assert(cur.columns.toSeq === Seq("id", "fare", "who"))
+    assert(cur.agg(sum(col("fare"))).collect()(0).getDouble(0) ===
+      (1L to 40L).map(_.toDouble).sum)
+    // time travel below the rename keeps the OLD name
+    assert(TxLog.read(spark, t, versionAsOf = Some(1L)).columns.toSeq ===
+      Seq("id", "amount", "who"))
+    // writes after the rename land under the same physical layout and
+    // read back mixed with pre-rename files
+    TxLog.append(Seq((41L, 41.0, "u41")).toDF("id", "fare", "who"), t)  // v3
+    assert(TxLog.read(spark, t).count() === 41L)
+    assert(TxLog.read(spark, t).filter(col("fare") === 41.0).count() === 1L)
+  }
+
+  test("column mapping: data skipping survives a rename") {
+    import spark.implicits._
+    val t = tmp("cmap_skip")
+    TxLog.overwrite(
+      spark.range(1, 1001).select(col("id"), (col("id") * 2.0).as("amount"))
+        .repartitionByRange(8, col("amount")), t)
+    TxLog.renameColumn(spark, t, "amount", "fare")
+    val (table, idx) = TxLog.readWithSkipInfo(spark, t)
+    assert(table.filter(col("fare") < 20.0).count() === 9L)
+    val (sel, tot) = idx.lastListing.get
+    assert(sel < tot && tot === 8,
+      s"renamed-column predicate should still skip files: $sel/$tot")
+  }
+
+  test("column mapping: drop hides without rewrite; stale-name evolve rejected") {
+    import spark.implicits._
+    val t = tmp("cmap_drop")
+    TxLog.overwrite(Seq((1L, 1.0, "x"), (2L, 2.0, "y"))
+      .toDF("id", "amount", "who"), t)
+    val before = TxLog.livePaths(spark, t)
+    TxLog.dropColumn(spark, t, "who")
+    assert(TxLog.livePaths(spark, t) === before)
+    assert(TxLog.read(spark, t).columns.toSeq === Seq("id", "amount"))
+    // old snapshot still carries the column
+    assert(TxLog.read(spark, t, versionAsOf = Some(1L)).columns.contains("who"))
+    // schema evolution must NOT resurrect the dropped physical column
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(Seq((3L, 3.0, "stale")).toDF("id", "amount", "who"),
+        t, Seq("id"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("old files still"))
+    // ...same for a renamed column's pre-rename home
+    TxLog.renameColumn(spark, t, "amount", "fare")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.merge(Seq((3L, 3.0, 9.9)).toDF("id", "fare", "amount"),
+        t, Seq("id"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("old files still"))
+  }
+
+  test("column mapping: copy-on-write ops and restore work through the map") {
+    import spark.implicits._
+    val t = tmp("cmap_cow")
+    TxLog.overwrite((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "amount"), t)
+    TxLog.renameColumn(spark, t, "amount", "fare")                       // v2
+    TxLog.update(spark, t, col("id") === 1L, Map("fare" -> lit(99.0)))   // v3
+    TxLog.delete(spark, t, col("fare") > 9.5 && col("fare") < 11.0)      // v4: id 10
+    assert(TxLog.read(spark, t).agg(sum(col("fare"))).collect()(0)
+      .getDouble(0) === (2L to 9L).map(_.toDouble).sum + 99.0)
+    // restore across the rename: v1 reads with its own (old) schema again
+    TxLog.restore(spark, t, 1L)
+    val restored = TxLog.read(spark, t)
+    assert(restored.columns.toSeq === Seq("id", "amount"))
+    assert(restored.count() === 10L)
+  }
+
   test("mergeConditional: NULL clause condition means not-satisfied") {
     import spark.implicits._
     val t = tmp("mc-null")
