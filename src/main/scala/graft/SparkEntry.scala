@@ -453,7 +453,7 @@ object SparkEntry {
     * final ordered output. */
   def arraysFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
         size(expr("filter(w, t -> length(t) >= 5)")).cast("long")
@@ -530,7 +530,7 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val pairs = graft.Caching.materialize(Dedup.simhashCandidates(docs))
     val tokset = docs.select(col("doc_id"),
-      expr("sort_array(array_distinct(split(lower(text), ' ')))").as("tk"))
+      sort_array(array_distinct(TextOps.tokens(col("text")))).as("tk"))
     // estimate-vs-exact angular deviation on the (small) emitted pair set
     val devStats = pairs
       .join(tokset.withColumnRenamed("doc_id", "doc_a")
@@ -718,7 +718,7 @@ object SparkEntry {
   /** #29 Token counting (whitespace + BPE-ish regex). */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables.documents(s, dir))
-      .select("doc_id", "n_ws_tokens", "n_re_tokens")
+      .select("doc_id", "n_tokens", "n_re_tokens")
       .orderBy("doc_id")
 
   /** #30 Content fingerprints (md5 + byte length). */
@@ -753,7 +753,7 @@ object SparkEntry {
     fp.join(contentCls, Seq("content_key"))
       .join(rollCls, Seq("rolling_hash"))
       .join(docs.select(col("doc_id"),
-        greatest(size(split(col("text"), " ")) - lit(7), lit(1)).cast("long")
+        greatest(size(TextOps.tokenize(col("text"))) - lit(7), lit(1)).cast("long")
           .as("n_windows")), Seq("doc_id"))
       .select(col("doc_id"), col("content_class"), col("n_windows"),
         (col("roll_class") === col("content_class")).as("roll_class_ok"),
@@ -780,7 +780,7 @@ object SparkEntry {
   /** #67 Corpus-level token statistics (the sizing numbers a training
     * run plans against). */
   def corpusStats(s: SparkSession, dir: String): DataFrame = {
-    val nTokens = size(split(col("text"), " ")).cast("long")
+    val nTokens = size(TextOps.tokenize(col("text"))).cast("long")
     Tables.documents(s, dir)
       .select(nTokens.as("nt"))
       .agg(count(lit(1)).as("n_docs"),
@@ -803,7 +803,7 @@ object SparkEntry {
   /** #47 Vocabulary / document-frequency stats: top-100 tokens by DF. */
   def textVocab(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
@@ -820,7 +820,7 @@ object SparkEntry {
     * (no pre-filter explode shuffle). */
   def textBoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documents(s, dir)
-      .select(split(lower(col("text")), " ").as("w"))
+      .select(TextOps.tokens(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 2)
       .select(explode(expr(
@@ -848,7 +848,7 @@ object SparkEntry {
     val flags = graft.Caching.materialize(
       TextOps.langId(TextOps.qualityScore(docs))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"),
           (col("lang_pred") === "en").as("lang_ok"),
           (col("quality_score") >= 0.5).as("q_ok"),
           md5(col("text")).as("h"))
@@ -2099,7 +2099,7 @@ object SparkEntry {
         :+ s"score_$lang > 0").mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString(" ")
-    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks FROM documents),
        |s AS (SELECT doc_id, $scoreDefs FROM t)
        |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
        |       CASE $caseChain ELSE 'und' END AS lang_pred
@@ -2121,15 +2121,15 @@ object SparkEntry {
         :+ s"score_$lang > 0").mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString(" ")
-    s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
-       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    s"""WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks,
+       |             CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}\\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens
        |           FROM documents),
        |sc AS (SELECT doc_id, text, n_tokens, toks, $scoreDefs FROM t),
        |lp AS (SELECT doc_id, text, n_tokens,
        |         CASE $caseChain ELSE 'und' END AS lang_pred FROM sc),
        |qs AS (SELECT doc_id, text, n_tokens, lang_pred,
        |         round(least(CAST(n_tokens AS DOUBLE) / 50, 1.0) *
-       |           (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |           (1 - CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
        |                AS DOUBLE) / length(text)), 4) AS quality_score
        |       FROM lp),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 7),
@@ -2391,21 +2391,21 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
         |        / length(text), 4) AS punct_ratio,
-        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |  round(CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''),
         |          t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
-        |          AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
-        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0) *
-        |        (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |          AS DOUBLE) / len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')), 4) AS stopword_ratio,
+        |  round(least(CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS DOUBLE) / 50, 1.0) *
+        |        (1 - CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
         |             / length(text)), 4) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'))
         |    AS BIGINT) AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2430,7 +2430,7 @@ object SparkEntry {
 
     "corpus_pack" ->
       """WITH t AS (SELECT doc_id,
-        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |                  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS BIGINT) AS tk
         |           FROM documents),
         |c AS (SELECT doc_id, tk,
         |             sum(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -2588,7 +2588,7 @@ object SparkEntry {
         |ORDER BY d, metric""".stripMargin,
 
     "arrays_funcs" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents)
         |SELECT doc_id,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
@@ -2689,7 +2689,7 @@ object SparkEntry {
     // from exact Jaccard and closes it with a recursive CTE.
     "dedup_clusters" ->
       """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),
         |pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
@@ -2707,7 +2707,7 @@ object SparkEntry {
 
     "text_vocab" ->
       """SELECT tok, count(*) AS df FROM (
-        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
 
@@ -2926,7 +2926,7 @@ object SparkEntry {
 
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id,
-        |                  unnest(string_split(lower(text), ' ')) AS term
+        |                  unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS term
         |           FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf
         |       FROM t WHERE term <> '' GROUP BY 1, 2),
@@ -2976,7 +2976,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_phrase_search" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
         |       FROM t, unnest(range(len(w) - 1)) AS u(i)
@@ -2986,7 +2986,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
         |       FROM t, unnest(range(len(w) - 1)) AS u(i)
@@ -2994,7 +2994,7 @@ object SparkEntry {
         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
         |v AS (SELECT count(DISTINCT tok) AS v
-        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS tok
         |            FROM documents)),
         |q AS (SELECT bg.doc_id,
         |        CAST(floor((ln(c12.c12 + 1.0) - ln(c1.c1 + v.v)) * 1000000)
@@ -3006,7 +3006,7 @@ object SparkEntry {
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_overlap" ->
-      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+      """WITH t AS (SELECT source, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |d AS (SELECT DISTINCT source,
         |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
@@ -3027,7 +3027,7 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "text_span_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |s AS (SELECT doc_id,
         |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash
@@ -3046,7 +3046,7 @@ object SparkEntry {
     // the incremental index must equal the full recompute — same oracle
     // as corpus_overlap by construction
     "corpus_overlap_incremental" ->
-      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+      """WITH t AS (SELECT source, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |d AS (SELECT DISTINCT source,
         |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
@@ -3196,7 +3196,7 @@ object SparkEntry {
         |FROM m ORDER BY event_type""".stripMargin,
 
     "text_boilerplate_ngrams" ->
-      """WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS w FROM documents),
         |bg AS (SELECT w[i + 1] || ' ' || w[i + 2] AS bigram
         |       FROM t, unnest(range(len(w) - 1)) AS u(i)
         |       WHERE len(w) >= 2),
@@ -3237,7 +3237,7 @@ object SparkEntry {
         |FROM events e JOIN dim USING (event_id)""".stripMargin,
 
     "corpus_overlap_topk" ->
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      """WITH t AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |s AS (SELECT DISTINCT doc_id, source,
         |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS h
@@ -3259,7 +3259,7 @@ object SparkEntry {
     // the incremental index must equal the full recompute — same oracle
     // as text_span_dedup by construction
     "span_index_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '') AS w
         |           FROM documents),
         |s AS (SELECT doc_id,
         |             md5(array_to_string(w[i + 1 : i + 8], ' ')) AS span_hash
@@ -3382,7 +3382,7 @@ object SparkEntry {
 
     "sample_mixture" ->
       """WITH t AS (SELECT doc_id, source,
-        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+        |                  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS BIGINT) AS tk,
         |                  1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 AS w
         |           FROM documents),
         |inv AS (SELECT source, any_value(w) AS w, sum(tk) AS inv_tk
@@ -3411,7 +3411,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks FROM documents),
         |g2 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
         |              i -> toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
         |cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
@@ -3426,7 +3426,7 @@ object SparkEntry {
         |FROM top2 t2 JOIN g3 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 7),
         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
         |              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' ||
@@ -3509,11 +3509,11 @@ object SparkEntry {
 
     "corpus_stats" ->
       """SELECT count(*) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
-        |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 2) AS p50_tokens,
-        |  round(quantile_cont(len(string_split(text, ' ')), 0.95), 2) AS p95_tokens,
-        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> ''))), 2) AS avg_tokens,
+        |  round(quantile_cont(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')), 0.5), 2) AS p50_tokens,
+        |  round(quantile_cont(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')), 0.95), 2) AS p95_tokens,
+        |  CAST(max(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> ''))) AS BIGINT) AS max_tokens
         |FROM documents""".stripMargin,
 
     // The minhash-LSH candidate set provably covers every pair with true
@@ -3524,7 +3524,7 @@ object SparkEntry {
     // DuckDB can compute directly. Same argument gives dedup_minhash its
     // pair-set oracle (see the query's Scaladoc for the bound rationale).
     "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
         |           FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct(list_transform(range(len(toks) - 2),
@@ -3539,7 +3539,7 @@ object SparkEntry {
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
-        |             list_sort(list_distinct(string_split(lower(text), ' '))) AS tk
+        |             list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''))) AS tk
         |           FROM documents),
         |g AS (SELECT tk, count(*) AS g FROM t GROUP BY tk HAVING count(*) > 1)
         |SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS n_exact_pairs,
@@ -3548,7 +3548,7 @@ object SparkEntry {
 
     "text_fingerprint_roll" ->
       """WITH c AS (SELECT doc_id, md5(text) AS k,
-        |                  len(string_split(text, ' ')) AS nt
+        |                  len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS nt
         |           FROM documents),
         |cls AS (SELECT k, min(doc_id) AS content_class FROM c GROUP BY k)
         |SELECT doc_id, content_class,
@@ -3557,7 +3557,7 @@ object SparkEntry {
         |FROM c JOIN cls USING (k) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
         |           FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct(list_transform(range(len(toks) - 2),
@@ -3842,7 +3842,7 @@ object SparkEntry {
 
     "dedup_droplist" ->
       """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),
         |pairs AS (SELECT a.doc_id AS va, b.doc_id AS vb
@@ -3860,7 +3860,7 @@ object SparkEntry {
         |WHERE node <> cluster ORDER BY drop_id""".stripMargin,
 
     "dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
         |           FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct(list_transform(range(len(toks) - 2),
@@ -3878,7 +3878,7 @@ object SparkEntry {
         |ORDER BY new_doc, matched_doc""".stripMargin,
 
     "stream_dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
         |           FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct(list_transform(range(len(toks) - 2),
@@ -3910,7 +3910,7 @@ object SparkEntry {
         |exact_drops AS (
         |  SELECT c.doc_id AS drop_id, ck.keeper, 'exact' AS reason
         |  FROM c JOIN ck USING (k) WHERE c.doc_id <> ck.keeper),
-        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks
         |      FROM documents WHERE doc_id IN (SELECT keeper FROM ck)),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t),

@@ -489,7 +489,7 @@ object Queries {
     * hash; md5 here because the DuckDB oracle shares it exactly.) */
   def textSpanDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val spans = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), graft.text.TextOps.tokenize(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(
@@ -522,7 +522,7 @@ object Queries {
   def corpusOverlap(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val spans = graft.Caching.materialize(
       Tables.documents(s, dir)
-        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), graft.text.TextOps.tokenize(col("text")).as("w"))
         .withColumn("n", size(col("w")))
         .filter(col("n") >= k)
         .select(col("source"), explode(expr(
@@ -568,7 +568,7 @@ object Queries {
                         topK: Int = 3): DataFrame = {
     val docSpans = graft.Caching.materialize(
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), graft.text.TextOps.tokenize(col("text")).as("w"))
         .withColumn("n", size(col("w")))
         .filter(col("n") >= k)
         .select(col("doc_id"), col("source"), explode(expr(
@@ -793,7 +793,7 @@ object Queries {
     * broadcastable); every aggregate is map-side partial. */
   def textLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), graft.text.TextOps.tokenize(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 2)
     // one tokenize+explode pass shared by the LM build and the scoring
@@ -817,7 +817,7 @@ object Queries {
     // token set is ~0 rows). The previous round re-exploded the whole
     // corpus for this one scalar — the last duplicate token pass, gone.
     val shortToks = Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("w"))
+      .select(graft.text.TextOps.tokenize(col("text")).as("w"))
       .filter(size(col("w")) < 2)
       .select(explode(col("w")).as("tok"))
     val vocab = c12.select(col("w1").as("tok"))
@@ -887,7 +887,7 @@ object Queries {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("term"))
+        explode(graft.text.TextOps.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
@@ -988,7 +988,7 @@ object Queries {
   private[graft] def phraseHits(docs: DataFrame,
                                 first: String, second: String): DataFrame =
     docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 2)
       .select(col("doc_id"), explode(expr(

@@ -113,7 +113,7 @@ object Dedup {
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.SketchFunctions.simhash64(docs.sparkSession,
-        expr(s"array_distinct(split(lower($textCol), ' '))")).as("simhash"))
+        array_distinct(graft.text.TextOps.tokens(col(textCol)))).as("simhash"))
 
   /** Hamming-band candidates: 4 bands of 16 bits; any-band equality →
     * candidate; keep pairs with hamming distance <= maxHamming. */

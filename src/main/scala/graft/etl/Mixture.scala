@@ -48,7 +48,7 @@ object Mixture {
                          orderCol: Column => Column): DataFrame = {
     val spark = docs.sparkSession
     val tk = docs
-      .withColumn("__tk", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__tk", size(graft.text.TextOps.tokenize(col("text"))).cast("long"))
       .withColumn("__w", weightOf(col(sourceCol)).cast("long"))
     // O(sources) inventory: the only driver-side state, bounded by the
     // domain count (a handful at any corpus scale)

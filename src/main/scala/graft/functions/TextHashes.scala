@@ -37,10 +37,11 @@ object TextHashes {
     acc
   }
 
-  /** Min over space-split tokens (trailing empties kept — Spark `split`
-    * semantics) of xxhash64(token, seed 42). */
+  /** Min over shared-tokenizer tokens ([[TextShingles.tokenize]], the
+    * round-9 unicode split) of xxhash64(token, seed 42). A token-less
+    * (all-punctuation) doc returns Long.MaxValue — a stable sentinel. */
   def tokenMinHash(s: UTF8String): Long = {
-    val toks = s.toString.split(" ", -1)
+    val toks = TextShingles.tokenize(s.toString)
     var best = Long.MaxValue
     var i = 0
     while (i < toks.length) {

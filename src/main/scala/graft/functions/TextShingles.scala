@@ -11,16 +11,25 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling. Semantics identical to the declarative
   * `array_distinct(transform(sequence(0, greatest(size(toks)-n, 0)),
-  * i -> concat_ws(' ', slice(toks, i+1, n))))` over space-split tokens
-  * (trailing empties kept, short docs contribute their full span as one
-  * shingle, first-occurrence distinct order) — but as one JVM loop per
-  * row instead of interpreted lambdas per shingle. Shingling feeds
-  * minhash, n-gram Jaccard, and contamination scans, where the lambda
-  * interpreter dominated at sf1 (26 s of the contamination query).
+  * i -> concat_ws(' ', slice(toks, i+1, n))))` over the SHARED tokenizer
+  * ([[graft.text.TextOps.TokenizePattern]]: split on non-letter/digit
+  * runs, empties dropped — round 9; short docs contribute their full
+  * token span as one shingle, first-occurrence distinct order) — but as
+  * one JVM loop per row instead of interpreted lambdas per shingle.
+  * Shingling feeds minhash, n-gram Jaccard, and contamination scans,
+  * where the lambda interpreter dominated at sf1 (26 s of the
+  * contamination query).
   */
 object TextShingles {
+  // compiled once; identical pattern to TextOps.TokenizePattern (kept
+  // literal here to avoid a class-init cycle with the text package)
+  private val TokenRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  def tokenize(s: String): Array[String] =
+    TokenRe.split(s, -1).filter(_.nonEmpty)
+
   def wordNgrams(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.split(" ", -1)
+    val toks = tokenize(s.toString)
     val last = math.max(toks.length - n, 0)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

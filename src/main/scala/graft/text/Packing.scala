@@ -37,7 +37,7 @@ object Packing {
     require(budget > 0 && bucketSize > 0)
     val spark = docs.sparkSession
     val t = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
     // (2) driver-side cumsum over bucket sums — O(corpus / bucketSize)
     val bucketSums = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))

@@ -55,7 +55,7 @@ object SpanIndex {
     * shuffle width of the hex string). */
   def batchSpanPartials(docs: DataFrame, k: Int = 8): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(
@@ -120,7 +120,7 @@ object SpanIndex {
     * repeats a span in two batches) — [[dedupedSourceSpans]] folds them. */
   def batchSourceSpans(docs: DataFrame, k: Int = 8): DataFrame =
     docs
-      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), TextOps.tokenize(col("text")).as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= k)
       .select(col("source"), explode(expr(

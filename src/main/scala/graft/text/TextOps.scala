@@ -14,9 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of the lowercased text (single-space delimiter —
-    * matches the synthetic corpus and keeps SQL-oracle parity trivial). */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** THE tokenizer (round 9): split on any run of non-letter/non-digit
+    * characters (Unicode classes, so accents/Cyrillic/CJK codepoints are
+    * token chars and punctuation of any script is a separator), drop
+    * empty tokens. One pattern shared by every text operator AND every
+    * DuckDB oracle ([[tokenizePatternSql]]): Java regex and RE2 agree on
+    * `\p{L}`/`\p{N}`, which a spec corpus of punctuated/multi-script/
+    * extra-whitespace rows pins. Replaces the round-1..8 single-space
+    * split, whose contract was the synthetic corpus's, not a text
+    * engine's. */
+  val TokenizePattern = "[^\\p{L}\\p{N}]+"
+
+  /** The same pattern as a DuckDB SQL snippet fragment — single source
+    * of truth for oracle construction. Standard (non-E) SQL string
+    * literals keep backslashes literal on the DuckDB side. */
+  def tokenizeSql(expr: String): String =
+    s"list_filter(regexp_split_to_array($expr, '[^\\p{L}\\p{N}]+'), t -> t <> '')"
+
+  /** Token array of `c` (no case folding — callers pass `lower(...)`
+    * when the operator is case-insensitive). */
+  def tokenize(c: Column): Column =
+    filter(split(c, TokenizePattern), t => t =!= lit(""))
+
+  /** Tokens of the lowercased text — the case-folded default. */
+  def tokens(text: Column): Column = tokenize(lower(text))
 
   /** Distinct word n-gram shingles, the MinHash input unit. Short docs
     * (< n tokens) contribute their full token span as one shingle.
@@ -52,8 +73,8 @@ object TextOps {
     "zh" -> Seq("de", "shi", "zai", "le", "he", "you", "wo", "ta", "men", "zhe"))
 
   private def scoreCol(textCol: String, words: Seq[String]): Column = {
-    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-    expr(s"cast(size(filter(split(lower($textCol), ' '), t -> array_contains($arr, t))) as bigint)")
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(col(textCol)), t => array_contains(arr, t))).cast("bigint")
   }
 
   /** doc frame → (doc_id, score_<lang>..., lang_pred). */
@@ -78,11 +99,18 @@ object TextOps {
     * output edge. */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val nChars = length(col(textCol)).cast("long")
-    val nTokens = size(split(col(textCol), " ")).cast("long")
-    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")).cast("double")
-    val punctRatio = punct / nChars.cast("double")
+    val nTokens = size(tokens(col(textCol))).cast("long")
+    // unicode-aware "punctuation": anything outside letters/digits/
+    // whitespace, the complement of the tokenizer's token alphabet
+    val punct = length(regexp_replace(col(textCol),
+      "[\\p{L}\\p{N}\\s]", "")).cast("double")
+    // empty docs: 0 chars of 0 are punctuation (ANSI mode: /0 throws)
+    val punctRatio = when(nChars > 0, punct / nChars.cast("double"))
+      .otherwise(lit(0.0))
     val stopHits = scoreCol(textCol, stopwords.head._2).cast("double")
-    val stopRatio = stopHits / nTokens.cast("double")
+    // 0-token docs (all-punctuation) score 0, never divide by zero
+    val stopRatio = when(nTokens > 0, stopHits / nTokens.cast("double"))
+      .otherwise(lit(0.0))
     docs
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTokens)
@@ -95,15 +123,16 @@ object TextOps {
 
   // ------------------------------------------------------- token counting
 
-  /** Whitespace token count + BPE-ish regex token count (letter runs,
+  /** Tokenizer token count + BPE-ish regex token count (letter runs,
     * digit runs, single punctuation marks — the pre-tokenization split
-    * most BPE vocabularies assume). */
+    * most BPE vocabularies assume; unicode classes, so accented and
+    * non-Latin text counts its letters as letters). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("n_re_tokens",
         size(regexp_extract_all(lower(col(textCol)),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+          lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long"))
 
   // -------------------------------------------------------- fingerprints
 
@@ -137,7 +166,7 @@ object TextOps {
     * duplicate-3-gram fraction marks boilerplate/spam for filtering.
     * One explode + per-doc aggregation — shuffle keyed by doc_id only. */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val withToks = docs.withColumn("_toks", split(lower(col(textCol)), " "))
+    val withToks = docs.withColumn("_toks", tokens(col(textCol)))
     val g2 = withToks
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(_toks) - 2, 0)), " +

@@ -13,7 +13,7 @@ object ProbeSimhash {
       val docs = graft.Tables.documents(spark, dir)
       val pairs = graft.dedup.Dedup.simhashCandidates(docs)
       val tokset = docs.select(col("doc_id"),
-        expr("sort_array(array_distinct(split(lower(text), ' ')))").as("tk"))
+        sort_array(array_distinct(graft.text.TextOps.tokens(col("text")))).as("tk"))
       val stats = pairs
         .join(tokset.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("tk", "tk_a"), Seq("doc_a"))

@@ -119,6 +119,55 @@ class Round9Spec extends SparkSpec {
       (4L, "insert", 50.0)))
   }
 
+  // ------------------------------------------------------ shared tokenizer
+
+  /** Fixture shared verbatim with tools/tokenizer_parity.py, which runs
+    * the SAME rows through DuckDB's regexp_split_to_array with the same
+    * pattern: the two files together prove both engines tokenize
+    * punctuated / multi-script / extra-whitespace text identically. */
+  private val TokenizerFixture: Seq[(String, Seq[String])] = Seq(
+    "Hello, world! It's 2024-08." ->
+      Seq("hello", "world", "it", "s", "2024", "08"),
+    "  multiple   spaces\tand\nnewlines  " ->
+      Seq("multiple", "spaces", "and", "newlines"),
+    "Café naïve Zürich ÉLAN" -> Seq("café", "naïve", "zürich", "élan"),
+    "日本語のテキストと English mixed" ->
+      Seq("日本語のテキストと", "english", "mixed"),
+    "Привет, мир! Ёлка" -> Seq("привет", "мир", "ёлка"),
+    "!!! ... ---" -> Seq(),
+    "foo_bar baz-qux" -> Seq("foo", "bar", "baz", "qux"),
+    "a1b2 3c" -> Seq("a1b2", "3c"),
+    "" -> Seq())
+
+  test("tokenizer: punctuation, multi-script, and whitespace-fold fixture") {
+    import spark.implicits._
+    val got = TokenizerFixture.map(_._1).toDF("text")
+      .select(graft.text.TextOps.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    got.zip(TokenizerFixture).foreach { case (g, (in, want)) =>
+      assert(g === want, s"tokens of ${in.take(30)}")
+    }
+    // the native shingle/min-hash kernels share the exact tokenization
+    TokenizerFixture.foreach { case (in, want) =>
+      assert(graft.functions.TextShingles.tokenize(in.toLowerCase).toSeq
+        === want, s"JVM tokenize of ${in.take(30)}")
+    }
+  }
+
+  test("tokenizer: zero-token docs flow through quality and counts safely") {
+    import spark.implicits._
+    val docs = Seq((1L, "Real text, here!"), (2L, "!!! ..."), (3L, ""))
+      .toDF("doc_id", "text")
+    val q = graft.text.TextOps.qualityScore(docs)
+      .select("doc_id", "n_tokens", "stopword_ratio").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(q(2L) === ((0L, 0.0)))   // all punctuation: 0 tokens, ratio 0
+    val c = graft.text.TextOps.tokenCounts(docs)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c === Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+
   // ------------------------------------------------------ deletion vectors
 
   private def dataFilesOnDisk(table: String): Set[String] = {
