@@ -66,6 +66,33 @@ object MaterializedView {
     val current = TxLog.currentVersion(spark, baseTable)
     if (current < fromVersion) return fromVersion
     val changes = TxLog.readChangeFeed(spark, baseTable, fromVersion, Some(current))
+    foldChanges(spark, mvTable, spec, changes, appliedThroughHint = current)
+    current + 1
+  }
+
+  private val TagPrefix = "mv-applied:"
+
+  /** Highest base version the view has folded, read from the tags its
+    * own MERGE commits carry — the watermark that makes [[foldChanges]]
+    * idempotent under batch replay. -1 before any tagged fold. */
+  def appliedThrough(spark: SparkSession, mvTable: String): Long =
+    TxLog.commitTags(spark, mvTable).flatMap { case (_, t) =>
+      if (t.startsWith(TagPrefix)) t.stripPrefix(TagPrefix).toLongOption
+      else None
+    }.maxOption.getOrElse(-1L)
+
+  /** Fold one change-feed batch (base versions `.. appliedThroughHint`)
+    * into the view as ONE MERGE commit carrying the applied-through
+    * watermark as its commit tag — the view state and the consumer
+    * checkpoint move in the SAME atomic commit, so a replayed batch
+    * (crash between the merge and any external cursor persist) is
+    * detected by the watermark and becomes a no-op instead of a
+    * double-apply. The maintenance algebra is #77's: signed per-key
+    * deltas in exact DECIMAL, one MERGE with `deleteWhen` dropping
+    * emptied groups. */
+  def foldChanges(spark: SparkSession, mvTable: String, spec: MvSpec,
+                  changes: DataFrame, appliedThroughHint: Long): Unit = {
+    if (appliedThrough(spark, mvTable) >= appliedThroughHint) return // replay
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = changes.groupBy(spec.keys.map(col): _*)
@@ -85,7 +112,7 @@ object MaterializedView {
             coalesce(col(s"__d_$c"), lit(0).cast(Dec))).cast(Dec)
             .as(spec.sumName(c))): _*)
     TxLog.merge(src, mvTable, spec.keys,
-      deleteWhen = Some(col(spec.countName) === 0L))
-    current + 1
+      deleteWhen = Some(col(spec.countName) === 0L),
+      commitTag = Some(s"$TagPrefix$appliedThroughHint"))
   }
 }

@@ -206,10 +206,23 @@ object TxLog {
   /** Per-commit operation marker (Delta `commitInfo.operation`): lets the
     * change feed classify a commit without guessing from its action shape
     * (an optimize and an overwrite carry identical remove+add actions but
-    * only one of them changes data). */
-  private def commitInfoJson(op: String): String =
+    * only one of them changes data). `tag` is a free-form consumer
+    * annotation riding in the same atomic commit (Delta
+    * `commitInfo.userMetadata`) — what makes a downstream fold idempotent
+    * under replay: the applied-through watermark commits WITH the fold. */
+  private def commitInfoJson(op: String, tag: Option[String] = None): String =
     JsonMethods.compact(JsonMethods.render(
-      JObject("commitInfo" -> JObject("op" -> JString(op)))))
+      JObject("commitInfo" -> JObject(List("op" -> (JString(op): JValue)) ++
+        tag.map(t => "tag" -> (JString(t): JValue))))))
+
+  /** (version, tag) of every tagged commit — the consumer-watermark
+    * read-back for [[commitInfoJson]]'s tag channel. */
+  private[graft] def commitTags(spark: SparkSession, table: String): Seq[(Long, String)] = {
+    val (hfs, root) = fs(spark, table)
+    listVersions(hfs, root).flatMap { case (v, p) =>
+      parseCommit(readText(hfs, p)).tag.map(v -> _)
+    }
+  }
 
   /** Change-data file reference (Delta `cdc` action): rows describing the
     * commit's row-level changes, tagged `_change_type`, stored OUTSIDE the
@@ -220,11 +233,12 @@ object TxLog {
 
   private case class ParsedCommit(meta: Option[Meta], adds: Seq[AddFile],
                                   removes: Seq[String], cdcs: Seq[String],
-                                  op: Option[String])
+                                  op: Option[String], tag: Option[String] = None)
 
   private def parseCommit(text: String): ParsedCommit = {
     var meta: Option[Meta] = None
     var op: Option[String] = None
+    var tag: Option[String] = None
     val adds = mutable.ArrayBuffer.empty[AddFile]
     val removes = mutable.ArrayBuffer.empty[String]
     val cdcs = mutable.ArrayBuffer.empty[String]
@@ -293,11 +307,12 @@ object TxLog {
           cdcs += p
         case JObject(List(("commitInfo", i))) =>
           i \ "op" match { case JString(o) => op = Some(o); case _ => () }
+          i \ "tag" match { case JString(t) => tag = Some(t); case _ => () }
         case other =>
           throw new IllegalStateException(s"unknown txlog action: $other")
       }
     }
-    ParsedCommit(meta, adds.toSeq, removes.toSeq, cdcs.toSeq, op)
+    ParsedCommit(meta, adds.toSeq, removes.toSeq, cdcs.toSeq, op, tag)
   }
 
   // ------------------------------------------------------------ snapshot
@@ -712,7 +727,8 @@ object TxLog {
     * from the source (or evolution off) to stay ephemeral. */
   def merge(source: DataFrame, table: String, keyCols: Seq[String],
             deleteWhen: Option[org.apache.spark.sql.Column] = None,
-            evolveSchema: Boolean = false): MergeStats = {
+            evolveSchema: Boolean = false,
+            commitTag: Option[String] = None): MergeStats = {
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
@@ -807,7 +823,7 @@ object TxLog {
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
       val cdcFiles = stageCdc(cdcFrame, table)
       val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
-      val lines = commitInfoJson("merge") +: (metaLine ++
+      val lines = commitInfoJson("merge", commitTag) +: (metaLine ++
         touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
           cdcFiles.map(cdcJson))
       if (tryCommit(hfs, root, snap.version, lines))

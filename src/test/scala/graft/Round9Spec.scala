@@ -348,6 +348,55 @@ class Round9Spec extends SparkSpec {
     assert(restored.count() === 10L)
   }
 
+  // ----------------------------------------------------- streaming MV
+
+  test("streaming MV: fold equals recompute per batch; exactly-once under replay") {
+    import spark.implicits._
+    import graft.acid.{MaterializedView, MvSpec}
+    import graft.streaming.{ChangeFeedStream, StreamMv}
+    val base = tmp("smv_base"); val mv = tmp("smv_view") + "/v"
+    val spec = MvSpec(Seq("grp"), Seq("amount"))
+    TxLog.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 2.0)
+    ).toDF("id", "grp", "amount"), base)                                // v1
+    var cursor = ChangeFeedStream.cursor(spark, base,
+      MaterializedView.initialize(spark, base, mv, spec))
+    def viewEqualsRecompute(): Boolean = {
+      val v = TxLog.read(spark, mv)
+      val r = MaterializedView.compute(TxLog.read(spark, base), spec)
+      v.exceptAll(r).isEmpty && r.exceptAll(v).isEmpty
+    }
+    assert(viewEqualsRecompute())
+    // batch 1: append
+    TxLog.append(Seq((4L, "b", 7.0), (5L, "c", 1.0))
+      .toDF("id", "grp", "amount"), base)                               // v2
+    assert(StreamMv.pump(spark, base, mv, spec, cursor) === 1)
+    assert(viewEqualsRecompute())
+    // batch 2: merge (update + insert) — pre-pump cursor position saved
+    // to replay this exact batch later
+    val replayFrom = cursor.nextVersion
+    TxLog.merge(Seq((1L, "a", 100.0), (6L, "c", 9.0))
+      .toDF("id", "grp", "amount"), base, Seq("id"))                    // v3
+    assert(StreamMv.pump(spark, base, mv, spec, cursor) === 1)
+    assert(viewEqualsRecompute())
+    val viewAfterV3 = TxLog.read(spark, mv).collect().toSet
+    // CRASH SIMULATION (merge landed, cursor persist lost): a restarted
+    // consumer re-polls the same batch — the fold must no-op, not
+    // double-apply
+    val replayCursor = ChangeFeedStream.cursor(spark, base, replayFrom)
+    StreamMv.pump(spark, base, mv, spec, replayCursor)
+    assert(TxLog.read(spark, mv).collect().toSet === viewAfterV3)
+    assert(viewEqualsRecompute())
+    // batch 3: delete empties group b — the fold must drop it
+    TxLog.delete(spark, base, col("grp") === "b")                       // v4
+    assert(StreamMv.pump(spark, base, mv, spec, cursor) === 1)
+    assert(viewEqualsRecompute())
+    assert(TxLog.read(spark, mv).filter(col("grp") === "b").isEmpty)
+    // the view's watermark tracks the base head
+    assert(MaterializedView.appliedThrough(spark, mv) ===
+      TxLog.currentVersion(spark, base))
+  }
+
   test("mergeConditional: NULL clause condition means not-satisfied") {
     import spark.implicits._
     val t = tmp("mc-null")
