@@ -653,6 +653,41 @@ object SparkEntry {
               (col("max_err") <= 0.02).as("sim_err_ok"))
   }
 
+  /** #144 Product-quantization ANN (round 9) — the codebook member of
+    * the quantization family ([[graft.similarity.Pq]]): m=16 subspaces
+    * × 16-entry L2 codebooks turn a 64-dim float64 embedding into 16
+    * nibble codes (64× smaller corpus scan; the FAISS-style regime at
+    * billion-vector scale). Same bounded oracle as #89: recall of the
+    * PQ top-10 against the exact brute-force top-10 (floor + mean),
+    * plus a similarity error bound that the exact re-rank pins to ~0
+    * (surviving hits carry exact sims). Recall floors measured across
+    * sf0.001/0.01/0.1 (min 0.5/0.7/0.5, mean 0.83/0.89/0.71 with a
+    * constant 50-candidate shortlist — recall decays as corpus/shortlist
+    * grows, the honest constant-budget behavior). Deterministic training
+    * (hash seeds, DECIMAL means), so the booleans are stable, not
+    * statistical. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val brute = Cosine.bruteTopK(emb, nQueries = 8, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact"))
+    val pq = graft.similarity.Pq.topK(emb, nQueries = 8, kNeighbors = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q"))
+    val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val recall = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+           min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
+    val simErr = brute.join(pq, Seq("query_id", "neighbor_id"))
+      .agg(max(abs(col("sim_q") - col("sim_exact"))).as("max_err"))
+    recall.crossJoin(simErr)
+      .select(col("n_queries"),
+              (col("minr") >= 0.4).as("min_recall_ok"),
+              (col("meanr") >= 0.65).as("mean_recall_ok"),
+              (col("max_err") <= 0.001).as("sim_err_ok"))
+  }
+
   /** #94 Domain-weighted mixture sampling (the training-data recipe
     * step): per-source integer weights (1 + suffix % 3 — derived from
     * the source name so both engines agree), mixture scale set by the
@@ -2006,6 +2041,7 @@ object SparkEntry {
     "ann_cosine_topk"     -> (annCosineTopk _),
     "ann_lsh"             -> (annLsh _),
     "ann_quantized"       -> (annQuantized _),
+    "ann_pq"              -> (annPq _),
     "sample_stratified"   -> (sampleStratified _),
     "sample_mixture"      -> (sampleMixture _),
     "text_langid"         -> (textLangid _),
@@ -3373,6 +3409,10 @@ object SparkEntry {
         |       true AS mean_recall_ok""".stripMargin,
 
     "ann_quantized" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
+        |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
+
+    "ann_pq" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
         |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
 

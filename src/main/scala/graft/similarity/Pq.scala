@@ -1,0 +1,160 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding stores — the codebook member
+  * of the quantization family ([[Quantize]] is the scalar one): the
+  * vector splits into `m` subvectors, each subspace trains a `k`-entry
+  * codebook by L2 k-means, and a vector stores only its m codebook
+  * indexes — at m=16, k=16 a 64-dim float64 embedding (512 B) becomes
+  * 16 nibbles (8 B), a 64× reduction, with the scan reading codes plus
+  * O(m·k·d/m) centroid METADATA instead of the raw vectors. This is the
+  * compression regime IVF-PQ engines (FAISS-style) run at billion-vector
+  * scale; here the probe path reconstructs from the broadcast codebooks
+  * inside whole-stage codegen, so the corpus scan stays one projection —
+  * no shuffle, no UDF.
+  *
+  * Scale shape: codebooks are driver metadata entering the plan as ONE
+  * literal (like [[Ivf]]'s centroids); training's only shuffle is the
+  * (subspace, code, dim) partial-mean reduce — m·k·(d/m) = k·d rows.
+  * Determinism: hash-seeded codebooks (no RNG), DECIMAL means
+  * (merge-order-independent), struct-argmin ties to the lower code.
+  */
+object Pq {
+
+  /** Codebooks as (subspace)(code) -> centroid (length d/m). */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  private def cbLit(cb: Codebooks): Column = typedLit(cb)
+
+  /** Squared-L2 argmin over subspace `j`'s codebook for a subvector
+    * expression — interpreted-HOF-free codegen via struct `array_min`
+    * (lexicographic: distance first, code as tie-break). `cbCol` is the
+    * full codebook literal; `jExpr`/`subExpr` are SQL fragments. */
+  private def codeExpr(k: Int, jExpr: String, subExpr: String): String =
+    s"""array_min(transform(sequence(0, ${k - 1}), c -> struct(
+       |  aggregate(zip_with($subExpr, __cb[$jExpr][c],
+       |            (a, b) -> (a - b) * (a - b)),
+       |            cast(0 as double), (acc, x) -> acc + x) AS d,
+       |  c AS code))).code""".stripMargin
+
+  /** Train codebooks: `iters` Lloyd rounds per subspace, all m subspaces
+    * in one frame. `emb` must carry `vec_id` and `embedding`. */
+  def train(emb: DataFrame, m: Int = 16, k: Int = 16, iters: Int = 3): Codebooks = {
+    val p = graft.Caching.materialize(
+      emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")))
+    val d = p.select(size(col("v"))).first().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val subd = d / m
+    // (vec_id, j, sub): every subvector of every vector, one explode
+    val subs = graft.Caching.materialize(p.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $subd + 1, $subd))"))
+        .as(Seq("j", "sub"))))
+    // deterministic seeds: per subspace, the k subvectors of smallest
+    // xxhash64(vec_id) — one window over the tiny (j, hash) rank
+    val seedW = Window.partitionBy("j").orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cb: Codebooks = subs
+      .withColumn("r", row_number().over(seedW))
+      .filter(col("r") <= k)
+      .select(col("j"), (col("r") - 1).as("c"), col("sub"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+    var i = 0
+    while (i < iters) {
+      val assigned = subs
+        .withColumn("__cb", cbLit(cb))
+        .withColumn("code", expr(codeExpr(k, "j", "sub")))
+      // exact DECIMAL mean per (j, code, dim) — k·d shuffle rows, map-side
+      // partials; an empty cluster keeps its previous centroid
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) =>
+          jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      cb = cb.zipWithIndex.map { case (codes, j) =>
+        codes.zipWithIndex.map { case (old, c) => means.getOrElse((j, c), old) }
+      }
+      i += 1
+    }
+    cb
+  }
+
+  /** (vec_id, codes: array<int> of length m) — the encoded corpus. The
+    * whole encode is ONE projection against the codebook literal. */
+  def encode(emb: DataFrame, cb: Codebooks): DataFrame = {
+    val m = cb.size
+    val k = cb.head.size
+    val subd = cb.head.head.size
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("__cb", cbLit(cb))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  ${codeExpr(k, "j", s"slice(v, j * $subd + 1, $subd)")})""".stripMargin))
+      .select("vec_id", "codes")
+  }
+
+  /** Reconstruction column from `codes` against the codebook literal
+    * `__cb` — concatenated codebook centroids. */
+  private def reconExpr(m: Int): String =
+    s"""flatten(transform(sequence(0, ${m - 1}),
+       |  j -> __cb[j][codes[j]]))""".stripMargin
+
+  /** PQ top-k with exact re-ranking — the production IVF-PQ read shape:
+    * (1) the SHORTLIST pass scans only codes + the codebook literal
+    * (the 64×-smaller representation), ranking by reconstructed cosine
+    * and keeping `shortlist` candidates per query; (2) the REFINE pass
+    * re-ranks only those candidates against their exact vectors — a
+    * candidate-sized join, so the full-precision data is touched for
+    * O(queries × shortlist) rows however large the corpus. Queries stay
+    * exact throughout (they are few — asymmetric distance). */
+  def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
+           m: Int = 16, k: Int = 16, iters: Int = 3,
+           shortlist: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = train(emb, m, k, iters)
+    val corpus = encode(emb, cb)
+      .withColumn("__cb", cbLit(cb))
+      .withColumn("dq", expr(reconExpr(m)))
+      .select("vec_id", "dq")
+    val q = Cosine.prepared(emb).filter(col("vec_id") < nQueries)
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("pqsim").desc, col("neighbor_id"))
+    val candidates = corpus.as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.cosine_sim(spark, col("q.v"), col("c.dq"))
+          .as("pqsim"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // refine: exact cosine on the candidate set only
+    val exact = Cosine.prepared(emb).select(col("vec_id"), col("v"), col("norm"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawsim").desc, col("neighbor_id"))
+    candidates
+      .join(exact.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("v", "nv").withColumnRenamed("norm", "nnorm"),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("v").as("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosine_sim(spark, col("qv"), col("nv"))
+          .as("rawsim"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("rawsim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -348,6 +348,31 @@ class Round9Spec extends SparkSpec {
     assert(restored.count() === 10L)
   }
 
+  // --------------------------------------------------------------- PQ ANN
+
+  test("pq: codes are in range, training is deterministic, refine is exact") {
+    import graft.similarity.{Cosine, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val cb1 = Pq.train(emb, m = 16, k = 16, iters = 2)
+    val cb2 = Pq.train(emb, m = 16, k = 16, iters = 2)
+    assert(cb1 === cb2) // hash seeds + DECIMAL means: bit-stable
+    assert(cb1.size === 16 && cb1.forall(_.size === 16) &&
+      cb1.forall(_.forall(_.size === 4)))
+    val codes = Pq.encode(emb, cb1).collect()
+    assert(codes.forall { r =>
+      val cs = r.getSeq[Int](1)
+      cs.size == 16 && cs.forall(c => c >= 0 && c < 16)
+    })
+    // every emitted (query, neighbor) pair's sim equals the EXACT cosine
+    // (the refine stage re-ranks on full precision)
+    val pq = Pq.topK(emb, nQueries = 4, kNeighbors = 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val brute = Cosine.bruteTopK(emb, nQueries = 4, k = 1000000)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(pq.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(col("sim") =!= col("bsim")).isEmpty)
+  }
+
   // ----------------------------------------------------- streaming MV
 
   test("streaming MV: fold equals recompute per batch; exactly-once under replay") {
