@@ -33,10 +33,14 @@ import org.apache.spark.sql.SparkSession
   * `ok` map per query, overflowed the window, and were recorded as
   * unparseable. The compact line therefore: formats seconds to 3
   * significant digits, carries errors only when present, and if it would
-  * still exceed [[Bench.MaxLineChars]] drops the FASTEST queries from the
-  * per-query map (keeping the total and a `queries_omitted` count) until
-  * it fits. Full precision for every pass lands in `BENCH_DETAIL.json`
-  * next to the build for human consumption.
+  * still exceed [[Bench.MaxLineChars]] drops per-query entries (keeping
+  * the total and a `queries_omitted` count) until it fits. The drop
+  * order is family-interleaved — round-robin across the key-prefix
+  * families, slowest first within each — so truncation sheds depth
+  * within a family rather than hiding whole families (the round-8 line
+  * omitted 74 of 140 queries and entire fast families went invisible).
+  * Full precision for every pass lands in `BENCH_DETAIL.json` next to
+  * the build for human consumption.
   *
   * Failures are LOUD: a query that throws is recorded in `errors` with
   * `failed` carrying the count — its wall time is time-to-failure and is
@@ -77,8 +81,21 @@ object Bench {
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (n, e) => jsonStr(n) + ":" + jsonStr(e.take(80)) }
       .mkString("{", ",", "}")
-    // slowest-first so truncation sheds the least informative entries
-    val ranked = good.toSeq.sortBy { case (n, v) => (-v, n) }
+    // FAMILY-INTERLEAVED slowest-first: queries group by their key's
+    // first `_` segment (agg/join/delta/text/...); emission is
+    // round-robin across families (slowest-total family first), slowest
+    // query of each family first. Truncation therefore sheds depth
+    // WITHIN families, never a whole family — a plain slowest-first
+    // order let the 1800-char window hide entire fast families once the
+    // registry crossed ~70 queries (round 8 omitted 74 of 140, more
+    // than half the board invisible in stdout).
+    val byFam = good.toSeq.groupBy { case (n, _) => n.takeWhile(_ != '_') }
+      .map { case (f, qs) => f -> qs.sortBy { case (n, v) => (-v, n) } }
+    val famOrder = byFam.toSeq
+      .sortBy { case (f, qs) => (-qs.map(_._2).sum, f) }.map(_._1)
+    val depth = if (byFam.isEmpty) 0 else byFam.values.map(_.size).max
+    val ranked = (0 until depth)
+      .flatMap(i => famOrder.flatMap(f => byFam(f).lift(i)))
     def line(keep: Int): String = {
       val qs = ranked.take(keep).sortBy(_._1)
         .map { case (n, v) => jsonStr(n) + ":" + fmtSec(v) }

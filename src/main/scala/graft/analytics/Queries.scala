@@ -647,7 +647,17 @@ object Queries {
     * one bucket satisfies it). Sessions come from the #16 sessionizer;
     * bucket ids use integer `div` on epoch-µs (no float-floor boundary
     * risk). Counts exact; oracle is DuckDB's native inequality join
-    * over the same sessions. */
+    * over the same sessions.
+    *
+    * WEAK-BY-CONTRACT at 100× (the #24 `dedup_embed` designation,
+    * measured in SCALE.md's sf10 decomposition): the bucketed JOIN is
+    * fine (8 s at sf10), but `count_distinct(a_id, b_id)` holds
+    * Θ(distinct user pairs) state (~2 G pairs at sf10, spilling,
+    * 96% of the 355 s wall). This entry IS the exact-verification twin
+    * — run it when the exact pair count is the requirement and the pair
+    * cardinality fits executor spill budgets; the production scale path
+    * is #139 ([[joinIntervalOverlapApprox]]): constant-state HLL
+    * cardinality + sampled exact bound, same join underneath. */
   def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val sessions = graft.Caching.materialize(
       windowSessionize(s, dir)
@@ -693,11 +703,23 @@ object Queries {
           unix_micros(col("session_end")).as("e_us")))
     val sampled = pmod(col("a_id") * 31 + col("b_id"), lit(16)) === 0
     val pair = struct(col("a_id"), col("b_id"))
-    intervalOverlapPairs(sessions, adaptiveBucketUs(sessions))
+    val bucketUs = adaptiveBucketUs(sessions)
+    // TWO single-group aggregation branches over the (recomputed — the
+    // join is the cheap part) pair stream, never one mixed plan: a
+    // distinct aggregate plans through Expand, whose per-distinct-group
+    // buffers would then carry the HLL objects too — measured at sf10 as
+    // an executor OOM. Branch 1 is pure mergeable sketches (CONSTANT
+    // state, one group, no Expand); branch 2 filters to the 1/16 sample
+    // BEFORE aggregating, so its row-hash partials only ever see sampled
+    // pairs and spill like any UnsafeRow hash aggregate.
+    val sketches = intervalOverlapPairs(sessions, bucketUs)
       .agg(count(lit(1)).as("n_overlap_pairs"),
-        count_distinct(when(sampled, pair)).as("n_user_pairs_sampled"),
         approx_count_distinct(when(sampled, pair), 0.02).as("est_sampled"),
         approx_count_distinct(pair, 0.02).as("est_full"))
+    val exactSample = intervalOverlapPairs(sessions, bucketUs)
+      .filter(sampled)
+      .agg(count_distinct(pair).as("n_user_pairs_sampled"))
+    sketches.crossJoin(exactSample)
       .select(col("n_overlap_pairs"), col("n_user_pairs_sampled"),
         when(col("n_user_pairs_sampled") > 0,
           abs(col("est_sampled") - col("n_user_pairs_sampled")) /

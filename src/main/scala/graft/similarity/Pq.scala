@@ -29,22 +29,49 @@ object Pq {
 
   private def cbLit(cb: Codebooks): Column = typedLit(cb)
 
-  /** Squared-L2 argmin over subspace `j`'s codebook for a subvector
-    * expression — interpreted-HOF-free codegen via struct `array_min`
-    * (lexicographic: distance first, code as tie-break). `cbCol` is the
-    * full codebook literal; `jExpr`/`subExpr` are SQL fragments. */
-  private def codeExpr(k: Int, jExpr: String, subExpr: String): String =
-    s"""array_min(transform(sequence(0, ${k - 1}), c -> struct(
-       |  aggregate(zip_with($subExpr, __cb[$jExpr][c],
-       |            (a, b) -> (a - b) * (a - b)),
-       |            cast(0 as double), (acc, x) -> acc + x) AS d,
-       |  c AS code))).code""".stripMargin
+  /** Squared-L2 argmin over subspace `j`'s codebook — struct `array_min`
+    * (lexicographic: distance first, code as tie-break). The distance is
+    * STATICALLY UNROLLED element arithmetic (`elem(i)` must yield the
+    * i-th subvector component as a SQL fragment): Spark evaluates HOF
+    * lambdas interpreted, so the original inner `aggregate(zip_with(...))`
+    * paid two lambda dispatches plus a zipped-array allocation per
+    * (code, element) — measured at sf10 as 50 s to encode 200k vectors.
+    * Flat `v[i]` arithmetic keeps only the outer per-code transform
+    * lambda: one UnsafeArrayData getDouble per term, no allocation. */
+  private def codeExpr(k: Int, subd: Int, jExpr: String,
+                       elem: Int => String): String = {
+    // iterate the codebook ARRAY with the 2-arg lambda — `cc` (the
+    // centroid) binds once per code, so the literal nests are traversed
+    // once, not once per squared-difference term (the term-inlined
+    // variant re-resolved __cb[j][c][i] eight times per code and
+    // measured SLOWER than the zip_with original at sf10)
+    val dist = (0 until subd).map { i =>
+      s"(${elem(i)} - cc[$i]) * (${elem(i)} - cc[$i])"
+    }.mkString(" + ")
+    s"""array_min(transform(__cb[$jExpr], (cc, c) -> struct(
+       |  $dist AS d, c AS code))).code""".stripMargin
+  }
+
+  /** Vectors the training pass reads — codebooks converge on a sample
+    * (FAISS-style engines train PQ on a bounded sample at any corpus
+    * size; 64k is 4096 vectors per codebook entry at k=16); the full
+    * corpus is only ever ENCODED (one projection). Deterministic:
+    * stride-hash membership, no RNG. */
+  private val TrainTarget = 65536L
 
   /** Train codebooks: `iters` Lloyd rounds per subspace, all m subspaces
-    * in one frame. `emb` must carry `vec_id` and `embedding`. */
+    * in one frame. `emb` must carry `vec_id` and `embedding`. Training
+    * reads a deterministic ~[[TrainTarget]]-vector hash-sample of the
+    * corpus — O(1) training memory/time at any corpus size, the
+    * standard PQ regime. */
   def train(emb: DataFrame, m: Int = 16, k: Int = 16, iters: Int = 3): Codebooks = {
+    val n = emb.count()
+    val stride = math.max(1L, (n + TrainTarget - 1) / TrainTarget)
+    val sample =
+      if (stride == 1L) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
     val p = graft.Caching.materialize(
-      emb.select(col("vec_id"),
+      sample.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v")))
     val d = p.select(size(col("v"))).first().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
@@ -70,7 +97,7 @@ object Pq {
     while (i < iters) {
       val assigned = subs
         .withColumn("__cb", cbLit(cb))
-        .withColumn("code", expr(codeExpr(k, "j", "sub")))
+        .withColumn("code", expr(codeExpr(k, subd, "j", i => s"sub[$i]")))
       // exact DECIMAL mean per (j, code, dim) — k·d shuffle rows, map-side
       // partials; an empty cluster keeps its previous centroid
       val means = assigned
@@ -100,7 +127,7 @@ object Pq {
       .withColumn("__cb", cbLit(cb))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
-           |  ${codeExpr(k, "j", s"slice(v, j * $subd + 1, $subd)")})""".stripMargin))
+           |  ${codeExpr(k, subd, "j", i => s"v[j * $subd + $i]")})""".stripMargin))
       .select("vec_id", "codes")
   }
 
@@ -123,11 +150,27 @@ object Pq {
            shortlist: Int = 50): DataFrame = {
     val spark = emb.sparkSession
     val cb = train(emb, m, k, iters)
-    val corpus = encode(emb, cb)
+    // MATERIALIZED: the shortlist join fans each corpus row out to
+    // |queries| pairs, and without a materialization barrier the
+    // encode+reconstruct projection (interpreted HOFs) re-evaluates per
+    // PAIR — measured at sf10 as 8× the 50 s encode cost per topK
+    // reference. Decoded corpus is m·(d/m) doubles/row (~100 MB per 200k
+    // vectors), spill-safe under MEMORY_AND_DISK. In the production
+    // IVF-PQ shape this frame is the persisted code table — the cache is
+    // its small-scale analogue, opt-out via graft.materialize.
+    val corpus = graft.Caching.materialize(encode(emb, cb)
       .withColumn("__cb", cbLit(cb))
       .withColumn("dq", expr(reconExpr(m)))
-      .select("vec_id", "dq")
+      .select("vec_id", "dq"))
     val q = Cosine.prepared(emb).filter(col("vec_id") < nQueries)
+    // two-level shortlist: a per-(query, salt) local top-`shortlist`
+    // first (parallelism queries×64, each sorting corpus/64 rows), then
+    // the global per-query rank over the O(queries×64×shortlist)
+    // survivors — a single-level window would sort the whole
+    // queries×corpus stream in |queries| tasks (measured ~20 min/pass
+    // at sf10; this shape is minutes → seconds)
+    val wLocal = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("pqsim").desc, col("neighbor_id"))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("pqsim").desc, col("neighbor_id"))
     val candidates = corpus.as("c")
@@ -135,6 +178,9 @@ object Pq {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         graft.functions.GraftFunctions.cosine_sim(spark, col("q.v"), col("c.dq"))
           .as("pqsim"))
+      .withColumn("salt", pmod(xxhash64(col("neighbor_id")), lit(64)))
+      .withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= shortlist)
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")

@@ -42,6 +42,30 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(s""""value":${Bench.fmtSec(total)}"""))
   }
 
+  test("truncation keeps every family represented (round-robin shed)") {
+    // 10 families x 40 queries: far beyond the window. Family f0 is the
+    // slowest family; f9 queries are all fast — under plain
+    // slowest-first f9 would vanish entirely.
+    val best = (for (f <- 0 until 10; i <- 0 until 40)
+      yield f"fam$f%d_query_with_a_long_name_$i%02d" -> (10.0 - f + i * 0.001)).toMap
+    val line = Bench.renderCompact(best, Map.empty, 1.0, 2.0, "/tmp/sf")
+    assert(line.length <= Bench.MaxLineChars)
+    assert(line.contains("\"queries_omitted\":"))
+    for (f <- 0 until 10)
+      assert(line.contains(s"fam${f}_"), s"family fam$f shed entirely")
+    // within each family the kept entry is its slowest member
+    assert(line.contains("fam9_query_with_a_long_name_39"))
+  }
+
+  test("full live registry line keeps every family visible") {
+    val names = SparkEntry.queries.keys.toSeq
+    val line = Bench.renderCompact(worstCase(names), Map.empty, 6.37, 124.59,
+      "/root/testdata/sf0.1")
+    val fams = names.map(_.takeWhile(_ != '_')).distinct
+    for (f <- fams)
+      assert(line.contains("\"" + f), s"family $f missing from compact line")
+  }
+
   test("errors stay in the line and failed queries leave the per-query map") {
     val names = SparkEntry.queries.keys.toSeq
     val errs = Map(names.head ->
