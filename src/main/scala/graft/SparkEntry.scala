@@ -653,19 +653,22 @@ object SparkEntry {
               (col("max_err") <= 0.02).as("sim_err_ok"))
   }
 
-  /** #144 Product-quantization ANN (round 9) — the codebook member of
-    * the quantization family ([[graft.similarity.Pq]]): m=16 subspaces
-    * × 16-entry L2 codebooks turn a 64-dim float64 embedding into 16
-    * nibble codes (64× smaller corpus scan; the FAISS-style regime at
-    * billion-vector scale). Same bounded oracle as #89: recall of the
-    * PQ top-10 against the exact brute-force top-10 (floor + mean),
-    * plus a similarity error bound that the exact re-rank pins to ~0
-    * (surviving hits carry exact sims). Recall floors measured across
-    * sf0.001/0.01/0.1 (min 0.5/0.7/0.5, mean 0.83/0.89/0.71 with a
-    * constant 50-candidate shortlist — recall decays as corpus/shortlist
-    * grows, the honest constant-budget behavior). Deterministic training
-    * (hash seeds, DECIMAL means), so the booleans are stable, not
-    * statistical. */
+  /** #144 Product-quantization ANN (round 9; ADC scan round 10) — the
+    * codebook member of the quantization family
+    * ([[graft.similarity.Pq]]): m=16 subspaces × 16-entry L2 codebooks
+    * turn a 64-dim float64 embedding into 16 nibble codes (64× smaller
+    * corpus scan; the FAISS-style regime at billion-vector scale). The
+    * probe is an asymmetric-distance (ADC) scan over the PERSISTED code
+    * table — train/encode run once per session under `indexKey` (the
+    * stored-artifact lifecycle); the benched read path is m unrolled
+    * lookup-table probes per pair, never a reconstructed vector. Same
+    * bounded oracle as #89: recall of the PQ top-10 against the exact
+    * brute-force top-10 (floor + mean), plus a similarity error bound
+    * that the exact re-rank pins to ~0 (surviving hits carry exact
+    * sims). Recall decays as corpus/shortlist grows with the constant
+    * 50-candidate shortlist — the honest constant-budget behavior.
+    * Deterministic training (hash seeds, DECIMAL means), so the
+    * booleans are stable, not statistical. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // both top-k frames are referenced 2-3x by the recall/error oracle
@@ -676,7 +679,8 @@ object SparkEntry {
       Cosine.bruteTopK(emb, nQueries = 8, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact")))
     val pq = graft.Caching.materialize(
-      graft.similarity.Pq.topK(emb, nQueries = 8, kNeighbors = 10)
+      graft.similarity.Pq.topK(emb, nQueries = 8, kNeighbors = 10,
+          indexKey = Some(s"emb:$dir"))
         .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q")))
     val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))

@@ -42,7 +42,23 @@ object Scd2 {
 
   /** Apply one batch of (key, attrs) at `batchTs`. Unchanged rows
     * no-op; changed keys close + re-version; unseen keys insert their
-    * first version. Returns the number of (closed, inserted) rows. */
+    * first version. Returns the number of (closed, inserted) rows.
+    *
+    * Replay contract: re-applying a batch that already landed is a
+    * NO-OP, not an error — the replayed rows compare equal to the
+    * versions the first delivery opened, so the change set is empty and
+    * the zero-work short-circuit returns (0, 0) before the time-order
+    * guard runs. The guard therefore only fires on a batch carrying
+    * REAL changes at a timestamp not strictly after every open
+    * `valid_from` — genuinely out-of-order CDC, which must fail loudly
+    * (closing a version and opening its successor at the same instant
+    * would collide on the (key, valid_from) merge key).
+    *
+    * Actions per batch: the change join is materialized ONCE and read
+    * by (a) a single accounting aggregate (ordering guard + both counts
+    * in one pass) and (b) the merge's staged frame — two actions total,
+    * where the earlier shape re-ran the un-materialized join four
+    * times (first() + two count()s + the merge's own evaluation). */
   def apply(spark: SparkSession, batch: DataFrame, table: String,
             keyCols: Seq[String], attrCols: Seq[String],
             batchTs: String): (Long, Long) = {
@@ -51,41 +67,46 @@ object Scd2 {
       .select((keyCols.map(c => col(c)) :+ col("valid_from").as("__cur_vf"))
         ++ attrCols.map(c => col(c).as(s"__cur_$c")): _*)
     val b = batch.select((keyCols ++ attrCols).map(col): _*)
-    val joined = b.join(cur, keyCols, "left")
-    // null-safe attr comparison: a NULL->value or value->NULL transition
-    // is a change; NULL<=>NULL is not
-    val changed = attrCols.map(c => !(col(c) <=> col(s"__cur_$c")))
-      .reduce(_ || _)
-    val isNew = col("__cur_vf").isNull
-    val ts = lit(batchTs).cast("timestamp")
-    val openVf = joined.agg(max(col("__cur_vf"))).first()
-    require(openVf.isNullAt(0) ||
-      openVf.getTimestamp(0).before(java.sql.Timestamp.valueOf(batchTs)),
-      s"batchTs $batchTs is not after every open valid_from " +
-      s"(${openVf.get(0)}) — SCD-2 batches must apply in time order")
-    val closes = joined.filter(!isNew && changed)
-      .select((keyCols.map(col) :+ col("__cur_vf").as("valid_from")) ++
-        attrCols.map(c => col(s"__cur_$c").as(c)): _*)
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
-    val inserts = joined.filter(isNew || changed)
-      .select((keyCols ++ attrCols).map(col): _*)
-      .withColumn("valid_from", ts)
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
-    val staged = closes.unionByName(inserts)
-    val nCloses = closes.count()
-    val nInserts = inserts.count()
-    if (nCloses + nInserts > 0)
-      TxLog.mergeConditional(staged, table, keyCols :+ "valid_from", Seq(
-        // the matched rows are exactly the versions being closed (their
-        // (key, valid_from) came from the open slice); the guard keeps a
-        // replayed batch from re-closing an already-closed version
-        MatchedUpdate(Some("t.is_current"),
-          Map("valid_to" -> s"cast('$batchTs' as timestamp)",
-              "is_current" -> "false")),
-        NotMatchedInsert(None)))
-    (nCloses, nInserts)
+    val joined = graft.Caching.materialize(b.join(cur, keyCols, "left"))
+    try {
+      // null-safe attr comparison: a NULL->value or value->NULL transition
+      // is a change; NULL<=>NULL is not
+      val changed = attrCols.map(c => !(col(c) <=> col(s"__cur_$c")))
+        .reduce(_ || _)
+      val isNew = col("__cur_vf").isNull
+      val ts = lit(batchTs).cast("timestamp")
+      val acct = joined.agg(max(col("__cur_vf")).as("open_vf"),
+        sum(when(!isNew && changed, 1L).otherwise(0L)).as("n_closes"),
+        sum(when(isNew || changed, 1L).otherwise(0L)).as("n_inserts")).first()
+      val nCloses = if (acct.isNullAt(1)) 0L else acct.getLong(1)
+      val nInserts = if (acct.isNullAt(2)) 0L else acct.getLong(2)
+      if (nCloses + nInserts == 0) return (0L, 0L) // replay or no-change batch
+      require(acct.isNullAt(0) ||
+        acct.getTimestamp(0).before(java.sql.Timestamp.valueOf(batchTs)),
+        s"batchTs $batchTs is not after every open valid_from " +
+        s"(${acct.get(0)}) — SCD-2 batches must apply in time order")
+      val closes = joined.filter(!isNew && changed)
+        .select((keyCols.map(col) :+ col("__cur_vf").as("valid_from")) ++
+          attrCols.map(c => col(s"__cur_$c").as(c)): _*)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val inserts = joined.filter(isNew || changed)
+        .select((keyCols ++ attrCols).map(col): _*)
+        .withColumn("valid_from", ts)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      TxLog.mergeConditional(closes.unionByName(inserts), table,
+        keyCols :+ "valid_from", Seq(
+          // the matched rows are exactly the versions being closed (their
+          // (key, valid_from) came from the open slice); `t.is_current`
+          // is defense-in-depth — replays never reach the merge (the
+          // zero-work short-circuit above returns first)
+          MatchedUpdate(Some("t.is_current"),
+            Map("valid_to" -> s"cast('$batchTs' as timestamp)",
+                "is_current" -> "false")),
+          NotMatchedInsert(None)))
+      (nCloses, nInserts)
+    } finally joined.unpersist()
   }
 
   /** The dimension as of `ts` — the join face consumers use. */

@@ -1111,9 +1111,16 @@ object TxLog {
         }
       }
       // fully-deleted files are removed outright; the rest re-add with
-      // their new DV (adds overwrite by path on replay — no remove needed)
+      // their new DV (adds overwrite by path on replay — no remove
+      // needed). A legacy add with unknown numRecords gets one footer
+      // read here — otherwise a fully-deleted legacy file would survive
+      // as a zero-logical-row husk, violating the no-empty-husk contract
+      def physicalRows(f: AddFile): Long =
+        if (f.numRecords >= 0) f.numRecords
+        else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
+          new Path(root, f.path))._1
       val (gone, partial) = touched.partition(f =>
-        f.numRecords >= 0 && counts.getOrElse(dvKey(f.path), 0L) >= f.numRecords)
+        counts.getOrElse(dvKey(f.path), 0L) >= physicalRows(f))
       val adds = partial.map(f => f.copy(
         dvPath = Some(dvFiles(dvKey(f.path))),
         dvRows = counts(dvKey(f.path))))

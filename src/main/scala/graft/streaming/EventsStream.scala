@@ -399,8 +399,11 @@ object EventsStream {
     val src = s"$base/src"
     Files.createDirectories(Paths.get(src))
     val ev = graft.Tables.normalizeTs(events.select("ts", "value"), "ts")
-    val maxSplitBytes = spark.conf.get("spark.sql.files.maxPartitionBytes",
-      "134217728").stripSuffix("b").toLong
+    // parse via the same byte-string grammar the conf accepts — a
+    // unit-suffixed setting ("128m", "128MB") is valid Spark config and
+    // a bare stripSuffix+toLong threw on it before any staging happened
+    val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$base/stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)

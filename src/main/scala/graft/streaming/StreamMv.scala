@@ -28,12 +28,24 @@ import graft.acid.{MaterializedView, MvSpec}
 object StreamMv {
 
   /** Drain everything the cursor has not yet delivered, folding one
-    * batch per poll; returns the number of batches applied. */
+    * batch per poll; returns the number of batches applied.
+    *
+    * The cursor is CLAMPED to the view's own watermark before each poll:
+    * a restarted cursor re-opened at a stale checkpoint would otherwise
+    * widen its batch to the CURRENT head — and if new base commits
+    * landed between the crash and the replay, `foldChanges`'
+    * all-or-nothing watermark check sees hint > watermark, passes, and
+    * the already-folded prefix of the range double-applies. Clamping
+    * makes the replayed poll start exactly at the first unapplied
+    * version, so the batch contains only new work regardless of what
+    * committed in the crash window. */
   def pump(spark: SparkSession, baseTable: String, mvTable: String,
            spec: MvSpec, cursor: ChangeFeedCursor): Int = {
     var applied = 0
     var more = true
     while (more) {
+      cursor.nextVersion = math.max(cursor.nextVersion,
+        MaterializedView.appliedThrough(spark, mvTable) + 1)
       cursor.poll() match {
         case Some((_, hi, changes)) =>
           MaterializedView.foldChanges(spark, mvTable, spec, changes, hi)

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.acid.TxLog
+
+/** Round-10 laws: the PQ ADC scan (lookup-table similarity ==
+  * reconstructed cosine, train-once index store), the StreamMv replay
+  * clamp (crash + intervening commits), SCD-2 replay semantics and
+  * one-pass accounting, and the legacy-numRecords DV husk fix. */
+class Round10Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // --------------------------------------------------------------- PQ ADC
+
+  test("pq ADC: lookup-table similarity equals reconstructed cosine exactly") {
+    import graft.similarity.{Cosine, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val m = 16; val k = 16
+    val cb = Pq.train(emb, m, k, iters = 2)
+    val subd = cb.head.head.size
+    // driver-side model of both paths over every (query, corpus) pair:
+    // ADC = sum of LUT lookups; reference = cosine(q, concat centroids)
+    val vecs = Cosine.prepared(emb).select("vec_id", "v", "norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val codes = Pq.encode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val queries = vecs.filter(_._1 < 4)
+    for ((qid, qv, qnorm) <- queries) {
+      val lut = cb.zipWithIndex.map { case (cs, j) =>
+        cs.map(c => (0 until subd).map(i => qv(j * subd + i) * c(i)).sum)
+      }
+      for ((nid, _, _) <- vecs.take(50) if nid != qid) {
+        val cd = codes(nid)
+        val recon = (0 until m).flatMap(j => cb(j)(cd(j))).toArray
+        val rnorm = math.sqrt(recon.map(x => x * x).sum)
+        val refSim = (0 until qv.length).map(i => qv(i) * recon(i)).sum /
+          (qnorm * rnorm)
+        val adcSim = (0 until m).map(j => lut(j)(cd(j))).sum / (qnorm * rnorm)
+        assert(math.abs(adcSim - refSim) < 1e-9,
+          s"ADC sim diverges from reconstructed cosine for ($qid, $nid)")
+      }
+    }
+  }
+
+  test("pq index store: train-once lifecycle, probes are pure read path") {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val i1 = Pq.indexFor(emb, s"test:$sf", iters = 2)
+    val i2 = Pq.indexFor(emb, s"test:$sf", iters = 2)
+    assert(i1 eq i2) // second call hit the store — no retrain, no re-encode
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(i1.codesPath)))
+    // the persisted code table carries codes + precomputed |x-hat| only
+    val codeTable = spark.read.parquet(i1.codesPath)
+    assert(codeTable.columns.toSeq === Seq("vec_id", "codes", "rnorm"))
+    // two probes through the same key agree row-for-row
+    val r1 = Pq.topK(emb, 4, 5, iters = 2, indexKey = Some(s"test:$sf")).collect()
+    val r2 = Pq.topK(emb, 4, 5, iters = 2, indexKey = Some(s"test:$sf")).collect()
+    assert(r1.toSeq === r2.toSeq)
+  }
+
+  // ------------------------------------------------------ StreamMv replay
+
+  test("streaming MV: replay with INTERVENING base commits cannot double-apply") {
+    import spark.implicits._
+    import graft.acid.{MaterializedView, MvSpec}
+    import graft.streaming.{ChangeFeedStream, StreamMv}
+    val base = tmp("smv10_base"); val mv = tmp("smv10_view") + "/v"
+    val spec = MvSpec(Seq("grp"), Seq("amount"))
+    TxLog.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "b", 5.0)).toDF("id", "grp", "amount"), base) // v1
+    val cursor = ChangeFeedStream.cursor(spark, base,
+      MaterializedView.initialize(spark, base, mv, spec))
+    val replayFrom = cursor.nextVersion
+    TxLog.append(Seq((3L, "a", 7.0)).toDF("id", "grp", "amount"), base)   // v2
+    assert(StreamMv.pump(spark, base, mv, spec, cursor) === 1)
+    // CRASH: the external cursor checkpoint is lost, AND a new base
+    // commit lands before the consumer restarts. The restarted cursor's
+    // first poll would span [replayFrom .. v3] — with v2 already folded.
+    TxLog.append(Seq((4L, "b", 3.0)).toDF("id", "grp", "amount"), base)   // v3
+    val replayCursor = ChangeFeedStream.cursor(spark, base, replayFrom)
+    StreamMv.pump(spark, base, mv, spec, replayCursor)
+    val v = TxLog.read(spark, mv)
+    val r = MaterializedView.compute(TxLog.read(spark, base), spec)
+    assert(v.exceptAll(r).isEmpty && r.exceptAll(v).isEmpty,
+      "replayed cursor with intervening commits corrupted the view")
+  }
+
+  // --------------------------------------------------------- SCD-2 replay
+
+  test("scd2: replayed batch no-ops with (0,0); real out-of-order batch fails loudly") {
+    import spark.implicits._
+    import graft.acid.Scd2
+    val t = tmp("scd10")
+    val key = Seq("id"); val attrs = Seq("seg")
+    Scd2.initialize(Seq((1L, "x"), (2L, "y")).toDF("id", "seg"),
+      t, key, attrs, "2024-01-01 00:00:00")
+    val b1 = Seq((1L, "CHANGED"), (2L, "y")).toDF("id", "seg")
+    assert(Scd2.apply(spark, b1, t, key, attrs, "2024-02-01 00:00:00") === (1L, 1L))
+    val after = TxLog.read(spark, t).collect().toSet
+    // replay of the SAME batch at the SAME ts: no-op, not an exception —
+    // the re-delivered rows equal the versions the first delivery opened
+    assert(Scd2.apply(spark, b1, t, key, attrs, "2024-02-01 00:00:00") === (0L, 0L))
+    assert(TxLog.read(spark, t).collect().toSet === after)
+    // a batch with REAL changes at a non-advancing ts is out-of-order CDC
+    val bad = Seq((1L, "AGAIN"), (2L, "y")).toDF("id", "seg")
+    intercept[IllegalArgumentException] {
+      Scd2.apply(spark, bad, t, key, attrs, "2024-02-01 00:00:00")
+    }
+    // time moves forward: applies cleanly and chains a third version
+    assert(Scd2.apply(spark, bad, t, key, attrs, "2024-03-01 00:00:00") === (1L, 1L))
+    val dim = TxLog.read(spark, t)
+    assert(dim.filter(col("id") === 1L).count() === 3L)
+    assert(dim.filter(col("is_current") && col("id") === 1L)
+      .select("seg").collect().head.getString(0) === "AGAIN")
+  }
+
+  // ----------------------------------------------- DV legacy numRecords
+
+  test("deleteWithDv: fully-deleted legacy file (numRecords unknown) leaves no husk") {
+    import spark.implicits._
+    val t = tmp("dvlegacy")
+    TxLog.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+      .coalesce(1), t)
+    // simulate a legacy log: strip the recorded row count from the add
+    val logFile = new java.io.File(s"$t/_txlog").listFiles()
+      .filter(_.getName.endsWith(".json")).minBy(_.getName)
+    val patched = scala.io.Source.fromFile(logFile).mkString
+      .replaceAll(""""numRecords":\d+""", "\"numRecords\":-1")
+    java.nio.file.Files.write(logFile.toPath,
+      patched.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // delete EVERY row: the file must be removed outright (footer read
+    // supplies the unknown count), not re-added as a zero-row DV husk
+    TxLog.deleteWithDv(spark, t, lit(true))
+    assert(TxLog.read(spark, t).isEmpty)
+    assert(TxLog.livePaths(spark, t).isEmpty,
+      "fully-deleted legacy file survived as an empty husk")
+  }
+}
