@@ -698,6 +698,45 @@ object SparkEntry {
               (col("max_err") <= 0.001).as("sim_err_ok"))
   }
 
+  /** #146 IVF×PQ ANN (round 10, [[graft.similarity.IvfPq]]) — the
+    * billion-vector production read path composing #26b's inverted-file
+    * cells with #144's nibble codes: the probe partition-prunes to
+    * `nprobe`/16 of the cell-partitioned code table and ADC-scans
+    * ~16 B/row inside it, then exact re-ranks — sub-linear in rows read
+    * AND bytes per row, where `ann_pq` alone still scans every code and
+    * `ann_ivf` alone still reads full vectors in probed cells. Same
+    * bounded recall-floor oracle as its parents, measured vs exact
+    * brute force (sf0.001/0.01/0.1: min 0.2/0.2/0.3, mean
+    * 0.49/0.45/0.55 — below `ann_pq`'s, the designed trade: nprobe=4 of
+    * 16 cells skips 3/4 of the corpus); train/encode run once per
+    * session under `indexKey` (the stored-artifact lifecycle).
+    * Deterministic training on both halves (hash seeds, DECIMAL means),
+    * so the booleans are stable. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val brute = graft.Caching.materialize(
+      Cosine.bruteTopK(emb, nQueries = 8, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact")))
+    val ivfpq = graft.Caching.materialize(
+      graft.similarity.IvfPq.topK(emb, nQueries = 8, kNeighbors = 10,
+          indexKey = Some(s"emb:$dir"))
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q")))
+    val hits = brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val recall = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+           min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
+    val simErr = brute.join(ivfpq, Seq("query_id", "neighbor_id"))
+      .agg(max(abs(col("sim_q") - col("sim_exact"))).as("max_err"))
+    recall.crossJoin(simErr)
+      .select(col("n_queries"),
+              (col("minr") >= 0.2).as("min_recall_ok"),
+              (col("meanr") >= 0.4).as("mean_recall_ok"),
+              (col("max_err") <= 0.001).as("sim_err_ok"))
+  }
+
   /** #94 Domain-weighted mixture sampling (the training-data recipe
     * step): per-source integer weights (1 + suffix % 3 — derived from
     * the source name so both engines agree), mixture scale set by the
@@ -2113,6 +2152,7 @@ object SparkEntry {
     "ann_lsh"             -> (annLsh _),
     "ann_quantized"       -> (annQuantized _),
     "ann_pq"              -> (annPq _),
+    "ann_ivf_pq"          -> (annIvfPq _),
     "sample_stratified"   -> (sampleStratified _),
     "sample_mixture"      -> (sampleMixture _),
     "text_langid"         -> (textLangid _),
@@ -3485,6 +3525,10 @@ object SparkEntry {
         |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
 
     "ann_pq" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
+        |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
+
+    "ann_ivf_pq" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
         |       true AS mean_recall_ok, true AS sim_err_ok""".stripMargin,
 

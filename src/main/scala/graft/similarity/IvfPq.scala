@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF×PQ — the billion-vector production read path, composing the two
+  * halves this library already carries: [[Ivf]] partitions the corpus
+  * into Voronoi cells (a query probes only its `nprobe` nearest), and
+  * [[Pq]] stores each vector as 16 nibble codes scanned by
+  * asymmetric-distance lookup tables. Composed, the probe cost is
+  * O(corpus × nprobe / nCells) rows × ~16 B/row — sub-linear in BOTH
+  * dimensions: the cell filter prunes which rows are read, the codes
+  * shrink what a read costs. Separately each half is a demo; together
+  * they are the FAISS `IVFx,PQy` shape.
+  *
+  * Index layout: the code table is written PARTITIONED BY CELL, so the
+  * probe's `cell IN (probed…)` predicate is directory-level partition
+  * pruning — the parquet scan never opens a non-probed cell's files.
+  * That is the on-disk analogue of FAISS's inverted lists, expressed as
+  * the same partition-pruning machinery every other table here uses.
+  *
+  * Codes are assigned from ONE shared codebook over raw vectors (not
+  * per-cell residuals): residual encoding buys precision when cells are
+  * tight; raw coding keeps the codebook a single driver literal and the
+  * encode one projection, and the exact re-rank pass erases the
+  * difference for the emitted top-k (candidates carry exact sims either
+  * way — only recall, bounded by the oracle, differs).
+  *
+  * Probe-side math is all driver metadata: cell selection ranks the
+  * query against the IVF centroid literals, the ADC lookup table is
+  * k·d multiplies per query — the cluster only ever scans codes. */
+object IvfPq {
+
+  /** Codebooks + IVF centroids + the cell-partitioned code table. */
+  final case class IvfPqIndex(cb: Pq.Codebooks,
+                              centroids: Seq[(Int, Seq[Double])],
+                              codesPath: String)
+
+  private val indexStore =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+
+  /** Train both halves and write the cell-partitioned code table:
+    * `(vec_id, codes, rnorm)` under `cell=<c>/` directories. */
+  def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 16,
+                 iters: Int = 3, sessionLifetime: Boolean = false): IvfPqIndex = {
+    val (assigned, centroids) = Ivf.train(emb, nCells, iters)
+    val cb = Pq.train(emb, m, k, iters)
+    val dir =
+      if (sessionLifetime)
+        java.nio.file.Files.createTempDirectory("graft_ivfpqindex_keep").toString
+      else graft.TempDirs.create("ivfpqindex")
+    Pq.encodeWithNorm(emb, cb)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    IvfPqIndex(cb, centroids, dir)
+  }
+
+  /** The index for `key`, building it on first use (train once, probe
+    * many — the stored-artifact lifecycle, like [[Pq.indexFor]]). */
+  def indexFor(emb: DataFrame, key: String, nCells: Int = 16, m: Int = 16,
+               k: Int = 16, iters: Int = 3): IvfPqIndex =
+    indexStore.computeIfAbsent(s"$key|c=$nCells|m=$m|k=$k|i=$iters",
+      _ => buildIndex(emb, nCells, m, k, iters, sessionLifetime = true))
+
+  /** IVF×PQ top-k: (1) per query, rank the IVF centroids on the driver
+    * and keep the `nprobe` nearest cells; (2) ADC-scan ONLY those
+    * cells' code partitions (partition-pruned read, ~16 B/row); (3)
+    * exact re-rank of the per-query `shortlist` survivors. */
+  def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
+           nCells: Int = 16, nprobe: Int = 4, m: Int = 16, k: Int = 16,
+           iters: Int = 3, shortlist: Int = 50,
+           indexKey: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idx = indexKey match {
+      case Some(key) => indexFor(emb, key, nCells, m, k, iters)
+      case None => buildIndex(emb, nCells, m, k, iters)
+    }
+    val qRows = Pq.collectQueries(emb, nQueries)
+    // driver-side probe selection against the centroid metadata — the
+    // same cosine-distance ranking Ivf's probe projection computes
+    def nearestCells(v: Seq[Double]): Seq[Int] = {
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      idx.centroids.map { case (cell, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val dot = v.indices.map(i => v(i) * c(i)).sum
+        (1.0 - dot / (vn * cn), cell)
+      }.sorted.take(nprobe).map(_._2)
+    }
+    // one (query, cell, lut, qnorm) row per probed cell: the equi-join
+    // below replicates each scanned code row only to the queries that
+    // probed its cell
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val v = r.getSeq[Double](1)
+      val lut = Pq.adcLut(idx.cb, v)
+      nearestCells(v).map(c => (r.getLong(0), c, lut, r.getDouble(2)))
+    }
+    val probes = broadcast(
+      probeRows.toDF("query_id", "cell", "__lut", "__qnorm"))
+    val allProbed = probeRows.map(_._2).distinct
+    // cell IN (...) is partition pruning on the cell-partitioned layout:
+    // non-probed cells' files are never opened
+    val scored = spark.read.parquet(idx.codesPath)
+      .filter(col("cell").isin(allProbed: _*))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Pq.adcSim(m).as("pqsim"))
+    Pq.refineExact(emb, Pq.adcShortlist(scored, shortlist), qRows, kNeighbors)
+  }
+}

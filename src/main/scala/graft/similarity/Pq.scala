@@ -161,6 +161,28 @@ object Pq {
   private def centroidNorm2(cb: Codebooks): Seq[Seq[Double]] =
     cb.map(_.map(c => c.map(x => x * x).sum))
 
+  /** `(vec_id, codes, rnorm)` — the encode projection plus the
+    * precomputed reconstruction norm `|x̂| = sqrt(Σ_j |c_{j,codes_j}|²)`
+    * (m lookups into the squared-norm literal, query-independent so it
+    * is paid once at encode time). */
+  private[similarity] def encodeWithNorm(emb: DataFrame, cb: Codebooks): DataFrame = {
+    val m = cb.size
+    val rnorm = (0 until m).map(j => s"__n2[$j][codes[$j]]").mkString(" + ")
+    encode(emb, cb)
+      .withColumn("__n2", typedLit(centroidNorm2(cb)))
+      .withColumn("rnorm", expr(s"sqrt($rnorm)"))
+      .select("vec_id", "codes", "rnorm")
+  }
+
+  /** Per-query ADC lookup table: lut[j][c] = q_subvector_j ·
+    * centroid_{j,c} — k·d driver multiplies per query. */
+  private[similarity] def adcLut(cb: Codebooks, v: Seq[Double]): Seq[Seq[Double]] = {
+    val subd = cb.head.head.size
+    cb.zipWithIndex.map { case (codes, j) =>
+      codes.map(c => (0 until subd).map(i => v(j * subd + i) * c(i)).sum)
+    }
+  }
+
   /** Train + encode + write the code table. With `sessionLifetime` the
     * dir survives per-scenario scratch cleanup (the bucketed-tables
     * discipline); otherwise it registers with [[graft.TempDirs]]. */
@@ -171,13 +193,7 @@ object Pq {
       if (sessionLifetime)
         java.nio.file.Files.createTempDirectory("graft_pqindex_keep").toString
       else graft.TempDirs.create("pqindex")
-    val n2 = centroidNorm2(cb)
-    val rnorm = (0 until m).map(j => s"__n2[$j][codes[$j]]").mkString(" + ")
-    encode(emb, cb)
-      .withColumn("__n2", typedLit(n2))
-      .withColumn("rnorm", expr(s"sqrt($rnorm)"))
-      .select("vec_id", "codes", "rnorm")
-      .write.mode("overwrite").parquet(dir)
+    encodeWithNorm(emb, cb).write.mode("overwrite").parquet(dir)
     PqIndex(cb, dir)
   }
 
@@ -215,46 +231,65 @@ object Pq {
       case Some(key) => indexFor(emb, key, m, k, iters)
       case None => buildIndex(emb, m, k, iters)
     }
-    val subd = idx.cb.head.head.size
     // the query batch is driver metadata by contract (few queries, like
     // Ivf's centroids): one pushed-down point read collects it, and the
     // per-query LUT — lut[j][c] = q_subvector_j · centroid_{j,c} — is
     // k·d driver multiplies per query
-    val qRows = Cosine.prepared(emb).filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("v"), col("norm")).collect()
+    val qRows = collectQueries(emb, nQueries)
     val qMeta = qRows.toSeq.map { r =>
-      val v = r.getSeq[Double](1)
-      val lut = idx.cb.zipWithIndex.map { case (codes, j) =>
-        codes.map(c => (0 until subd).map(i => v(j * subd + i) * c(i)).sum)
-      }
-      (r.getLong(0), lut, r.getDouble(2))
+      (r.getLong(0), adcLut(idx.cb, r.getSeq[Double](1)), r.getDouble(2))
     }
     val q = broadcast(qMeta.toDF("query_id", "__lut", "__qnorm"))
-    // ADC similarity: cos(q, x̂) = Σ_j lut[j][codes[j]] / (|q|·|x̂|) —
-    // m unrolled lookups per pair, all inside whole-stage codegen
+    val scored = spark.read.parquet(idx.codesPath)
+      .join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcSim(m).as("pqsim"))
+    refineExact(emb, adcShortlist(scored, shortlist), qRows, kNeighbors)
+  }
+
+  /** `(vec_id, v, norm)` rows of the query batch — one pushed-down
+    * point read; bounded driver metadata by the few-queries contract. */
+  private[similarity] def collectQueries(emb: DataFrame, nQueries: Int) =
+    Cosine.prepared(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"), col("norm")).collect()
+
+  /** ADC similarity: cos(q, x̂) = Σ_j lut[j][codes[j]] / (|q|·|x̂|) — m
+    * statically-unrolled lookups per pair, all inside whole-stage
+    * codegen. Expects columns `codes`, `rnorm`, `__lut`, `__qnorm`. */
+  private[similarity] def adcSim(m: Int): Column = {
     val adcDot = (0 until m).map(j => s"__lut[$j][codes[$j]]").mkString(" + ")
-    // two-level shortlist: a per-(query, salt) local top-`shortlist`
-    // first (parallelism queries×64, each sorting corpus/64 rows), then
-    // the global per-query rank over the O(queries×64×shortlist)
-    // survivors — a single-level window would sort the whole
-    // queries×corpus stream in |queries| tasks (measured ~20 min/pass
-    // at sf10; this shape is minutes → seconds)
+    expr(adcDot) / (col("__qnorm") * col("rnorm"))
+  }
+
+  /** Two-level per-query top-`shortlist` over a scored (query_id,
+    * neighbor_id, pqsim) stream: a per-(query, salt) local rank first
+    * (parallelism queries×64, each sorting its slice), then the global
+    * per-query rank over the O(queries×64×shortlist) survivors — a
+    * single-level window would sort the whole queries×corpus stream in
+    * |queries| tasks (measured ~20 min/pass at sf10; this shape is
+    * minutes → seconds). */
+  private[similarity] def adcShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("query_id"), col("salt"))
       .orderBy(col("pqsim").desc, col("neighbor_id"))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("pqsim").desc, col("neighbor_id"))
-    val candidates = spark.read.parquet(idx.codesPath)
-      .join(q, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr(adcDot) / (col("__qnorm") * col("rnorm"))).as("pqsim"))
+    scored
       .withColumn("salt", pmod(xxhash64(col("neighbor_id")), lit(64)))
       .withColumn("lrank", row_number().over(wLocal))
       .filter(col("lrank") <= shortlist)
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
-    // refine: exact cosine on the candidate set only; the query vectors
-    // re-enter from the collected batch (no second corpus scan for them)
+  }
+
+  /** Exact re-rank of a (query_id, neighbor_id) candidate set: one
+    * candidate-sized join against the full-precision vectors; the query
+    * vectors re-enter from the collected batch (no second corpus scan
+    * for them). */
+  private[similarity] def refineExact(emb: DataFrame, candidates: DataFrame,
+      qRows: Array[org.apache.spark.sql.Row], kNeighbors: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val exact = Cosine.prepared(emb).select(col("vec_id"), col("v"))
     val qv = broadcast(qRows.toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Cosine, IvfPq}
+
+/** Measures IVF×PQ recall vs exact brute force per SF dir — the numbers
+  * behind the `ann_ivf_pq` oracle floors. Run:
+  * `runMain graft.tools.ProbeIvfPq /root/testdata/sf0.01` */
+object ProbeIvfPq {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.builder("probe-ivfpq", "local[32]", 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.embeddings(spark, dir)
+    val brute = Cosine.bruteTopK(emb, nQueries = 8, k = 10)
+      .select("query_id", "neighbor_id")
+    val t0 = System.nanoTime()
+    val ivfpq = IvfPq.topK(emb, nQueries = 8, kNeighbors = 10)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val rec = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(min(col("recall")), avg(col("recall"))).collect()(0)
+    println(f"IVFPQ $dir min=${rec.getDouble(0)}%.3f mean=${rec.getDouble(1)}%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spark.stop()
+  }
+}

@@ -61,6 +61,33 @@ class Round10Spec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("ivfpq: cell-partitioned code table, train-once store, refine is exact") {
+    import graft.similarity.{Cosine, IvfPq}
+    val emb = Tables.embeddings(spark, sf)
+    val i1 = IvfPq.indexFor(emb, s"test:$sf", iters = 2)
+    val i2 = IvfPq.indexFor(emb, s"test:$sf", iters = 2)
+    assert(i1 eq i2) // second call hit the store
+    // the code table is laid out one directory per IVF cell — the probe's
+    // cell IN (...) predicate is directory-level partition pruning
+    val cellDirs = new java.io.File(i1.codesPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    // every emitted (query, neighbor) sim equals the EXACT cosine (the
+    // refine stage re-ranks on full precision)
+    val res = IvfPq.topK(emb, nQueries = 4, kNeighbors = 5, iters = 2,
+        indexKey = Some(s"test:$sf"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val brute = Cosine.bruteTopK(emb, nQueries = 4, k = 1000000)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(res.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(col("sim") =!= col("bsim")).isEmpty)
+    // neighbors come only from probed cells: with nprobe == nCells the
+    // scan covers everything, so a full-probe run must dominate recall
+    val full = IvfPq.topK(emb, nQueries = 4, kNeighbors = 5, nprobe = 16,
+      iters = 2).select("query_id", "neighbor_id")
+    assert(full.count() === 20L)
+  }
+
   // ------------------------------------------------------ StreamMv replay
 
   test("streaming MV: replay with INTERVENING base commits cannot double-apply") {
