@@ -1571,6 +1571,79 @@ object SparkEntry {
       .orderBy("n_versions")
   }
 
+  /** #149 Streaming SCD-2 (round 10, [[graft.streaming.StreamScd2]]) —
+    * the CDC-to-dimension pipeline end-to-end, composing round 9's
+    * three pieces: a SOURCE table receives the same two change batches
+    * as #145 (as MERGE commits), a [[graft.streaming.ChangeFeedCursor]]
+    * tails its log, and each polled batch's latest post-state folds
+    * into the versioned dimension through [[graft.acid.Scd2]] — so the
+    * streamed dimension must equal #145's batch-applied one, version
+    * chain for version chain (the oracle is the same census model).
+    * The streaming face adds the replay probe: after both batches
+    * land, a stale cursor re-polls the ENTIRE range in one widened
+    * batch at the latest batchTs — the latest-state reduction plus
+    * SCD-2's state-based change detection must no-op ((0,0), census
+    * unchanged), which `replay_noop` pins. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val src = tempDir("sscd2src"); val dim = tempDir("sscd2dim")
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("cust_id"),
+              col("c_mktsegment").as("segment"),
+              col("c_acctbal").as("balance"))
+    val key = Seq("cust_id"); val attrs = Seq("segment", "balance")
+    val tsOf = Map(2L -> "2024-02-01 00:00:00", 3L -> "2024-03-01 00:00:00")
+    graft.acid.TxLog.overwrite(cust, src)                              // v1
+    graft.acid.Scd2.initialize(cust, dim, key, attrs, "2024-01-01 00:00:00")
+    val cursor = graft.streaming.ChangeFeedStream.cursor(s, src, 2L)
+    // batch 1 lands on the SOURCE as a merge: migrations, corrections,
+    // brand-new keys (the #145 full batch, minus its unchanged rows —
+    // the feed only carries what the merge changed, which is the point)
+    val b1 = cust
+      .withColumn("segment", when(col("cust_id") % 11 === 0, lit("MIGRATED"))
+        .otherwise(col("segment")))
+      .withColumn("balance", when(col("cust_id") % 7 === 0, col("balance") + 100)
+        .otherwise(col("balance")))
+      .unionByName(cust.filter(col("cust_id") % 13 === 0)
+        .select((col("cust_id") + 10000000L).as("cust_id"),
+                lit("NEWSEG").as("segment"), col("balance")))
+    graft.acid.TxLog.merge(b1, src, key)                               // v2
+    graft.streaming.StreamScd2.pump(s, src, dim, key, attrs, cursor, tsOf)
+    val b2 = cust.filter(col("cust_id") % 14 === 0)
+      .select(col("cust_id"), lit("RESEG").as("segment"),
+              (col("balance") + 500).as("balance"))
+    graft.acid.TxLog.merge(b2, src, key)                               // v3
+    graft.streaming.StreamScd2.pump(s, src, dim, key, attrs, cursor, tsOf)
+    // replay probe: a crashed consumer lost its checkpoint and re-polls
+    // BOTH commits as one widened batch at the latest batchTs
+    val census0 = graft.acid.TxLog.read(s, dim).collect().toSet
+    val stale = graft.streaming.ChangeFeedStream.cursor(s, src, 2L)
+    val replay = graft.streaming.StreamScd2.pump(
+      s, src, dim, key, attrs, stale, tsOf)
+    val replayNoop = replay.closed == 0L && replay.inserted == 0L &&
+      graft.acid.TxLog.read(s, dim).collect().toSet == census0
+    val d = graft.acid.TxLog.read(s, dim)
+      .select("cust_id", "balance", "valid_from", "valid_to", "is_current")
+    val closed = d.filter(!col("is_current"))
+    val linked = closed.alias("c").join(d.alias("v"),
+        col("c.cust_id") === col("v.cust_id") &&
+        col("c.valid_to") === col("v.valid_from"), "left_semi").count()
+    val chainOk = linked == closed.count() &&
+      closed.filter(col("valid_to").isNull).count() == 0
+    val perKey = d.groupBy("cust_id")
+      .agg(count(lit(1)).as("n_versions"),
+           sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
+           sum(when(col("is_current"), col("balance"))).as("cur_bal"))
+    val oneCurOk = perKey.filter(col("n_cur") =!= 1).count() == 0
+    perKey.groupBy("n_versions")
+      .agg(count(lit(1)).as("n_keys"),
+           round(sum(col("cur_bal")), 2).as("bal_current"),
+           sum(col("n_versions") - 1).as("n_closed"))
+      .withColumn("chain_linked", lit(chainOk))
+      .withColumn("one_current_per_key", lit(oneCurOk))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("n_versions")
+  }
+
   /** #75 Change data feed (Delta CDF): after a MERGE (late corrections +
     * new arrivals) and a DELETE (low-value trip purge), the feed lists
     * exactly the changed rows per commit — pre/post images for updates,
@@ -1691,6 +1764,48 @@ object SparkEntry {
       .withColumn("no_data_rewrite", lit(after.subsetOf(before)))
       .withColumn("v1_intact", lit(v1Rows == allRows))
       .select("trip_type", "n_rows", "total", "no_data_rewrite", "v1_intact")
+      .orderBy("trip_type")
+  }
+
+  /** #147 Merge-on-read UPDATE via deletion vectors (round 10) — the
+    * other half of #142: a fare correction on the big yellow trips DVs
+    * the old rows out of their files and APPENDS one file of
+    * post-images in a single commit, instead of rewriting every touched
+    * file copy-on-write. `originals_intact` pins the claim (every
+    * pre-update live file is still live — nothing was rewritten;
+    * `appended` sees the new post-image files), `v1_intact` proves time
+    * travel below the commit reads every pre-update value (the v1 sum
+    * differs from the current one by exactly the correction). At 100 TB
+    * the difference is a kilobyte-class commit vs rewriting terabytes
+    * for a 0.1% correction batch. */
+  def deltaUpdateDv(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txudv")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)                   // v1
+    val before = graft.acid.TxLog.livePaths(s, path)
+    val stats = graft.acid.TxLog.updateWithDv(s, path,
+      col("total_amount") >= 100,
+      Map("total_amount" -> (col("total_amount") + 10)))                // v2
+    val after = graft.acid.TxLog.livePaths(s, path)
+    val nCorrected = consumer.filter(col("total_amount") >= 100).count()
+    val v1Total = graft.acid.TxLog.read(s, path, versionAsOf = Some(1L))
+      .agg(sum(col("total_amount").cast("decimal(18,2)"))).collect()(0)
+      .getDecimal(0)
+    val curTotal = graft.acid.TxLog.read(s, path)
+      .agg(sum(col("total_amount").cast("decimal(18,2)"))).collect()(0)
+      .getDecimal(0)
+    val v1Intact = curTotal.subtract(v1Total) ==
+      new java.math.BigDecimal(10 * nCorrected).setScale(2)
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("originals_intact", lit(before.subsetOf(after)))
+      .withColumn("appended", lit(stats.filesAdded > 0))
+      .withColumn("v1_intact", lit(v1Intact))
+      .select("trip_type", "n_rows", "total", "originals_intact",
+              "appended", "v1_intact")
       .orderBy("trip_type")
   }
 
@@ -2068,6 +2183,60 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #148 Streaming materialized view (round 10,
+    * [[graft.streaming.StreamMv]]) — #77's maintenance algebra driven by
+    * a change-feed CURSOR instead of explicit refresh calls: the pump
+    * tails the base table's commit log and folds each polled batch into
+    * the view as one tagged MERGE (the continuous-query shape). Same
+    * final state as #77 — the oracle is the full-recompute model — plus
+    * the replay probe the streaming face adds: after the first pump, the
+    * consumer "crashes" losing its cursor checkpoint, a NEW base commit
+    * (the green purge) lands in the crash window, and the restarted
+    * cursor re-opens at the stale position. The pump's watermark clamp
+    * must fold ONLY the unapplied commit — `replay_clamped` pins that
+    * exactly one batch applied on restart, `matches_recompute` that the
+    * view still equals compute(base) bit-for-bit (exact DECIMAL sums). */
+  def streamMv(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("smvrbase"); val mv = tempDir("smvrview")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, base, parts)                // v1
+    val spec = graft.acid.MvSpec(Seq("trip_type"), Seq("total_amount"))
+    val cursor = graft.streaming.ChangeFeedStream.cursor(s, base,
+      graft.acid.MaterializedView.initialize(s, base, mv, spec))
+    val replayFrom = cursor.nextVersion
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    graft.acid.TxLog.merge(
+      corrections.unionByName(arrivals), base, Seq("event_id"))      // v2
+    graft.streaming.StreamMv.pump(s, base, mv, spec, cursor)
+    // crash window: the cursor checkpoint is lost AND a new base commit
+    // lands before the consumer restarts
+    graft.acid.TxLog.delete(s, base,
+      col("trip_type") === ConsumerPipeline.GreenType)               // v3
+    val restarted = graft.streaming.ChangeFeedStream.cursor(s, base, replayFrom)
+    val applied = graft.streaming.StreamMv.pump(s, base, mv, spec, restarted)
+    val viewNow = graft.acid.TxLog.read(s, mv)
+    val recomputed = graft.acid.MaterializedView.compute(
+      graft.acid.TxLog.read(s, base), spec)
+    val matches = viewNow.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(viewNow).isEmpty
+    val greenGone = viewNow
+      .filter(col("trip_type") === ConsumerPipeline.GreenType).isEmpty
+    viewNow
+      .select(col("trip_type"), col("n_rows"),
+        round(col("sum_total_amount").cast("double"), 2).as("total"),
+        lit(matches).as("matches_recompute"),
+        lit(greenGone).as("group_deleted"),
+        lit(applied == 1).as("replay_clamped"))
+      .orderBy("trip_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2199,11 +2368,14 @@ object SparkEntry {
     "delta_merge_evolve"  -> (deltaMergeEvolve _),
     "delta_merge_conditional" -> (deltaMergeConditional _),
     "delta_scd2"          -> (deltaScd2 _),
+    "stream_scd2"         -> (streamScd2 _),
     "delta_deletion_vectors" -> (deltaDeletionVectors _),
+    "delta_update_dv"     -> (deltaUpdateDv _),
     "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
     "delta_mv_incremental" -> (deltaMvIncremental _),
+    "stream_mv"           -> (streamMv _),
     "delta_zorder"        -> (deltaZorder _),
     "delta_bloom_skip"    -> (deltaBloomSkip _),
     "delta_data_skipping" -> (deltaDataSkipping _),
@@ -3854,6 +4026,17 @@ object SparkEntry {
          |FROM c WHERE total_amount >= 20
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "delta_update_dv" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(CASE WHEN total_amount >= 100
+         |                      THEN total_amount + 10
+         |                      ELSE total_amount END), 2) AS total,
+         |       true AS originals_intact, true AS appended, true AS v1_intact
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // CTE-modeled clause semantics: one act CASE per target group whose
     // WHEN order mirrors the clause order (CASE is first-match-wins, so
     // the oracle pins precedence, not just end states)
@@ -3906,6 +4089,30 @@ object SparkEntry {
         |       round(sum(cur_bal), 2) AS bal_current,
         |       CAST(sum(n_versions - 1) AS BIGINT) AS n_closed,
         |       true AS chain_linked, true AS one_current_per_key
+        |FROM allk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same census model as delta_scd2 — the streamed dimension must equal
+    // the batch-applied one — plus the replay-no-op probe
+    "stream_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |old_keys AS (
+        |  SELECT k,
+        |    1 + CASE WHEN k % 7 = 0 OR k % 11 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN k % 14 = 0 THEN 1 ELSE 0 END AS n_versions,
+        |    CASE WHEN k % 14 = 0 THEN bal + 500
+        |         WHEN k % 7 = 0 THEN bal + 100
+        |         ELSE bal END AS cur_bal
+        |  FROM c),
+        |new_keys AS (
+        |  SELECT k + 10000000 AS k, 1 AS n_versions, bal AS cur_bal
+        |  FROM c WHERE k % 13 = 0),
+        |allk AS (SELECT * FROM old_keys UNION ALL SELECT * FROM new_keys)
+        |SELECT CAST(n_versions AS BIGINT) AS n_versions,
+        |       count(*) AS n_keys,
+        |       round(sum(cur_bal), 2) AS bal_current,
+        |       CAST(sum(n_versions - 1) AS BIGINT) AS n_closed,
+        |       true AS chain_linked, true AS one_current_per_key,
+        |       true AS replay_noop
         |FROM allk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "delta_cdf" ->
@@ -4013,6 +4220,16 @@ object SparkEntry {
          |       round(sum(CASE WHEN value >= 100 THEN value + 10
          |                      ELSE value END), 2) AS total,
          |       true AS matches_recompute, true AS group_deleted
+         |FROM events
+         |WHERE event_type = 'purchase' AND $dqSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_mv" ->
+      s"""SELECT event_type AS trip_type, count(*) AS n_rows,
+         |       round(sum(CASE WHEN value >= 100 THEN value + 10
+         |                      ELSE value END), 2) AS total,
+         |       true AS matches_recompute, true AS group_deleted,
+         |       true AS replay_clamped
          |FROM events
          |WHERE event_type = 'purchase' AND $dqSql
          |GROUP BY 1 ORDER BY 1""".stripMargin,

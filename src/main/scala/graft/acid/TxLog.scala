@@ -1039,103 +1039,153 @@ object TxLog {
     * Returned stats: `filesRewritten` = files that gained DV rows,
     * `filesAdded` = 0 — no data file is written, which the spec pins. */
   def deleteWithDv(spark: SparkSession, table: String,
-                   condition: org.apache.spark.sql.Column): MergeStats = {
+                   condition: org.apache.spark.sql.Column): MergeStats =
+    dvMergeOnRead(spark, table, condition, op = "delete")(
+      _ => None)(
+      rows => rows.withColumn("_change_type", lit("delete")))
+
+  /** Merge-on-read UPDATE via deletion vectors — [[deleteWithDv]]'s
+    * argument applies just as hard to small updates (GDPR corrections,
+    * late fixes): instead of [[update]]'s copy-on-write rewrite of every
+    * touched file, ONE commit DVs the matched rows out of their files
+    * and appends a new file holding their post-images. Commit cost is
+    * O(changed rows), never O(touched bytes); every DV contract above
+    * (repeat-op union, full-file dropout, OPTIMIZE materialization,
+    * time travel, vacuum protection) holds unchanged, and CDF gets
+    * `update_preimage`/`update_postimage` rows exactly like [[update]].
+    * Returned stats: `filesRewritten` = files that gained DV rows,
+    * `filesAdded` = the appended post-image files. */
+  def updateWithDv(spark: SparkSession, table: String,
+                   condition: org.apache.spark.sql.Column,
+                   set: Map[String, org.apache.spark.sql.Column]): MergeStats = {
+    def applied(rows: DataFrame): DataFrame =
+      rows.select(rows.columns.toSeq.map(c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    dvMergeOnRead(spark, table, condition, op = "update")(
+      rows => Some(applied(rows)))(
+      rows => rows.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(applied(rows)
+          .withColumn("_change_type", lit("update_postimage"))))
+  }
+
+  /** Shared merge-on-read kernel: DV the matched rows out of their
+    * files, optionally append `postImagesOf(matched rows)` as new data
+    * files (UPDATE's post-images; None for DELETE), stage
+    * `cdcOf(matched rows)` for the change feed, commit all of it
+    * atomically. The matched set is materialized once — sidecar
+    * staging, post-image staging, and cdc staging all read the cache,
+    * not three scans of the table. */
+  private def dvMergeOnRead(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column, op: String)(
+      postImagesOf: DataFrame => Option[DataFrame])(
+      cdcOf: DataFrame => DataFrame): MergeStats = {
     val (hfs, root) = fs(spark, table)
     var attempts = 0
     while (attempts < 10) {
       val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
-        s"deleteWithDv on non-existent table $table — overwrite first"))
+        s"merge-on-read op on non-existent table $table — overwrite first"))
       val cols = snap.meta.schema.fieldNames.toSeq
       // qualified physical path -> add action (clone-safe: an absolute
       // clone-referenced path round-trips through the same qualification)
       val byQual = snap.files.map(f =>
         hfs.makeQualified(new Path(root, f.path)).toString -> f).toMap
       val rel = relationFor(spark, table, snap.meta, snap.files)._1
-      val hits = rel
+      val hits = graft.Caching.materialize(rel
         .withColumn("__path", col("_metadata.file_path"))
         .withColumn("__ri", col("_metadata.row_index"))
-        .filter(condition)
-      val touchedQ = hits.select("__path").distinct().collect()
-        .map(_.getString(0))
-      if (touchedQ.isEmpty) return MergeStats(0, snap.files.size, 0)
-      val touched = touchedQ.toSeq.flatMap(byQual.get)
-      // the file's new DV = outstanding DV rows ∪ freshly matched rows,
-      // keyed by an md5 of the file's STORED path. Not the name (one
-      // write job reuses part-00000-<uuid> across every partition dir it
-      // touches — name-keying would merge unrelated files' row sets) and
-      // not the raw path (a partition-dir escaper turns its %2F into
-      // %252F through the dv scan's own _metadata and never joins back).
-      import spark.implicits._
-      def dvKey(stored: String): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(stored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-      val pathLookup = broadcast(
-        touched.map(f =>
-          (hfs.makeQualified(new Path(root, f.path)).toString, dvKey(f.path)))
-          .toDF("__fp", "__f"))
-      val newDel = hits.select(col("__path").as("__fp"), col("__ri").as("__dri"))
-      val allDel = dvDeletedRows(spark, hfs, root, touched) match {
-        case None => newDel
-        case Some(old) => newDel.unionByName(old)
-      }
-      val stagingName = s"dv-${java.util.UUID.randomUUID()}"
-      val staging = new Path(root, stagingName)
-      // one sidecar parquet per data file: repartition on the file key so
-      // each partition dir gets exactly one writer/file
-      allDel.join(pathLookup, Seq("__fp"))
-        .select(col("__f"), col("__dri").as("row_index"))
-        .repartition(col("__f"))
-        .sortWithinPartitions("row_index")
-        .write.partitionBy("__f").mode("overwrite").parquet(staging.toString)
-      // read the staged sidecars back for exact per-file counts (tiny:
-      // O(deleted rows))
-      val counts = spark.read.parquet(staging.toString)
-        .groupBy("__f").agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val qualifiedStaging = hfs.makeQualified(staging).toString
-      val dvFiles = mutable.Map.empty[String, String]
-      val it = hfs.listFiles(staging, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) {
-          val relP = f.toString.stripPrefix(qualifiedStaging).stripPrefix("/")
-          relP.split("/").dropRight(1).foreach { seg =>
-            seg.split("=", 2) match {
-              case Array("__f", v) =>
-                dvFiles(ExternalCatalogUtils.unescapePathName(v)) =
-                  s"$stagingName/$relP"
-              case _ => ()
+        .filter(condition))
+      try {
+        val touchedQ = hits.select("__path").distinct().collect()
+          .map(_.getString(0))
+        if (touchedQ.isEmpty) return MergeStats(0, snap.files.size, 0)
+        val touched = touchedQ.toSeq.flatMap(byQual.get)
+        // the file's new DV = outstanding DV rows ∪ freshly matched rows,
+        // keyed by an md5 of the file's STORED path. Not the name (one
+        // write job reuses part-00000-<uuid> across every partition dir it
+        // touches — name-keying would merge unrelated files' row sets) and
+        // not the raw path (a partition-dir escaper turns its %2F into
+        // %252F through the dv scan's own _metadata and never joins back).
+        import spark.implicits._
+        def dvKey(stored: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(stored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+        val pathLookup = broadcast(
+          touched.map(f =>
+            (hfs.makeQualified(new Path(root, f.path)).toString, dvKey(f.path)))
+            .toDF("__fp", "__f"))
+        val newDel = hits.select(col("__path").as("__fp"), col("__ri").as("__dri"))
+        val allDel = dvDeletedRows(spark, hfs, root, touched) match {
+          case None => newDel
+          case Some(old) => newDel.unionByName(old)
+        }
+        val stagingName = s"dv-${java.util.UUID.randomUUID()}"
+        val staging = new Path(root, stagingName)
+        // one sidecar parquet per data file: repartition on the file key so
+        // each partition dir gets exactly one writer/file
+        allDel.join(pathLookup, Seq("__fp"))
+          .select(col("__f"), col("__dri").as("row_index"))
+          .repartition(col("__f"))
+          .sortWithinPartitions("row_index")
+          .write.partitionBy("__f").mode("overwrite").parquet(staging.toString)
+        // read the staged sidecars back for exact per-file counts (tiny:
+        // O(deleted rows))
+        val counts = spark.read.parquet(staging.toString)
+          .groupBy("__f").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val qualifiedStaging = hfs.makeQualified(staging).toString
+        val dvFiles = mutable.Map.empty[String, String]
+        val it = hfs.listFiles(staging, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) {
+            val relP = f.toString.stripPrefix(qualifiedStaging).stripPrefix("/")
+            relP.split("/").dropRight(1).foreach { seg =>
+              seg.split("=", 2) match {
+                case Array("__f", v) =>
+                  dvFiles(ExternalCatalogUtils.unescapePathName(v)) =
+                    s"$stagingName/$relP"
+                case _ => ()
+              }
             }
           }
         }
-      }
-      // fully-deleted files are removed outright; the rest re-add with
-      // their new DV (adds overwrite by path on replay — no remove
-      // needed). A legacy add with unknown numRecords gets one footer
-      // read here — otherwise a fully-deleted legacy file would survive
-      // as a zero-logical-row husk, violating the no-empty-husk contract
-      def physicalRows(f: AddFile): Long =
-        if (f.numRecords >= 0) f.numRecords
-        else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
-          new Path(root, f.path))._1
-      val (gone, partial) = touched.partition(f =>
-        counts.getOrElse(dvKey(f.path), 0L) >= physicalRows(f))
-      val adds = partial.map(f => f.copy(
-        dvPath = Some(dvFiles(dvKey(f.path))),
-        dvRows = counts(dvKey(f.path))))
-      val cdcFiles = stageCdc(
-        hits.select(cols.map(col): _*).withColumn("_change_type", lit("delete")),
-        table)
-      val lines = commitInfoJson("delete") +:
-        (gone.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-          cdcFiles.map(cdcJson))
-      if (tryCommit(hfs, root, snap.version, lines))
-        return MergeStats(touched.size, snap.files.size, 0)
+        // fully-deleted files are removed outright; the rest re-add with
+        // their new DV (adds overwrite by path on replay — no remove
+        // needed). A legacy add with unknown numRecords gets one footer
+        // read here — otherwise a fully-deleted legacy file would survive
+        // as a zero-logical-row husk, violating the no-empty-husk contract
+        def physicalRows(f: AddFile): Long =
+          if (f.numRecords >= 0) f.numRecords
+          else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
+            new Path(root, f.path))._1
+        val (gone, partial) = touched.partition(f =>
+          counts.getOrElse(dvKey(f.path), 0L) >= physicalRows(f))
+        val adds = partial.map(f => f.copy(
+          dvPath = Some(dvFiles(dvKey(f.path))),
+          dvRows = counts(dvKey(f.path))))
+        val rows = hits.select(cols.map(col): _*)
+        // post-images (UPDATE) are ordinary staged data files: they pass
+        // the CHECK constraints, record stats/blooms, and write under
+        // the table's column mapping like any other commit's adds
+        val post = postImagesOf(rows)
+        post.foreach(p =>
+          requireConstraintsSatisfied(p, snap.meta.constraints, table))
+        val newAdds = post.map(p => stage(p, table, snap.meta.partitionCols,
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap))
+          .getOrElse(Seq.empty)
+        val cdcFiles = stageCdc(cdcOf(rows), table)
+        val lines = commitInfoJson(op) +:
+          (gone.map(actionJson("remove", _)) ++
+            (adds ++ newAdds).map(actionJson("add", _)) ++
+            cdcFiles.map(cdcJson))
+        if (tryCommit(hfs, root, snap.version, lines))
+          return MergeStats(touched.size, snap.files.size, newAdds.size)
+      } finally hits.unpersist()
       attempts += 1
     }
     throw new IllegalStateException(
-      s"txlog deleteWithDv on $table lost $attempts optimistic races; giving up")
+      s"txlog merge-on-read $op on $table lost $attempts optimistic races; giving up")
   }
 
   /** Copy-on-write UPDATE: `SET col = expr` on rows matching `condition`.
@@ -1652,6 +1702,51 @@ object TxLog {
       overwriteImpl(current.repartition(pcols.map(col): _*)
           .sortWithinPartitions((pcols ++ clusterBy).map(col): _*),
         table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
+  }
+
+  /** DV-aware OPTIMIZE: rewrite ONLY the files whose outstanding
+    * deletion-vector ratio (dvRows / physical rows) exceeds
+    * `maxDvRatio`, materializing their DVs away; lighter files keep
+    * their sidecars untouched. The missing piece between [[optimize]]
+    * (a full-table rewrite — exactly what DVs exist to avoid) and
+    * letting a delete-heavy table accumulate unbounded sidecar chains:
+    * run periodically, it bounds every file's read-side DV overhead by
+    * the ratio while the rewrite cost stays proportional to the
+    * DV-heavy files only, never the table. Snapshot content is
+    * unchanged by construction (the rewrite reads THROUGH the DV
+    * filter). Returned stats: `filesRewritten` = DV-heavy files
+    * compacted, `filesAdded` = their DV-free replacements. */
+  def optimizeDv(spark: SparkSession, table: String,
+                 maxDvRatio: Double): MergeStats = {
+    require(maxDvRatio >= 0.0 && maxDvRatio < 1.0,
+      s"maxDvRatio must be in [0, 1), got $maxDvRatio")
+    val (hfs, root) = fs(spark, table)
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(
+        throw new IllegalStateException(s"no txlog table at $table"))
+      def physicalRows(f: AddFile): Long =
+        if (f.numRecords >= 0) f.numRecords
+        else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
+          new Path(root, f.path))._1
+      val heavy = snap.files.filter(f => f.dvPath.isDefined && {
+        val phys = physicalRows(f)
+        phys > 0 && f.dvRows.toDouble / phys > maxDvRatio
+      })
+      if (heavy.isEmpty) return MergeStats(0, snap.files.size, 0)
+      // read the heavy files THROUGH their DV subtraction and re-stage
+      // them DV-free — the live rows are identical before and after
+      val rows = relationFor(spark, table, snap.meta, heavy)._1
+      val adds = stage(rows, table, snap.meta.partitionCols,
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+      val lines = commitInfoJson("optimize") +:
+        (heavy.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(heavy.size, snap.files.size, adds.size)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog optimizeDv on $table lost $attempts optimistic races; giving up")
   }
 
   /** Live file count of the current snapshot (compaction observability). */

@@ -144,6 +144,124 @@ class Round10Spec extends SparkSpec {
       .select("seg").collect().head.getString(0) === "AGAIN")
   }
 
+  // --------------------------------------------------- streaming SCD-2
+
+  test("streamScd2: streamed chain equals batch application; widened replay no-ops") {
+    import spark.implicits._
+    import graft.acid.Scd2
+    import graft.streaming.{ChangeFeedStream, StreamScd2}
+    val src = tmp("sscd_src"); val dimS = tmp("sscd_dim_stream")
+    val dimB = tmp("sscd_dim_batch")
+    val key = Seq("id"); val attrs = Seq("seg", "bal")
+    val t0 = "2024-01-01 00:00:00"
+    val tsOf = Map(2L -> "2024-02-01 00:00:00", 3L -> "2024-03-01 00:00:00")
+    val init = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("id", "seg", "bal")
+    TxLog.overwrite(init, src)                                          // v1
+    Scd2.initialize(init, dimS, key, attrs, t0)
+    Scd2.initialize(init, dimB, key, attrs, t0)
+    val cursor = ChangeFeedStream.cursor(spark, src, 2L)
+    // batch 1: change key 1, insert key 4
+    val b1 = Seq((1L, "x2", 11.0), (4L, "w", 40.0)).toDF("id", "seg", "bal")
+    TxLog.merge(b1, src, key)                                           // v2
+    val s1 = StreamScd2.pump(spark, src, dimS, key, attrs, cursor, tsOf)
+    assert(s1.batches === 1)
+    Scd2.apply(spark, b1, dimB, key, attrs, tsOf(2L))
+    // batch 2: change key 1 AGAIN and key 2
+    val b2 = Seq((1L, "x3", 12.0), (2L, "y2", 21.0)).toDF("id", "seg", "bal")
+    TxLog.merge(b2, src, key)                                           // v3
+    StreamScd2.pump(spark, src, dimS, key, attrs, cursor, tsOf)
+    Scd2.apply(spark, b2, dimB, key, attrs, tsOf(3L))
+    // the streamed dimension equals the directly batch-applied one
+    val streamed = TxLog.read(spark, dimS)
+    val batch = TxLog.read(spark, dimB)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed SCD-2 chain diverged from batch application")
+    // stale cursor re-polls v2..v3 as ONE widened batch at tsOf(3): the
+    // latest-state reduction + state-based change detection must no-op
+    val census = TxLog.read(spark, dimS).collect().toSet
+    val replay = StreamScd2.pump(spark, src, dimS, key, attrs,
+      ChangeFeedStream.cursor(spark, src, 2L), tsOf)
+    assert(replay.closed === 0L && replay.inserted === 0L)
+    assert(TxLog.read(spark, dimS).collect().toSet === census)
+    // key 1 carries the 3-version chain with the mid state closed at t2
+    assert(TxLog.read(spark, dimS).filter(col("id") === 1L).count() === 3L)
+  }
+
+  // ------------------------------------------------- merge-on-read UPDATE
+
+  test("updateWithDv: O(changed rows) commit — originals intact, post-images appended") {
+    val t = tmp("udv")
+    TxLog.overwrite(spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).cast("double").as("v"))
+      .repartition(2), t)                                               // v1
+    val before = TxLog.livePaths(spark, t)
+    val stats = TxLog.updateWithDv(spark, t, col("id") < 10,
+      Map("v" -> lit(99.0)))                                            // v2
+    val after = TxLog.livePaths(spark, t)
+    // the 10-row update on 1000 rows rewrote NO original data file —
+    // the commit is DV sidecars + one appended post-image file
+    assert(before.subsetOf(after), "an original file was rewritten or removed")
+    assert(stats.filesAdded > 0 && (after -- before).size === stats.filesAdded)
+    val cur = TxLog.read(spark, t)
+    assert(cur.count() === 1000L)
+    assert(cur.filter(col("id") < 10).select("v").distinct().collect()
+      .map(_.getDouble(0)).toSeq === Seq(99.0))
+    assert(cur.filter(col("id") >= 10 && col("v") === 99.0).isEmpty)
+    // time travel below the commit reads every pre-update value
+    assert(TxLog.read(spark, t, versionAsOf = Some(1L))
+      .filter(col("id") < 10 && col("v") === 99.0).isEmpty)
+    // CDF carries both images
+    val feed = TxLog.readChangeFeed(spark, t, fromVersion = 2L)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() === 10L)
+    assert(feed.filter(col("_change_type") === "update_postimage" &&
+      col("v") === 99.0).count() === 10L)
+    // a second update hitting the POST-IMAGE file unions its DV chain
+    TxLog.updateWithDv(spark, t, col("id") < 5 && col("v") === 99.0,
+      Map("v" -> lit(77.0)))                                            // v3
+    val cur2 = TxLog.read(spark, t)
+    assert(cur2.count() === 1000L)
+    assert(cur2.filter(col("v") === 77.0).count() === 5L)
+    assert(cur2.filter(col("v") === 99.0).count() === 5L)
+    // OPTIMIZE reads through the DVs and materializes them away
+    TxLog.optimize(spark, t)
+    assert(TxLog.dvInfo(spark, t).isEmpty)
+    assert(TxLog.read(spark, t).count() === 1000L)
+    assert(TxLog.read(spark, t).filter(col("v") === 77.0).count() === 5L)
+  }
+
+  // ------------------------------------------------- DV-aware OPTIMIZE
+
+  test("optimizeDv: rewrites only files above the DV ratio, content unchanged") {
+    import spark.implicits._
+    val t = tmp("odv")
+    // two partition files: grp=a holds ids 0..49, grp=b holds 50..99
+    TxLog.overwrite(spark.range(0, 100)
+      .select(col("id"), when(col("id") < 50, "a").otherwise("b").as("grp")),
+      t, Seq("grp"))                                                    // v1
+    // heavy delete in a (40/50 = 0.8), light in b (1/50 = 0.02)
+    TxLog.deleteWithDv(spark, t, col("id") < 40 || col("id") === 50L)   // v2
+    val dvBefore = TxLog.dvInfo(spark, t).toMap
+    assert(dvBefore.size === 2)
+    val contentBefore = TxLog.read(spark, t).collect().toSet
+    val before = TxLog.livePaths(spark, t)
+    val stats = TxLog.optimizeDv(spark, t, maxDvRatio = 0.3)            // v3
+    assert(stats.filesRewritten === 1, "only the DV-heavy file rewrites")
+    val dvAfter = TxLog.dvInfo(spark, t).toMap
+    // the heavy file's DV is gone (materialized away); the light one is
+    // byte-identical — untouched sidecar, untouched data file
+    assert(dvAfter.size === 1)
+    assert(dvAfter.head._2 === 1L)
+    assert(before.intersect(TxLog.livePaths(spark, t))
+      .contains(dvAfter.head._1))
+    assert(TxLog.read(spark, t).collect().toSet === contentBefore)
+    // below-threshold table: a second pass is a no-op (no commit)
+    val v = TxLog.currentVersion(spark, t)
+    assert(TxLog.optimizeDv(spark, t, maxDvRatio = 0.3) ===
+      TxLog.MergeStats(0, TxLog.fileCount(spark, t), 0))
+    assert(TxLog.currentVersion(spark, t) === v)
+  }
+
   // ----------------------------------------------- DV legacy numRecords
 
   test("deleteWithDv: fully-deleted legacy file (numRecords unknown) leaves no husk") {
