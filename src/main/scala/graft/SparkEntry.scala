@@ -574,6 +574,59 @@ object SparkEntry {
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     Cosine.nearDupPairs(Tables.embeddings(s, dir), 0.4, exactAllPairs = true)
 
+  /** #151 Sub-quadratic embedding near-dup (round 10,
+    * [[Cosine.nearDupPairsAnn]]) — the in-family scale exit for #24's
+    * gated exact all-pairs: sign-LSH bucket candidates + exact verify,
+    * at the HIGH threshold (0.9) where embedding dedup actually runs in
+    * production and where LSH is the right tool (#24's docstring
+    * derives why it is wrong at 0.4). The scenario plants a
+    * positively-SCALED copy of every 4th vector under the negative key
+    * namespace — scaling preserves direction (cosine 1.0) but not
+    * bytes, so exact/hash dedup cannot see these and `dedup_exact`
+    * would miss them; identical sign patterns put each copy in its
+    * original's bucket in EVERY table, so recall on the planted set is
+    * DETERMINISTIC 1.0, not a floor. With this corpus's max
+    * inter-vector similarity ~0.51, the exact 0.9 answer IS the
+    * planted set, every emitted pair is exact-verified, and the census
+    * is EXACT on both engines — a stronger oracle than the ann_*
+    * recall floors. */
+  def dedupEmbedAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 4 === 0)
+      .withColumn("embedding", expr(
+        "transform(embedding, x -> cast(x * (1.0 + (vec_id % 5 + 1) / 100.0) as float))"))
+      .select((-(col("vec_id") + 1)).as("vec_id"), col("embedding"))
+    val pairs = Cosine.nearDupPairsAnn(emb.unionByName(planted), 0.9)
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("vec_a") === -(col("vec_b") + 1), 1L).otherwise(0L))
+          .as("planted_found"),
+        round(min(col("sim")), 4).as("min_sim"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .select(col("n_pairs"), col("n_planted"), col("planted_found"),
+        (col("planted_found") === col("n_planted")).as("recall_exact"),
+        (col("n_pairs") === col("planted_found")).as("no_stray_pairs"),
+        col("min_sim"))
+  }
+
+  /** #152 Exact corpus heavy hitters at sketch cost (round 10,
+    * [[graft.text.FrequentTokens]] over the native
+    * [[graft.functions.MisraGries]] `TypedImperativeAggregate`): tokens
+    * whose exact frequency is ≥ N/200, found WITHOUT shuffling the token
+    * stream — pass 1 folds everything to one mergeable k=400-counter
+    * summary (state O(k × partitions), independent of corpus and
+    * vocabulary size; the MG bound makes its keys a guaranteed superset
+    * of the answer), pass 2 exactly re-counts only those ≤k candidates
+    * behind a broadcast semi-join. The result is EXACT — sketch
+    * internals vary with partitioning, the re-counted answer does not —
+    * so the oracle is DuckDB's full-histogram ground truth, not a
+    * recall floor. The naive explode→groupBy twin shuffles the ~20×
+    * token stream and materializes the Zipf-tailed vocabulary histogram
+    * to keep a handful of rows; at 100 TB that histogram IS the
+    * bottleneck. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.text.FrequentTokens.frequentTokens(Tables.documents(s, dir))
+
   /** #25 Brute-force cosine top-10 for queries vec_id < 8. */
   def annCosineTopk(s: SparkSession, dir: String): DataFrame =
     Cosine.bruteTopK(Tables.embeddings(s, dir), nQueries = 8, k = 10)
@@ -1427,6 +1480,42 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #150 Merge-on-read MERGE via deletion vectors (round 10) — #71's
+    * CDC upsert (late corrections + new arrivals) at DV commit cost:
+    * the matched yellow rows are DV'd out of their files and ONE
+    * appended batch carries their post-images plus the green inserts —
+    * no original file rewritten (`originals_intact` pins the live set
+    * superset; `appended` sees the new files), identical end state and
+    * CDF classification to the copy-on-write [[deltaMerge]] (spec-pinned
+    * row-for-row in Round10Spec). The shape a daily correction batch
+    * takes at 100 TB, where matching 0.1% of rows must not rewrite the
+    * files that hold them. */
+  def deltaMergeDv(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txmdv")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)                  // v1
+    val before = graft.acid.TxLog.livePaths(s, path)
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val stats = graft.acid.TxLog.mergeWithDv(
+      corrections.unionByName(arrivals), path, Seq("event_id"))        // v2
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("originals_intact",
+        lit(before.subsetOf(graft.acid.TxLog.livePaths(s, path))))
+      .withColumn("appended", lit(stats.filesAdded > 0))
+      .select("trip_type", "n_rows", "total", "originals_intact", "appended")
+      .orderBy("trip_type")
+  }
+
   /** #110 MERGE with schema evolution (Delta `mergeSchema`/autoMerge on
     * MERGE INTO): the correction batch arrives carrying a NEW
     * `audit_reason` column — the CDC-upsert companion of #59's
@@ -1540,7 +1629,12 @@ object SparkEntry {
       .withColumn("balance", when(col("cust_id") % 7 === 0, col("balance") + 100)
         .otherwise(col("balance")))
       .unionByName(cust.filter(col("cust_id") % 13 === 0)
-        .select((col("cust_id") + 10000000L).as("cust_id"),
+        // brand-new keys in the strictly-NEGATIVE namespace (-(k+1):
+        // injective, never 0): collision-proof at any scale — a +10M
+        // re-key is exactly ScaleUp's copy stride and collided with
+        // copy 1's real customers at sf10, and a bare -k collides with
+        // itself at k = 0 (present in every SF)
+        .select((-(col("cust_id") + 1)).as("cust_id"),
                 lit("NEWSEG").as("segment"), col("balance")))
     graft.acid.Scd2.apply(s, b1, path, key, attrs, "2024-02-01 00:00:00")
     val b2 = cust.filter(col("cust_id") % 14 === 0)
@@ -1604,7 +1698,8 @@ object SparkEntry {
       .withColumn("balance", when(col("cust_id") % 7 === 0, col("balance") + 100)
         .otherwise(col("balance")))
       .unionByName(cust.filter(col("cust_id") % 13 === 0)
-        .select((col("cust_id") + 10000000L).as("cust_id"),
+        // negative namespace for new keys — scale-proof (see #145)
+        .select((-(col("cust_id") + 1)).as("cust_id"),
                 lit("NEWSEG").as("segment"), col("balance")))
     graft.acid.TxLog.merge(b1, src, key)                               // v2
     graft.streaming.StreamScd2.pump(s, src, dim, key, attrs, cursor, tsOf)
@@ -2317,6 +2412,7 @@ object SparkEntry {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_ngram"         -> (dedupNgram _),
     "dedup_embed"         -> (dedupEmbed _),
+    "dedup_embed_ann"     -> (dedupEmbedAnn _),
     "ann_cosine_topk"     -> (annCosineTopk _),
     "ann_lsh"             -> (annLsh _),
     "ann_quantized"       -> (annQuantized _),
@@ -2352,6 +2448,7 @@ object SparkEntry {
     "etl_compaction"      -> (etlCompaction _),
     "dedup_clusters"      -> (dedupClusters _),
     "text_vocab"          -> (textVocab _),
+    "text_heavy_hitters"  -> (textHeavyHitters _),
     "sample_split"        -> (sampleSplit _),
     "text_pii_redact"     -> (textPiiRedact _),
     "dedup_droplist"      -> (dedupDroplist _),
@@ -2371,6 +2468,7 @@ object SparkEntry {
     "stream_scd2"         -> (streamScd2 _),
     "delta_deletion_vectors" -> (deltaDeletionVectors _),
     "delta_update_dv"     -> (deltaUpdateDv _),
+    "delta_merge_dv"      -> (deltaMergeDv _),
     "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf"           -> (deltaCdf _),
     "delta_restore"       -> (deltaRestore _),
@@ -2694,6 +2792,39 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+
+    // exact census of the 0.9 near-dup answer over the augmented corpus
+    // (originals + direction-preserving scaled copies): both engines
+    // enumerate the SAME pair set — DuckDB by exact cross join, Spark
+    // by LSH candidates + exact verify (recall on sign-identical copies
+    // is deterministic 1.0; precision 1.0 by exact verification)
+    "dedup_embed_ann" ->
+      """WITH scaled AS (
+        |  SELECT vec_id AS orig_id,
+        |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+        |           * (1.0 + (vec_id % 5 + 1) / 100.0) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |pl AS (SELECT -(orig_id + 1) AS vec_id, embedding FROM scaled),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM pl),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+        |SELECT count(*) AS n_pairs,
+        |       (SELECT count(*) FROM pl) AS n_planted,
+        |       CAST(coalesce(sum(CASE WHEN vec_a = -(vec_b + 1)
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS planted_found,
+        |       CAST(coalesce(sum(CASE WHEN vec_a = -(vec_b + 1)
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         = (SELECT count(*) FROM pl) AS recall_exact,
+        |       count(*) = CAST(coalesce(sum(CASE WHEN vec_a = -(vec_b + 1)
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS no_stray_pairs,
+        |       round(min(sim), 4) AS min_sim
+        |FROM pairs""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3030,6 +3161,19 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+
+    // full-histogram ground truth for the two-pass MG answer: the Spark
+    // side never builds this histogram — that's the point — but must
+    // equal it row-for-row on the ≥ N/200 slice
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |n AS (SELECT count(*) AS n_tokens FROM tok)
+        |SELECT tok, count(*) AS freq, n.n_tokens
+        |FROM tok, n
+        |GROUP BY tok, n.n_tokens
+        |HAVING count(*) * 200 >= n.n_tokens
+        |ORDER BY freq DESC, tok""".stripMargin,
 
     "text_pii_redact" ->
       """WITH w AS (
@@ -3990,6 +4134,21 @@ object SparkEntry {
          |  WHERE event_type = 'view' AND $dqSql)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same end-state model as delta_merge — merge-on-read must be
+    // indistinguishable in content — plus the no-rewrite probes
+    "delta_merge_dv" ->
+      s"""SELECT trip_type, count(*) AS n_rows, round(sum(total_amount), 2) AS total,
+         |       true AS originals_intact, true AS appended
+         |FROM (
+         |  SELECT event_type AS trip_type,
+         |         CASE WHEN event_type = 'purchase' AND value >= 100
+         |              THEN value + 10 ELSE value END AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql
+         |  UNION ALL
+         |  SELECT event_type, value FROM events
+         |  WHERE event_type = 'view' AND $dqSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "delta_merge_evolve" ->
       s"""SELECT trip_type, count(*) AS n_rows,
          |       round(sum(total_amount), 2) AS total,
@@ -4081,7 +4240,7 @@ object SparkEntry {
         |         ELSE bal END AS cur_bal
         |  FROM c),
         |new_keys AS (
-        |  SELECT k + 10000000 AS k, 1 AS n_versions, bal AS cur_bal
+        |  SELECT -(k + 1) AS k, 1 AS n_versions, bal AS cur_bal
         |  FROM c WHERE k % 13 = 0),
         |allk AS (SELECT * FROM old_keys UNION ALL SELECT * FROM new_keys)
         |SELECT CAST(n_versions AS BIGINT) AS n_versions,
@@ -4104,7 +4263,7 @@ object SparkEntry {
         |         ELSE bal END AS cur_bal
         |  FROM c),
         |new_keys AS (
-        |  SELECT k + 10000000 AS k, 1 AS n_versions, bal AS cur_bal
+        |  SELECT -(k + 1) AS k, 1 AS n_versions, bal AS cur_bal
         |  FROM c WHERE k % 13 = 0),
         |allk AS (SELECT * FROM old_keys UNION ALL SELECT * FROM new_keys)
         |SELECT CAST(n_versions AS BIGINT) AS n_versions,

@@ -106,7 +106,8 @@ object TxLog {
                           constraints: Map[String, String] = Map.empty,
                           bloomCols: Seq[String] = Seq.empty,
                           columnMap: Map[String, String] = Map.empty,
-                          droppedPhysical: Seq[String] = Seq.empty) {
+                          droppedPhysical: Seq[String] = Seq.empty,
+                          generatedCols: Map[String, String] = Map.empty) {
     def physical(logical: String): String = columnMap.getOrElse(logical, logical)
   }
 
@@ -201,7 +202,9 @@ object TxLog {
         "bloomCols" -> JArray(m.bloomCols.toList.map(JString)),
         "columnMap" -> JObject(
           m.columnMap.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
-        "droppedPhysical" -> JArray(m.droppedPhysical.toList.map(JString))))))
+        "droppedPhysical" -> JArray(m.droppedPhysical.toList.map(JString)),
+        "generatedCols" -> JObject(
+          m.generatedCols.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))))
 
   /** Per-commit operation marker (Delta `commitInfo.operation`): lets the
     * change feed classify a commit without guessing from its action shape
@@ -264,9 +267,13 @@ object TxLog {
             case JArray(arr) => arr.collect { case JString(c) => c }
             case _ => Seq.empty[String]
           }
+          val gen = m \ "generatedCols" match {
+            case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
           meta = Some(Meta(
             DataType.fromJson(schemaJson).asInstanceOf[StructType], cols, cons,
-            blooms, cmap, dropped))
+            blooms, cmap, dropped, gen))
         case JObject(List(("add", a))) =>
           val JString(p) = a \ "path"
           val pv = (a \ "partitionValues").asInstanceOf[JObject]
@@ -1040,9 +1047,9 @@ object TxLog {
     * `filesAdded` = 0 — no data file is written, which the spec pins. */
   def deleteWithDv(spark: SparkSession, table: String,
                    condition: org.apache.spark.sql.Column): MergeStats =
-    dvMergeOnRead(spark, table, condition, op = "delete")(
-      _ => None)(
-      rows => rows.withColumn("_change_type", lit("delete")))
+    dvMergeOnRead(spark, table, op = "delete")(_.filter(condition))(
+      (_, _) => None)(
+      (rows, _) => rows.withColumn("_change_type", lit("delete")))
 
   /** Merge-on-read UPDATE via deletion vectors — [[deleteWithDv]]'s
     * argument applies just as hard to small updates (GDPR corrections,
@@ -1061,24 +1068,88 @@ object TxLog {
     def applied(rows: DataFrame): DataFrame =
       rows.select(rows.columns.toSeq.map(c =>
         set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-    dvMergeOnRead(spark, table, condition, op = "update")(
-      rows => Some(applied(rows)))(
-      rows => rows.withColumn("_change_type", lit("update_preimage"))
+    dvMergeOnRead(spark, table, op = "update")(_.filter(condition))(
+      (rows, _) => Some(applied(rows)))(
+      (rows, _) => rows.withColumn("_change_type", lit("update_preimage"))
         .unionByName(applied(rows)
           .withColumn("_change_type", lit("update_postimage"))))
   }
 
-  /** Shared merge-on-read kernel: DV the matched rows out of their
-    * files, optionally append `postImagesOf(matched rows)` as new data
-    * files (UPDATE's post-images; None for DELETE), stage
-    * `cdcOf(matched rows)` for the change feed, commit all of it
+  /** Merge-on-read MERGE via deletion vectors — completes the DV family
+    * ([[deleteWithDv]], [[updateWithDv]]): the upsert DVs every MATCHED
+    * target row out of its file and appends the new images (matched
+    * sources' post-images + unmatched sources' inserts) as fresh data
+    * files, in ONE commit. Semantics mirror [[merge]] exactly —
+    * wholesale row replacement per matched key, `deleteWhen` rows
+    * dropped not appended, key-unique source enforced, identical CDF
+    * output — but commit cost is O(matched + inserted rows), never
+    * O(touched files' bytes): the CDC-upsert shape at 100 TB, where a
+    * daily correction batch matching 0.1% of rows must not rewrite the
+    * files holding them. Schema evolution is NOT supported here (a
+    * widened schema must rewrite files to stay uniform — use [[merge]]
+    * with `evolveSchema`). */
+  def mergeWithDv(source: DataFrame, table: String, keyCols: Seq[String],
+                  deleteWhen: Option[org.apache.spark.sql.Column] = None)
+                 : MergeStats = {
+    val spark = source.sparkSession
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keyCols.map(col): _*).take(3)
+    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
+      s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
+      s"e.g. ${dupKeys.mkString("; ")}. Collapse the source to one row per key " +
+      "before merging.")
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    def srcFor(cols: Seq[String]): DataFrame = source.select(
+      cols.map(col) :+
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
+    dvMergeOnRead(spark, table, op = "merge")(
+      _.join(srcKeys, keyCols, "left_semi"))(
+      (rows, fullRel) => {
+        val src = srcFor(rows.columns.toSeq)
+        // matched post-images (non-delete) + inserts, both source-valued
+        Some(src.join(rows.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi")
+          .filter(!col("__del")).drop("__del")
+          .unionByName(src
+            .join(fullRel.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_anti")
+            .filter(!col("__del")).drop("__del")))
+      })(
+      (rows, fullRel) => {
+        val cols = rows.columns.toSeq
+        val src = srcFor(cols)
+        val matchedSrc = src.join(
+          rows.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        val delKeys = matchedSrc.filter(col("__del"))
+          .select(keyCols.map(col): _*)
+        rows.join(delKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(matchedSrc.filter(!col("__del")).drop("__del")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(rows.join(delKeys, keyCols, "left_semi")
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(src
+            .join(fullRel.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_anti")
+            .filter(!col("__del")).drop("__del")
+            .withColumn("_change_type", lit("insert")))
+      })
+  }
+
+  /** Shared merge-on-read kernel: `hitsOf` selects the matched rows
+    * from the metadata-bearing relation (a predicate filter for
+    * DELETE/UPDATE, a key semi-join for MERGE); those rows are DV'd out
+    * of their files, `postImagesOf(matched rows, full relation)`
+    * optionally appends new data files (UPDATE/MERGE images; None for
+    * DELETE), `cdcOf` stages the change feed, and everything commits
     * atomically. The matched set is materialized once — sidecar
     * staging, post-image staging, and cdc staging all read the cache,
     * not three scans of the table. */
-  private def dvMergeOnRead(spark: SparkSession, table: String,
-      condition: org.apache.spark.sql.Column, op: String)(
-      postImagesOf: DataFrame => Option[DataFrame])(
-      cdcOf: DataFrame => DataFrame): MergeStats = {
+  private def dvMergeOnRead(spark: SparkSession, table: String, op: String)(
+      hitsOf: DataFrame => DataFrame)(
+      postImagesOf: (DataFrame, DataFrame) => Option[DataFrame])(
+      cdcOf: (DataFrame, DataFrame) => DataFrame): MergeStats = {
     val (hfs, root) = fs(spark, table)
     var attempts = 0
     while (attempts < 10) {
@@ -1090,15 +1161,20 @@ object TxLog {
       val byQual = snap.files.map(f =>
         hfs.makeQualified(new Path(root, f.path)).toString -> f).toMap
       val rel = relationFor(spark, table, snap.meta, snap.files)._1
-      val hits = graft.Caching.materialize(rel
+      val hits = graft.Caching.materialize(hitsOf(rel
         .withColumn("__path", col("_metadata.file_path"))
-        .withColumn("__ri", col("_metadata.row_index"))
-        .filter(condition))
+        .withColumn("__ri", col("_metadata.row_index"))))
       try {
         val touchedQ = hits.select("__path").distinct().collect()
           .map(_.getString(0))
-        if (touchedQ.isEmpty) return MergeStats(0, snap.files.size, 0)
         val touched = touchedQ.toSeq.flatMap(byQual.get)
+        val rows = hits.select(cols.map(col): _*)
+        val fullRel = relationFor(spark, table, snap.meta, snap.files)._1
+        // no matched rows: DELETE/UPDATE are pure no-ops; a MERGE may
+        // still carry inserts, which flow through the post-image path
+        if (touched.isEmpty &&
+            postImagesOf(rows, fullRel).forall(_.isEmpty))
+          return MergeStats(0, snap.files.size, 0)
         // the file's new DV = outstanding DV rows ∪ freshly matched rows,
         // keyed by an md5 of the file's STORED path. Not the name (one
         // write job reuses part-00000-<uuid> across every partition dir it
@@ -1110,71 +1186,72 @@ object TxLog {
           java.security.MessageDigest.getInstance("MD5")
             .digest(stored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString
-        val pathLookup = broadcast(
-          touched.map(f =>
-            (hfs.makeQualified(new Path(root, f.path)).toString, dvKey(f.path)))
-            .toDF("__fp", "__f"))
-        val newDel = hits.select(col("__path").as("__fp"), col("__ri").as("__dri"))
-        val allDel = dvDeletedRows(spark, hfs, root, touched) match {
-          case None => newDel
-          case Some(old) => newDel.unionByName(old)
-        }
-        val stagingName = s"dv-${java.util.UUID.randomUUID()}"
-        val staging = new Path(root, stagingName)
-        // one sidecar parquet per data file: repartition on the file key so
-        // each partition dir gets exactly one writer/file
-        allDel.join(pathLookup, Seq("__fp"))
-          .select(col("__f"), col("__dri").as("row_index"))
-          .repartition(col("__f"))
-          .sortWithinPartitions("row_index")
-          .write.partitionBy("__f").mode("overwrite").parquet(staging.toString)
-        // read the staged sidecars back for exact per-file counts (tiny:
-        // O(deleted rows))
-        val counts = spark.read.parquet(staging.toString)
-          .groupBy("__f").agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val qualifiedStaging = hfs.makeQualified(staging).toString
-        val dvFiles = mutable.Map.empty[String, String]
-        val it = hfs.listFiles(staging, true)
-        while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) {
-            val relP = f.toString.stripPrefix(qualifiedStaging).stripPrefix("/")
-            relP.split("/").dropRight(1).foreach { seg =>
-              seg.split("=", 2) match {
-                case Array("__f", v) =>
-                  dvFiles(ExternalCatalogUtils.unescapePathName(v)) =
-                    s"$stagingName/$relP"
-                case _ => ()
+        val (gone, adds) = if (touched.isEmpty) (Seq.empty[AddFile], Seq.empty[AddFile]) else {
+          val pathLookup = broadcast(
+            touched.map(f =>
+              (hfs.makeQualified(new Path(root, f.path)).toString, dvKey(f.path)))
+              .toDF("__fp", "__f"))
+          val newDel = hits.select(col("__path").as("__fp"), col("__ri").as("__dri"))
+          val allDel = dvDeletedRows(spark, hfs, root, touched) match {
+            case None => newDel
+            case Some(old) => newDel.unionByName(old)
+          }
+          val stagingName = s"dv-${java.util.UUID.randomUUID()}"
+          val staging = new Path(root, stagingName)
+          // one sidecar parquet per data file: repartition on the file key
+          // so each partition dir gets exactly one writer/file
+          allDel.join(pathLookup, Seq("__fp"))
+            .select(col("__f"), col("__dri").as("row_index"))
+            .repartition(col("__f"))
+            .sortWithinPartitions("row_index")
+            .write.partitionBy("__f").mode("overwrite").parquet(staging.toString)
+          // read the staged sidecars back for exact per-file counts (tiny:
+          // O(deleted rows))
+          val counts = spark.read.parquet(staging.toString)
+            .groupBy("__f").agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val qualifiedStaging = hfs.makeQualified(staging).toString
+          val dvFiles = mutable.Map.empty[String, String]
+          val it = hfs.listFiles(staging, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) {
+              val relP = f.toString.stripPrefix(qualifiedStaging).stripPrefix("/")
+              relP.split("/").dropRight(1).foreach { seg =>
+                seg.split("=", 2) match {
+                  case Array("__f", v) =>
+                    dvFiles(ExternalCatalogUtils.unescapePathName(v)) =
+                      s"$stagingName/$relP"
+                  case _ => ()
+                }
               }
             }
           }
+          // fully-deleted files are removed outright; the rest re-add with
+          // their new DV (adds overwrite by path on replay — no remove
+          // needed). A legacy add with unknown numRecords gets one footer
+          // read here — otherwise a fully-deleted legacy file would survive
+          // as a zero-logical-row husk, violating the no-empty-husk contract
+          def physicalRows(f: AddFile): Long =
+            if (f.numRecords >= 0) f.numRecords
+            else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
+              new Path(root, f.path))._1
+          val (g, partial) = touched.partition(f =>
+            counts.getOrElse(dvKey(f.path), 0L) >= physicalRows(f))
+          (g, partial.map(f => f.copy(
+            dvPath = Some(dvFiles(dvKey(f.path))),
+            dvRows = counts(dvKey(f.path)))))
         }
-        // fully-deleted files are removed outright; the rest re-add with
-        // their new DV (adds overwrite by path on replay — no remove
-        // needed). A legacy add with unknown numRecords gets one footer
-        // read here — otherwise a fully-deleted legacy file would survive
-        // as a zero-logical-row husk, violating the no-empty-husk contract
-        def physicalRows(f: AddFile): Long =
-          if (f.numRecords >= 0) f.numRecords
-          else ParquetStats.readFooter(spark.sparkContext.hadoopConfiguration,
-            new Path(root, f.path))._1
-        val (gone, partial) = touched.partition(f =>
-          counts.getOrElse(dvKey(f.path), 0L) >= physicalRows(f))
-        val adds = partial.map(f => f.copy(
-          dvPath = Some(dvFiles(dvKey(f.path))),
-          dvRows = counts(dvKey(f.path))))
-        val rows = hits.select(cols.map(col): _*)
-        // post-images (UPDATE) are ordinary staged data files: they pass
-        // the CHECK constraints, record stats/blooms, and write under
-        // the table's column mapping like any other commit's adds
-        val post = postImagesOf(rows)
+        // post-images (UPDATE/MERGE) are ordinary staged data files:
+        // they pass the CHECK constraints, record stats/blooms, and
+        // write under the table's column mapping like any other add
+        val post = postImagesOf(rows, fullRel)
         post.foreach(p =>
           requireConstraintsSatisfied(p, snap.meta.constraints, table))
         val newAdds = post.map(p => stage(p, table, snap.meta.partitionCols,
             bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap))
           .getOrElse(Seq.empty)
-        val cdcFiles = stageCdc(cdcOf(rows), table)
+        val cdcFiles = stageCdc(cdcOf(rows, fullRel), table)
         val lines = commitInfoJson(op) +:
           (gone.map(actionJson("remove", _)) ++
             (adds ++ newAdds).map(actionJson("add", _)) ++

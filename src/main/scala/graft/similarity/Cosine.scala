@@ -240,4 +240,57 @@ object Cosine {
               round(col("rawsim"), 4).as("sim"))
       .orderBy("query_id", "rank")
   }
+
+  // ------------------------------------------------- LSH near-dup pairs
+
+  /** Sub-quadratic embedding near-dup: sign-LSH bucket candidates +
+    * exact verify — the scale exit for [[nearDupPairs]]'s gated O(n²)
+    * all-pairs contract, at the HIGH thresholds where LSH is the right
+    * tool (the docstring above derives why it is wrong at sim≈0.4,
+    * where per-bit agreement is only ~0.63; at sim 0.9 it is ~0.86 and
+    * climbs toward 1 as pairs approach true duplicates — which is where
+    * near-dup mass actually lives).
+    *
+    * Candidate generation touches only same-(table, bucket) pairs —
+    * O(Σ_buckets n_b²) instead of O(n²), with bucket occupancy driven
+    * down exponentially by `bits` — and every candidate is re-verified
+    * with the exact codegen cosine, so precision is 1.0 BY CONSTRUCTION:
+    * no pair below `threshold` is ever emitted. Recall is the honest
+    * LSH contract, with one certainty worth naming: two vectors with
+    * IDENTICAL sign patterns (exact copies, positively-scaled copies —
+    * the dominant duplicate mass in crawled/replicated corpora) land in
+    * the same bucket in EVERY table, so true duplicates are found with
+    * probability 1, deterministically; only borderline pairs near the
+    * threshold are probabilistic (tables × bits trade recall vs
+    * candidate volume, as in [[lshTopK]]).
+    *
+    * Scale shape: the bucket join carries (id, bucket) pairs only — the
+    * float vectors do NOT ride the candidate shuffle; survivors of the
+    * pair-distinct fetch vectors back by id for the verify, exactly
+    * [[nearDupPairs]]'s survivors-side pattern. Candidate volume is the
+    * one thing to size (`bits` ≈ log₂(corpus) keeps expected bucket
+    * width O(1) for spread-out data; replicated corpora pay
+    * O(copies²·originals) — the true duplicate-pair count, which IS the
+    * output size). */
+  def nearDupPairsAnn(emb: DataFrame, threshold: Double,
+                      tables: Int = 4, bits: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    val p = graft.Caching.materialize(prepared(emb))
+    val b = bucketed(p, tables, bits, Dim)
+      .select(col("table_id"), col("bucket"), col("vec_id"))
+    val candidates = b.join(
+        b.select(col("table_id"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table_id", "bucket"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = p.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val vb = p.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim_raw", graft.functions.GraftFunctions
+        .cosine_sim(spark, col("v_a"), col("v_b")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+              round(col("sim_raw"), 4).as("sim"))
+  }
 }

@@ -7,7 +7,9 @@ import graft.acid.TxLog
 /** Round-10 laws: the PQ ADC scan (lookup-table similarity ==
   * reconstructed cosine, train-once index store), the StreamMv replay
   * clamp (crash + intervening commits), SCD-2 replay semantics and
-  * one-pass accounting, and the legacy-numRecords DV husk fix. */
+  * one-pass accounting, the legacy-numRecords DV husk fix, and the
+  * sign-LSH embedding near-dup (== its exact all-pairs twin on
+  * duplicate-bearing corpora). */
 class Round10Spec extends SparkSpec {
 
   private def tmp(prefix: String): String =
@@ -230,6 +232,41 @@ class Round10Spec extends SparkSpec {
     assert(TxLog.read(spark, t).filter(col("v") === 77.0).count() === 5L)
   }
 
+  test("mergeWithDv: upsert commits DVs + appended images, matches merge semantics") {
+    import spark.implicits._
+    val t = tmp("mdv"); val twin = tmp("mdv_twin")
+    val init = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).cast("double").as("v"))
+      .repartition(2)
+    TxLog.overwrite(init, t); TxLog.overwrite(init, twin)               // v1
+    // source: update ids 0-9, insert 2000-2004, delete-when v < 0 never
+    val src = spark.range(0, 10).select(col("id"), lit(99.0).as("v"))
+      .unionByName(spark.range(2000, 2005).select(col("id"), lit(7.0).as("v")))
+    val before = TxLog.livePaths(spark, t)
+    val stats = TxLog.mergeWithDv(src, t, Seq("id"))                    // v2
+    TxLog.merge(src, twin, Seq("id"))
+    // merge-on-read and copy-on-write merges agree row-for-row
+    val a = TxLog.read(spark, t); val b = TxLog.read(spark, twin)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // ...but the DV merge rewrote NO original file
+    assert(before.subsetOf(TxLog.livePaths(spark, t)))
+    assert(stats.filesAdded > 0)
+    // CDF parity with the copy-on-write merge's classification
+    val feed = TxLog.readChangeFeed(spark, t, fromVersion = 2L)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() === 10L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() === 10L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 5L)
+    // deleteWhen drops matched rows instead of appending their image
+    TxLog.mergeWithDv(spark.range(0, 5).select(col("id"), lit(-1.0).as("v")),
+      t, Seq("id"), deleteWhen = Some(col("v") < 0))                    // v3
+    assert(TxLog.read(spark, t).count() === 1000L) // 1005 - 5
+    assert(TxLog.read(spark, t).filter(col("id") < 5).isEmpty)
+    // a pure-insert batch (no matched keys) still appends
+    TxLog.mergeWithDv(spark.range(3000, 3003).select(col("id"), lit(1.0).as("v")),
+      t, Seq("id"))                                                     // v4
+    assert(TxLog.read(spark, t).count() === 1003L)
+  }
+
   // ------------------------------------------------- DV-aware OPTIMIZE
 
   test("optimizeDv: rewrites only files above the DV ratio, content unchanged") {
@@ -282,5 +319,92 @@ class Round10Spec extends SparkSpec {
     assert(TxLog.read(spark, t).isEmpty)
     assert(TxLog.livePaths(spark, t).isEmpty,
       "fully-deleted legacy file survived as an empty husk")
+  }
+
+  // ------------------------------------------- LSH embedding near-dup
+
+  test("nearDupPairsAnn: equals the exact all-pairs answer on a duplicate-bearing corpus") {
+    import spark.implicits._
+    import graft.similarity.Cosine
+    val dim = Cosine.Dim
+    // deterministic well-mixed directions, pairwise far apart (a raw
+    // affine mix of (seed, i) leaves adjacent seeds ~0.98-similar —
+    // real borderline pairs LSH only probabilistically finds, which is
+    // not the law under test)
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + 1L)
+      Array.fill(dim)(r.nextFloat() * 2.0f - 1.0f)
+    }
+    val base = (0L until 40L).map(k => (k, vec(k)))
+    val scaled = base.filter(_._1 % 4 == 0)
+      .map { case (k, v) => (1000L + k, v.map(x => x * 1.5f)) }
+    val exactCopies = base.filter(_._1 % 10 == 0)
+      .map { case (k, v) => (2000L + k, v) }
+    val corpus = (base ++ scaled ++ exactCopies).toDF("vec_id", "embedding")
+    val ann = Cosine.nearDupPairsAnn(corpus, 0.9)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    val exact = Cosine.nearDupPairs(corpus, 0.9, exactAllPairs = true)
+      .collect().toSeq
+    // LSH candidates + exact verify == gated O(n²) twin, row for row
+    assert(ann == exact)
+    assert(ann.nonEmpty, "law is vacuous: no duplicate pairs in corpus")
+    // sign-identical copies are found with certainty: scaled copy,
+    // byte-identical copy, and the copy-copy pair all present
+    val ids = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1000L)) && ids.contains((0L, 2000L)) &&
+           ids.contains((1000L, 2000L)))
+    // precision 1.0 by construction: nothing below threshold emitted
+    assert(ann.forall(_.getDouble(2) >= 0.9))
+  }
+
+  test("dedup_embed_ann registry: exact census — full planted recall, zero strays") {
+    val row = SparkEntry.dedupEmbedAnn(spark, sf).collect().head
+    assert(row.getAs[Long]("n_planted") > 0)
+    assert(row.getAs[Boolean]("recall_exact"), "planted scaled copy missed")
+    assert(row.getAs[Boolean]("no_stray_pairs"), "sub-threshold pair emitted")
+    assert(row.getAs[Double]("min_sim") == 1.0)
+  }
+
+  // ------------------------------------------- Misra–Gries heavy hitters
+
+  test("mg_sketch: survivor superset + underestimate bounds hold across partitionings") {
+    import spark.implicits._
+    // Zipf-ish synthetic stream: item i appears 2000/(i+1) times —
+    // deterministic, known exact counts
+    val occurrences = (0 until 50).flatMap(i =>
+      Seq.fill(2000 / (i + 1))(s"tok$i"))
+    val n = occurrences.size.toLong
+    val k = 20
+    for (parts <- Seq(1, 7, 32)) {
+      // shuffle deterministically so partitions see interleaved items
+      val rnd = new scala.util.Random(42)
+      val rows = rnd.shuffle(occurrences).grouped(10).map(g => Tuple1(g)).toSeq
+      val df = spark.createDataset(rows).toDF("toks").repartition(parts)
+      val m = df.agg(graft.functions.MisraGries
+          .mg_sketch(spark, col("toks"), k).as("mg"))
+        .collect().head.getMap[String, Long](0)
+      val exact = occurrences.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      // every item with freq > N/(k+1) survives
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(t =>
+        assert(m.contains(t), s"$t (freq ${exact(t)}) missing at parts=$parts"))
+      // every estimate is a lower bound within N/(k+1) of truth
+      m.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$t overestimated")
+        assert(exact(t) - est <= n / (k + 1) + 1, s"$t underestimate too deep")
+      }
+    }
+  }
+
+  test("frequentTokens: two-pass MG answer equals the exact histogram slice") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.text.FrequentTokens.frequentTokens(docs).collect().toSeq
+    val toks = docs.select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+    val naive = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .crossJoin(toks.agg(count(lit(1)).as("n_tokens")))
+      .filter(col("freq") * 200 >= col("n_tokens"))
+      .orderBy(col("freq").desc, col("tok"))
+      .collect().toSeq
+    assert(got == naive)
+    assert(got.nonEmpty, "law is vacuous: no heavy hitters at sf")
   }
 }
