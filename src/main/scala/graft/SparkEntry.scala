@@ -2117,6 +2117,40 @@ object SparkEntry {
       lit(sel >= 1).as("scanned_some"))
   }
 
+  /** #153 Generated partition columns (round 10, Delta GENERATED ALWAYS
+    * AS; [[graft.acid.GeneratedCols]] writes, the
+    * [[graft.plans.GeneratedPartitionFilters]] Catalyst rule reads): the
+    * table declares `event_date = date(ts)` as a generated PARTITION
+    * column — the WRITE computes it (no hand-maintained column), and a
+    * query filtering only on the raw `ts` gets the implied partition
+    * predicate conjoined by the optimizer rule, so partition pruning
+    * fires for queries that never mention the partition column. The
+    * `partition_filter_derived` probe reads the derived `event_date`
+    * conjunct off the file index's observed partition filters — direct
+    * evidence the rule (not per-file ts stats) drove the prune; at
+    * 100 TB the derived filter prunes partition GROUPS in O(partitions)
+    * metadata instead of O(files) stat ranges, and keeps working when
+    * file stats are absent. */
+  def deltaGeneratedCols(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txgen")
+    val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+    graft.acid.TxLog.overwrite(ev, path, partitionCols = Seq("event_date"),
+      generatedCols = Map("event_date" -> "date(ts)"))
+    val (table, idx) = graft.acid.TxLog.readWithSkipInfo(s, path)
+    val hit = table
+      .filter(col("ts") >= lit("2024-01-08 00:00:00") &&
+              col("ts") <  lit("2024-01-12 00:00:00"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .collect()(0)
+    val (sel, tot) = idx.lastListing.get
+    s.range(1).select(
+      lit(hit.getLong(0)).as("n_rows"),
+      lit(hit.getDouble(1)).as("total"),
+      lit(sel < tot).as("pruned_files"),
+      lit(idx.lastPartitionFilters.exists(_.contains("event_date")))
+        .as("partition_filter_derived"))
+  }
+
   /** #130 Dynamic file pruning (round 8) — Databricks DFP / Spark DPP
     * at the file level: a star join whose dim-side predicate is highly
     * selective should prune FACT FILES at runtime, not scan-then-drop.
@@ -2468,6 +2502,7 @@ object SparkEntry {
     "stream_scd2"         -> (streamScd2 _),
     "delta_deletion_vectors" -> (deltaDeletionVectors _),
     "delta_update_dv"     -> (deltaUpdateDv _),
+    "delta_generated_cols" -> (deltaGeneratedCols _),
     "delta_merge_dv"      -> (deltaMergeDv _),
     "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf"           -> (deltaCdf _),
@@ -4397,6 +4432,16 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
         |       true AS skipped_files, true AS scanned_some
         |FROM events WHERE event_id >= 100 AND event_id < 200""".stripMargin,
+
+    // content model for the ts-range query; the pruning and
+    // rule-derivation probes are pinned true (a scan that read every
+    // partition, or a prune driven only by file stats, fails the row)
+    "delta_generated_cols" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
+        |       true AS pruned_files, true AS partition_filter_derived
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'""".stripMargin,
 
     "dedup_droplist" ->
       """WITH RECURSIVE

@@ -603,24 +603,34 @@ object TxLog {
     * deleted — that is `vacuum`). `overwriteSchema=true` permits an
     * incompatible schema, mirroring Delta's option of the same name. */
   def overwrite(df: DataFrame, table: String, partitionCols: Seq[String] = Seq.empty,
-                overwriteSchema: Boolean = false): Unit =
+                overwriteSchema: Boolean = false,
+                generatedCols: Map[String, String] = Map.empty): Unit =
     overwriteImpl(df, table, partitionCols, overwriteSchema, rearrange = true,
-      op = "overwrite")
+      op = "overwrite", generatedCols = generatedCols)
 
-  private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
+  private def overwriteImpl(df0: DataFrame, table: String, partitionCols: Seq[String],
                             overwriteSchema: Boolean, rearrange: Boolean,
-                            op: String): Unit = {
+                            op: String,
+                            generatedCols: Map[String, String] = Map.empty): Unit = {
     // bloom/mapping config is read pre-stage (files are staged once,
     // outside the commit retry); a concurrent config change applies from
     // the next write
     val priorMeta =
       if (overwriteSchema) None
-      else snapshot(df.sparkSession, table, None).map(_.meta)
+      else snapshot(df0.sparkSession, table, None).map(_.meta)
     val priorBloomCols = priorMeta.map(_.bloomCols).getOrElse(Seq.empty)
     val priorMap = priorMeta.map(_.columnMap).getOrElse(Map.empty)
     // overwriteSchema replaces EVERY file, so the mapping (and its
     // dropped-name tombstones) reset with the schema
     val priorDropped = priorMeta.map(_.droppedPhysical).getOrElse(Seq.empty)
+    // generated partition columns: new declarations merge over prior
+    // ones (prior survive overwrites like constraints); each missing
+    // column is COMPUTED from its source, a provided one is verified
+    val gen = priorMeta.map(_.generatedCols).getOrElse(Map.empty) ++ generatedCols
+    gen.keys.foreach(c => require(partitionCols.contains(c),
+      s"generated column $c must be a partition column (got $partitionCols) — " +
+      "partition filter derivation is its whole point"))
+    val df = GeneratedCols.applyTo(df0, gen)
     val adds = stage(df, table, partitionCols, rearrange, priorBloomCols,
       priorMap)
     retryCommit(df.sparkSession, table) { snap =>
@@ -636,17 +646,20 @@ object TxLog {
       requireConstraintsSatisfied(df, kept, table)
       commitInfoJson(op) +:
         metaJson(Meta(df.schema, partitionCols, kept, priorBloomCols,
-          priorMap, priorDropped)) +:
+          priorMap, priorDropped, gen)) +:
         (snap.toSeq.flatMap(_.files.map(f => actionJson("remove", f))) ++
           adds.map(actionJson("add", _)))
     }
   }
 
-  /** Transactional append; schema must match the table's. */
-  def append(df: DataFrame, table: String): Unit = {
-    retryCommit(df.sparkSession, table) { snapOpt =>
+  /** Transactional append; schema must match the table's. Generated
+    * partition columns are computed (or verified) exactly as on
+    * overwrite — appends never hand-maintain them. */
+  def append(df0: DataFrame, table: String): Unit = {
+    retryCommit(df0.sparkSession, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"append to non-existent table $table — overwrite first"))
+      val df = GeneratedCols.applyTo(df0, snap.meta.generatedCols)
       requireCompatible(snap.meta.schema, df.schema, table)
       requireConstraintsSatisfied(df, snap.meta.constraints, table)
       // staged inside the retry: partition columns come from table meta
@@ -1525,7 +1538,12 @@ object TxLog {
     val dataSchema = StructType(
       meta.schema.filterNot(f => meta.partitionCols.contains(f.name))
         .map(f => f.copy(name = meta.physical(f.name))))
-    val idx = new TxLogFileIndex(spark, hfs.makeQualified(root), partitionSchema, files)
+    // generated partition columns ride on the index so the optimizer
+    // rule can derive partition predicates from data-column filters
+    if (meta.generatedCols.nonEmpty)
+      graft.plans.GeneratedPartitionFilters.ensureRegistered(spark)
+    val idx = new TxLogFileIndex(spark, hfs.makeQualified(root), partitionSchema, files,
+      meta.generatedCols.map { case (p, spec) => p -> GeneratedCols.parse(spec) })
     val rel = HadoopFsRelation(idx, partitionSchema, dataSchema,
       bucketSpec = None, new ParquetFileFormat(), Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)

@@ -32,11 +32,20 @@ private[graft] class TxLogFileIndex(
     spark: SparkSession,
     root: Path,
     override val partitionSchema: StructType,
-    addFiles: Seq[AddFile]) extends FileIndex {
+    addFiles: Seq[AddFile],
+    /** generated partition columns: pcol → (kind, srcCol), consumed by
+      * [[graft.plans.GeneratedPartitionFilters]]. */
+    val generated: Map[String, (String, String)] = Map.empty) extends FileIndex {
 
   /** (selected files, total files) of the most recent [[listFiles]] —
     * data-skipping observability for specs and registry queries. */
   @volatile var lastListing: Option[(Int, Int)] = None
+
+  /** SQL of the partition filters the most recent [[listFiles]] was
+    * handed — lets specs and probes observe that a DERIVED partition
+    * predicate (a generated column the query never mentioned) actually
+    * reached partition pruning. */
+  @volatile var lastPartitionFilters: Seq[String] = Seq.empty
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -67,6 +76,7 @@ private[graft] class TxLogFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    lastPartitionFilters = partitionFilters.map(_.sql)
     val groups = addFiles.groupBy(_.partitionValues).toSeq
       .map { case (pv, fs) => (typedPartitionRow(pv), fs) }
     val afterPartition =

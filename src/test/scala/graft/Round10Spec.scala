@@ -365,6 +365,70 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("min_sim") == 1.0)
   }
 
+  // ------------------------------------- generated partition columns
+
+  test("generated cols: write computes, rule derives partition filter, prune fires") {
+    import spark.implicits._
+    val t = tmp("gencol")
+    val rows = (0 until 1000).map { i =>
+      (i.toLong,
+       java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 20}%02d 10:00:00"),
+       i * 1.0)
+    }
+    val df = rows.toDF("id", "ts", "v") // no event_date column anywhere
+    TxLog.overwrite(df, t, partitionCols = Seq("event_date"),
+      generatedCols = Map("event_date" -> "date(ts)"))
+    val (table, idx) = TxLog.readWithSkipInfo(spark, t)
+    assert(table.columns.contains("event_date"), "write did not compute the column")
+    // the query mentions ONLY ts; the optimizer must conjoin a derived
+    // event_date predicate (visible in the optimized plan)...
+    val q = table.filter(col("ts") >= lit("2024-01-05 00:00:00") &&
+                         col("ts") <  lit("2024-01-08 00:00:00"))
+    val optimizedFilters = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    assert(optimizedFilters.exists(_.references.exists(_.name == "event_date")),
+      s"no derived event_date conjunct in: ${q.queryExecution.optimizedPlan}")
+    // ...and the file index must RECEIVE it as a partition filter
+    val got = q.agg(count(lit(1))).collect().head.getLong(0)
+    assert(got === rows.count { case (_, ts, _) =>
+      !ts.before(java.sql.Timestamp.valueOf("2024-01-05 10:00:00")) &&
+        ts.before(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) })
+    assert(idx.lastPartitionFilters.exists(_.contains("event_date")),
+      s"partition pruning never saw event_date: ${idx.lastPartitionFilters}")
+    val (sel, tot) = idx.lastListing.get
+    assert(sel < tot, "no partitions pruned")
+    // derived filter is a weakening: whole-table scan unchanged
+    assert(TxLog.read(spark, t).count() === 1000L)
+  }
+
+  test("generated cols: append inherits, hand-written wrong values rejected, year kind") {
+    import spark.implicits._
+    val t = tmp("gencol2")
+    val ts = java.sql.Timestamp.valueOf("2023-06-15 12:00:00")
+    TxLog.overwrite(Seq((1L, ts, 1.0)).toDF("id", "ts", "v"), t,
+      partitionCols = Seq("yr"), generatedCols = Map("yr" -> "year(ts)"))
+    // append carries no yr — computed from table meta
+    TxLog.append(Seq((2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 2.0))
+      .toDF("id", "ts", "v"), t)
+    val byYear = TxLog.read(spark, t).groupBy("yr").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byYear === Map(2023 -> 1L, 2024 -> 1L))
+    // a provided yr that disagrees with year(ts) must be rejected loudly
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((3L, ts, 3.0, 1999)).toDF("id", "ts", "v", "yr"), t)
+    }
+    // year derivation: ts bound becomes a yr bound the index sees
+    val (table, idx) = TxLog.readWithSkipInfo(spark, t)
+    table.filter(col("ts") >= lit("2024-01-01 00:00:00")).count()
+    assert(idx.lastPartitionFilters.exists(_.contains("yr")))
+    // unsupported spec shapes are rejected at declaration
+    intercept[IllegalArgumentException] {
+      TxLog.overwrite(Seq((1L, ts, 1.0)).toDF("id", "ts", "v"), tmp("gencol3"),
+        partitionCols = Seq("m"), generatedCols = Map("m" -> "month(ts)"))
+    }
+  }
+
   // ------------------------------------------- Misra–Gries heavy hitters
 
   test("mg_sketch: survivor superset + underestimate bounds hold across partitionings") {
