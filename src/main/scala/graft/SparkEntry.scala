@@ -1260,6 +1260,52 @@ object SparkEntry {
       (col("n_phash_classes") <= col("n_content_classes")).as("classes_coarser_ok"))
   }
 
+  /** #154 Perceptual-hash image near-dup pairs (round 10,
+    * [[graft.dedup.Dedup.hammingBandPairs]] — the shared 4×16
+    * hamming-band kernel with SimHash): decode → aHash64 → band →
+    * bucket-join → exact popcount verify, the image-side dedup that
+    * catches re-encoded/copied images exact byte-hash dedup cannot. For
+    * hamming ≤ 3 the banding is EXACT by pigeonhole (a ≤3-bit
+    * difference cannot straddle all 4 bands), so recall on true
+    * near-dups is 1.0 guaranteed at any corpus size while the scan
+    * stays sub-quadratic. The scenario plants a byte-identical copy of
+    * every 4th image under the negative doc-id namespace; content
+    * classes (md5 of the source text the deterministic codec renders)
+    * give DuckDB the exact planted+natural duplicate-pair census, and
+    * every such pair hashes hamming-0, so `content_pairs_found` is
+    * EXACT on both engines — near-pairs beyond the census (distinct
+    * images colliding within τ) are real operator output but
+    * deliberately not emitted here, because no SQL oracle can see
+    * pixels; the spec pins banded == exact-all-pairs including them. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 4 === 0)
+      .select((-(col("doc_id") + 1)).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val hashed = BinaryColumns.toMixedImageBlobs(corpus).mapPartitions { it =>
+      val h = new graft.multimodal.Codecs.Handle
+      it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(h.decode(b.payload))))
+    }.toDF("doc_id", "phash")
+    val pairs = Dedup.hammingBandPairs(hashed, "phash", maxHamming = 3)
+    val ck = corpus.select(col("doc_id"), md5(col("text")).as("ck"))
+    val found = pairs
+      .join(ck.select(col("doc_id").as("doc_a"), col("ck").as("ck_a")), Seq("doc_a"))
+      .join(ck.select(col("doc_id").as("doc_b"), col("ck").as("ck_b")), Seq("doc_b"))
+      .agg(coalesce(sum(when(col("ck_a") === col("ck_b"), 1L).otherwise(0L)), lit(0L))
+        .as("content_pairs_found"))
+    val census = ck.groupBy("ck").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+           coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L))
+             .as("n_content_pairs"))
+    census.crossJoin(found) // two 1-row aggregates
+      .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_classes"), col("n_content_pairs"),
+        col("content_pairs_found"),
+        (col("content_pairs_found") === col("n_content_pairs"))
+          .as("all_content_dups_found"))
+  }
+
   /** #60 Persistent-catalog partitioned table: externally-written
     * partition directories discovered via MSCK REPAIR (the reference's
     * Glue partition sync, process_data_glue.py:98-123), then queried by
@@ -2533,6 +2579,7 @@ object SparkEntry {
     "mm_frame_sample"     -> (mmFrameSample _),
     "mm_resize"           -> (mmResize _),
     "mm_phash"            -> (mmPhash _),
+    "mm_phash_dedup"      -> (mmPhashDedup _),
     "dedup_pipeline"      -> (dedupPipeline _),
     "dedup_incremental"   -> (dedupIncremental _),
     "corpus_pack"         -> (corpusPack _),
@@ -2931,6 +2978,23 @@ object SparkEntry {
         |       count(DISTINCT md5(text)) AS n_content_classes,
         |       true AS dup_covered_ok, true AS classes_coarser_ok
         |FROM documents""".stripMargin,
+
+    // exact duplicate-pair census over originals + planted copies: every
+    // content-equal pair hashes hamming-0, so the banded search finding
+    // ALL of them is a guarantee, and content_pairs_found is a NUMBER
+    // both engines compute independently
+    "mm_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |cls AS (SELECT md5(text) AS ck, count(*) AS n FROM corpus GROUP BY 1)
+        |SELECT (SELECT count(*) FROM corpus) AS n_docs,
+        |       count(*) AS n_classes,
+        |       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_content_pairs,
+        |       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS content_pairs_found,
+        |       true AS all_content_dups_found
+        |FROM cls""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type,

@@ -118,19 +118,40 @@ object Dedup {
   /** Hamming-band candidates: 4 bands of 16 bits; any-band equality →
     * candidate; keep pairs with hamming distance <= maxHamming. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhashes(docs, textCol), "simhash", maxHamming)
+
+  /** Hamming-band near-dup pairs over ANY 64-bit signature relation
+    * `(doc_id, <hashCol>)` — the shared kernel behind the SimHash text
+    * near-dup and the pHash image near-dup: 4 bands of 16 bits, any-band
+    * equality → candidate, exact `bit_count` verify.
+    *
+    * For `maxHamming <= 3` this is EXACT, not probabilistic: a pair
+    * differing in ≤3 bits cannot differ in all 4 bands (pigeonhole), so
+    * it collides in at least one band — recall 1.0 guaranteed at any
+    * corpus size, while the scan stays sub-quadratic (O(Σ per-band
+    * bucket²) candidate pairs, each verified with one XOR+popcount).
+    * That guarantee is why the require below is a hard error and not a
+    * tuning suggestion: at maxHamming ≥ 4 this banding silently drops
+    * pairs, which for a DEDUP operator means shipping duplicates. */
+  def hammingBandPairs(sigs: DataFrame, hashCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-band hamming search is exact only for maxHamming <= 3 " +
+      s"(got $maxHamming): a 4-bit difference can straddle all 4 bands")
     // self-join: compute once; spill-safe + opt-out (see graft.Caching)
-    val sh = graft.Caching.materialize(simhashes(docs, textCol))
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val sh = graft.Caching.materialize(
+      sigs.select(col("doc_id"), col(hashCol).as("__sig")))
+    val banded = sh.select(col("doc_id"), col("__sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
+        "transform(sequence(0, 3), j -> (__sig >> (j * 16)) & 65535)"))
         .as(Seq("band_idx", "band_val")))
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).cast("long")
           .as("hamming"))
       // hamming filter BEFORE the pair dedup: shrinks the aggregate input
       // by the band-collision multiplicity (cheap bit_count vs shuffling

@@ -365,6 +365,77 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("min_sim") == 1.0)
   }
 
+  // ------------------------------------------------- pHash near-dup pairs
+
+  test("hammingBandPairs: equals the exact all-pairs popcount twin") {
+    import spark.implicits._
+    // sf0.01 corpus (carries a real cross-content phash collision) +
+    // planted byte-identical copies — the banded search must equal the
+    // O(n²) twin INCLUDING pairs the content census cannot see
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 4 === 0)
+      .select((-(col("doc_id") + 1)).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val hashed = graft.multimodal.BinaryColumns.toMixedImageBlobs(corpus)
+      .mapPartitions { it =>
+        val h = new graft.multimodal.Codecs.Handle
+        it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(h.decode(b.payload))))
+      }.toDF("doc_id", "phash")
+    val banded = graft.dedup.Dedup.hammingBandPairs(hashed, "phash", 3)
+      .collect().toSeq
+    val exact = hashed.as("a").join(hashed.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(banded == exact)
+    assert(exact.nonEmpty, "law is vacuous: no near pairs in corpus")
+    // ...and it found a pair the md5-content census does NOT contain
+    // (distinct texts, colliding hashes) — the operator is not just
+    // exact-dup detection in disguise
+    val ck = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(banded.exists(r => ck(r.getLong(0)) != ck(r.getLong(1))))
+  }
+
+  test("hammingBandPairs: finds a genuinely near (hamming-2) image pair") {
+    import spark.implicits._
+    import graft.multimodal.{Phash, Ppm}
+    // 16×16 half-bright rasters: flip exactly grid cells 0 and 32 —
+    // brightness census unchanged, so the grid mean is unchanged and the
+    // hashes differ in exactly those 2 bits
+    def img(flip: Boolean): Ppm.Image = {
+      val w = 16; val h = 16
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y / 2) * 8 + (x / 2)
+        val bright =
+          if (flip && cell == 0) false
+          else if (flip && cell == 32) true
+          else cell < 32
+        val v: Byte = if (bright) 0xFF.toByte else 0x00
+        val i = (y * w + x) * 3
+        px(i) = v; px(i + 1) = v; px(i + 2) = v
+      }
+      Ppm.Image(w, h, px)
+    }
+    val a = Phash.aHash64(img(flip = false))
+    val b = Phash.aHash64(img(flip = true))
+    assert(Phash.hamming(a, b) === 2)
+    val pairs = graft.dedup.Dedup.hammingBandPairs(
+        Seq((1L, a), (2L, b), (3L, ~a)).toDF("doc_id", "phash"), "phash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 2L))) // near pair found; far pairs absent
+  }
+
+  test("mm_phash_dedup registry: census nontrivial and fully recalled") {
+    val row = SparkEntry.mmPhashDedup(spark, sf).collect().head
+    assert(row.getAs[Long]("n_content_pairs") > 0)
+    assert(row.getAs[Boolean]("all_content_dups_found"))
+  }
+
   // ------------------------------------- generated partition columns
 
   test("generated cols: write computes, rule derives partition filter, prune fires") {
