@@ -2197,6 +2197,45 @@ object SparkEntry {
         .as("partition_filter_derived"))
   }
 
+  /** #155 CONVERT + ANALYZE (round 10, Delta `CONVERT TO DELTA` + stats
+    * recompute — [[graft.acid.TxLog.convert]]/[[graft.acid.TxLog.analyze]]):
+    * a FOREIGN hive-partitioned parquet dataset becomes a transactional
+    * txlog table in ONE metadata commit — zero data bytes move (the
+    * `no_data_rewrite` probe pins the live set to the original files),
+    * which at 100 TB is the only viable migration path. Convert
+    * deliberately records no per-file stats (that would be a footer
+    * round-trip per file inside the convert), so the freshly converted
+    * table cannot skip on non-partition predicates — the first skip
+    * probe observes selected == total. ANALYZE then restores
+    * numRecords + min/max with DISTRIBUTED footer reads (one metadata
+    * commit, adds overwrite by path), and the same predicate skips:
+    * selected < total. The full foreign-data-to-governed-table
+    * lifecycle, probed end to end. */
+  def deltaConvert(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txconv")
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      .repartitionByRange(8, col("event_id"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path) // foreign
+    val nFiles = graft.acid.TxLog.convert(s, path, Seq("event_type"))
+    val before = graft.acid.TxLog.livePaths(s, path)
+    val pred = col("event_id") >= 100 && col("event_id") < 200
+    val (t1, idx1) = graft.acid.TxLog.readWithSkipInfo(s, path)
+    t1.filter(pred).agg(count(lit(1))).collect()
+    val (sel1, tot1) = idx1.lastListing.get
+    val nAnalyzed = graft.acid.TxLog.analyze(s, path)
+    val (t2, idx2) = graft.acid.TxLog.readWithSkipInfo(s, path)
+    val hit = t2.filter(pred)
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .collect()(0)
+    val (sel2, tot2) = idx2.lastListing.get
+    s.range(1).select(
+      lit(hit.getLong(0)).as("n_rows"),
+      lit(hit.getDouble(1)).as("total"),
+      lit(before == graft.acid.TxLog.livePaths(s, path)).as("no_data_rewrite"),
+      lit(nAnalyzed == nFiles && nFiles > 0).as("all_files_analyzed"),
+      lit(sel1 == tot1 && sel2 < tot2).as("skipping_restored"))
+  }
+
   /** #130 Dynamic file pruning (round 8) — Databricks DFP / Spark DPP
     * at the file level: a star join whose dim-side predicate is highly
     * selective should prune FACT FILES at runtime, not scan-then-drop.
@@ -2549,6 +2588,7 @@ object SparkEntry {
     "delta_deletion_vectors" -> (deltaDeletionVectors _),
     "delta_update_dv"     -> (deltaUpdateDv _),
     "delta_generated_cols" -> (deltaGeneratedCols _),
+    "delta_convert"       -> (deltaConvert _),
     "delta_merge_dv"      -> (deltaMergeDv _),
     "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf"           -> (deltaCdf _),
@@ -4495,6 +4535,14 @@ object SparkEntry {
     "delta_data_skipping" ->
       """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
         |       true AS skipped_files, true AS scanned_some
+        |FROM events WHERE event_id >= 100 AND event_id < 200""".stripMargin,
+
+    // content model for the converted table's range query; the
+    // no-rewrite, full-analyze, and skipping-restored probes pinned true
+    "delta_convert" ->
+      """SELECT count(*) AS n_rows, round(sum(value), 2) AS total,
+        |       true AS no_data_rewrite, true AS all_files_analyzed,
+        |       true AS skipping_restored
         |FROM events WHERE event_id >= 100 AND event_id < 200""".stripMargin,
 
     // content model for the ts-range query; the pruning and

@@ -1628,6 +1628,106 @@ object TxLog {
     adds.size
   }
 
+  /** CONVERT (Delta `CONVERT TO DELTA`): absorb an existing plain-parquet
+    * directory — optionally hive-partitioned — into a txlog table IN
+    * PLACE: one metadata commit listing the discovered files; zero data
+    * bytes move or rewrite (the point at 100 TB — a petabyte of foreign
+    * parquet becomes transactional in one log write). File sizes come
+    * from the listing; row counts and min/max stats are deliberately NOT
+    * read here (that would be one footer round-trip per file inside the
+    * convert — Delta's convert has the same no-stats default), so a
+    * fresh convert skips on partition pruning only. [[analyze]] restores
+    * per-file stats afterwards, distributed. Returns the file count. */
+  def convert(spark: SparkSession, dir: String,
+              partitionCols: Seq[String] = Seq.empty): Int = {
+    val (hfs, root) = fs(spark, dir)
+    require(!hfs.exists(new Path(root, LogDir)),
+      s"$dir already carries a txlog")
+    // schema inference reads ONE footer + the partition directory names
+    // (spark's standard partitioned-parquet inference)
+    val schema = spark.read.parquet(dir).schema
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not found in inferred schema $schema"))
+    val qualRoot = hfs.makeQualified(root).toString
+    val files = {
+      val out = mutable.ArrayBuffer.empty[(String, Long)]
+      val it = hfs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(qualRoot).stripPrefix("/")
+        // data files only: skip _SUCCESS/_metadata and dot-files anywhere
+        // in the relative path
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += ((rel, st.getLen))
+      }
+      out.toSeq
+    }
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val adds = files.map { case (rel, size) =>
+      // partition values parsed from the hive-style path segments —
+      // every declared partition column must appear on every file's path
+      val segs = rel.split("/").dropRight(1).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }).toMap
+      val pv = partitionCols.map { c =>
+        c -> segs.getOrElse(c, throw new IllegalArgumentException(
+          s"file $rel carries no $c= path segment — not partitioned by $c"))
+      }.toMap
+      AddFile(rel, pv, size = size)
+    }
+    retryCommit(spark, dir) { prior =>
+      require(prior.isEmpty, s"convert target $dir already exists")
+      commitInfoJson("convert") +: metaJson(Meta(schema, partitionCols)) +:
+        adds.map(actionJson("add", _))
+    }
+    adds.size
+  }
+
+  /** ANALYZE (Delta stats recompute): fill in per-file `numRecords` +
+    * min/max for live files MISSING them — freshly [[convert]]ed tables,
+    * legacy adds — with one parquet FOOTER read per stale file,
+    * distributed over the cluster (a driver loop over footers would
+    * serialize 100 TB worth of round-trips through one node). One
+    * metadata commit re-adds the stale files with stats attached (adds
+    * overwrite by path; no remove needed); data files are untouched, so
+    * time travel below the analyze sees the same rows. Data skipping on
+    * non-partition predicates starts working the moment this commits.
+    * Returns the number of files analyzed. */
+  def analyze(spark: SparkSession, table: String): Int = {
+    var updated = 0
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      val (hfs, root) = fs(spark, table)
+      val qualRoot = hfs.makeQualified(root).toString
+      val stale = snap.files.filter(f => f.numRecords < 0 || f.minValues.isEmpty)
+      updated = stale.size
+      val statted: Seq[AddFile] =
+        if (stale.isEmpty) Seq.empty
+        else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val paths = stale.map(_.path)
+          val byPath = spark.sparkContext
+            .parallelize(paths, math.min(paths.size, 64))
+            .map { rel =>
+              val (n, mins, maxs) = ParquetStats.readFooter(conf.value,
+                new Path(new Path(qualRoot), rel))
+              (rel, n, mins, maxs)
+            }.collect() // O(stale files) stat tuples — log-sized metadata
+            .map(t => t._1 -> t).toMap
+          stale.map { f =>
+            val (_, n, mins, maxs) = byPath(f.path)
+            f.copy(numRecords = n, minValues = mins, maxValues = maxs)
+          }
+        }
+      commitInfoJson("analyze") +: statted.map(actionJson("add", _))
+    }
+    updated
+  }
+
   /** Change data feed (Delta CDF `table_changes`): every row-level change
     * in commits `fromVersion..toVersion` (inclusive; default = latest),
     * as table rows tagged `_change_type` — `insert`, `delete`,

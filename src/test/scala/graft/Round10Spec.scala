@@ -365,6 +365,46 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("min_sim") == 1.0)
   }
 
+  // ---------------------------------------------------- convert + analyze
+
+  test("convert: in-place metadata-only absorb; analyze restores skipping") {
+    import spark.implicits._
+    val t = tmp("conv")
+    val src = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 3).cast("int").as("p"),
+        (col("id") * 2).cast("double").as("v"))
+      .repartitionByRange(4, col("id"))
+    src.write.partitionBy("p").mode("overwrite").parquet(t)
+    val rawContent = spark.read.parquet(t).collect().toSet
+    val n = TxLog.convert(spark, t, Seq("p"))
+    assert(n > 0)
+    // same rows through the txlog read; no file moved or rewritten
+    assert(TxLog.read(spark, t).collect().toSet === rawContent)
+    // a second convert is loud
+    intercept[IllegalArgumentException] { TxLog.convert(spark, t, Seq("p")) }
+    // fresh convert has no stats: an id predicate selects every file...
+    val (t1, idx1) = TxLog.readWithSkipInfo(spark, t)
+    t1.filter(col("id") < 100).count()
+    val (sel1, tot1) = idx1.lastListing.get
+    assert(sel1 === tot1)
+    // ...but partition pruning (log metadata) works already
+    t1.filter(col("p") === 1).count()
+    assert(idx1.lastListing.get._1 < tot1)
+    // analyze stats every file once; a second analyze finds nothing stale
+    assert(TxLog.analyze(spark, t) === n)
+    assert(TxLog.analyze(spark, t) === 0)
+    val (t2, idx2) = TxLog.readWithSkipInfo(spark, t)
+    assert(t2.filter(col("id") < 100).count() === 100L)
+    val (sel2, tot2) = idx2.lastListing.get
+    assert(sel2 < tot2, "stats did not restore data skipping")
+    // analyze was metadata-only: time travel below it reads the same rows
+    assert(TxLog.read(spark, t, versionAsOf = Some(1L)).collect().toSet === rawContent)
+    // the converted table is a full citizen: transactional append works
+    // (inferred schema order: data cols, then partition cols)
+    TxLog.append(Seq((100000L, 1.0, 1)).toDF("id", "v", "p"), t)
+    assert(TxLog.read(spark, t).count() === 10001L)
+  }
+
   // ------------------------------------------------- pHash near-dup pairs
 
   test("hammingBandPairs: equals the exact all-pairs popcount twin") {
