@@ -316,6 +316,30 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** #156 STREAMING backward as-of join (round 10,
+    * [[graft.streaming.StreamAsOf]]): #41's trades-vs-quotes correlation
+    * as a continuous query — a shape Structured Streaming's
+    * stream–stream joins cannot express (range predicates yes, "LATEST
+    * right ≤ my ts" no: that is per-key argmax state). Both feeds flow
+    * as one keyed stream into `flatMapGroupsWithState`; a left row
+    * emits exactly when the watermark passes its event time (its right
+    * set is then final — later arrivals would be late-dropped), so
+    * out-of-order arrival within the watermark resolves EXACTLY, and
+    * the streamed answer equals the batch as-of row-for-row — pinned by
+    * the very same DuckDB ASOF JOIN oracle as the batch operators #41/
+    * #104. State per key is the in-flight window and decays to one
+    * timestamp for idle keys (emitted lefts leave the buffer; rights
+    * below the watermark collapse to their max). */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts")
+    graft.streaming.StreamAsOf.runAsOfStream(s, purchases, signups)
+      .orderBy("event_id")
+  }
+
   /** #108 FORWARD as-of join through the native operator: each purchase
     * gets the user's NEXT (earliest subsequent-or-simultaneous) signup
     * timestamp — the `direction = forward` face of plans.AsOfJoin's
@@ -2480,6 +2504,7 @@ object SparkEntry {
     "events_attribution"  -> (Queries.eventsAttribution _),
     "events_retention"    -> (Queries.eventsRetention _),
     "events_anomaly"      -> (Queries.eventsAnomaly _),
+    "stream_asof"         -> (streamAsof _),
     "stream_stream_join"  -> ((s: SparkSession, dir: String) =>
       EventsStream.runStreamStreamJoin(s, Tables.events(s, dir))),
     "stream_stream_outer" -> ((s: SparkSession, dir: String) =>
@@ -3193,6 +3218,17 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS signup_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // the STREAMED as-of must equal the batch as-of row-for-row — the
+    // identical oracle as #41/#104 is the whole point
+    "stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -365,6 +365,66 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("min_sim") == 1.0)
   }
 
+  // ---------------------------------------------------- streaming as-of
+
+  test("streamAsof: streamed result equals the batch as-of row-for-row") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts")
+    val streamed = graft.streaming.StreamAsOf.runAsOfStream(spark, purchases, signups)
+      .orderBy("event_id").collect().toSeq
+    val batch = graft.analytics.Temporal.asofBackward(purchases,
+        signups.select(col("user_id"), col("ts"), col("ts").as("signup_ts")),
+        "user_id", "ts", Seq("signup_ts"))
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // exactly-once per left row
+    assert(streamed.map(_.getLong(0)).distinct.size === streamed.size)
+    // both match and no-match (null) paths exercised
+    assert(streamed.exists(!_.isNullAt(3)) && streamed.exists(_.isNullAt(3)))
+  }
+
+  test("streamAsof: a right arriving a BATCH after its left still matches within the allowance") {
+    import spark.implicits._
+    import graft.streaming.StreamAsOf
+    import StreamAsOf.AsOfEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = tmp("sasof_ooo"); val dir = s"$base/src"
+    // batch 1: the left plus an older right; the BETTER right arrives in
+    // batch 2, below the left's event time but inside the 1h allowance
+    Seq(AsOfEvent(1L, ts("2024-01-01 10:00:00"), 100L, true),
+        AsOfEvent(1L, ts("2024-01-01 08:00:00"), -1L, false))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamAsOf.asofStateful(
+        spark.readStream.schema(schema).parquet(dir).as[AsOfEvent],
+        delay = "1 hour")
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", s"$base/out").start()
+    try {
+      q.processAllAvailable() // watermark → 09:00; left held
+      Seq(AsOfEvent(1L, ts("2024-01-01 09:30:00"), -1L, false)).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable() // out-of-order right accepted (9:30 > 9:00)
+      Seq("2024-03-01 00:00:00", "2024-04-01 00:00:00").foreach { far =>
+        Seq(AsOfEvent(Long.MinValue, ts(far), -99L, true)).toDF()
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/out")
+      .filter(col("user_id") =!= Long.MinValue).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 100L)
+    // matched the LATE-arriving 09:30 right, not the batch-1 08:00 one
+    assert(out.head.getTimestamp(3) === ts("2024-01-01 09:30:00"))
+  }
+
   // ---------------------------------------------------- convert + analyze
 
   test("convert: in-place metadata-only absorb; analyze restores skipping") {
