@@ -1311,7 +1311,8 @@ object SparkEntry {
       val h = new graft.multimodal.Codecs.Handle
       it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(h.decode(b.payload))))
     }.toDF("doc_id", "phash")
-    val pairs = Dedup.hammingBandPairs(hashed, "phash", maxHamming = 3)
+    val pairs = Dedup.hammingBandPairs(hashed, "phash", maxHamming = 3,
+      exact = true)
     val ck = corpus.select(col("doc_id"), md5(col("text")).as("ck"))
     val found = pairs
       .join(ck.select(col("doc_id").as("doc_a"), col("ck").as("ck_a")), Seq("doc_a"))

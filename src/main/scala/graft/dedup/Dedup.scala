@@ -126,17 +126,21 @@ object Dedup {
     * near-dup and the pHash image near-dup: 4 bands of 16 bits, any-band
     * equality → candidate, exact `bit_count` verify.
     *
-    * For `maxHamming <= 3` this is EXACT, not probabilistic: a pair
-    * differing in ≤3 bits cannot differ in all 4 bands (pigeonhole), so
-    * it collides in at least one band — recall 1.0 guaranteed at any
-    * corpus size, while the scan stays sub-quadratic (O(Σ per-band
-    * bucket²) candidate pairs, each verified with one XOR+popcount).
-    * That guarantee is why the require below is a hard error and not a
-    * tuning suggestion: at maxHamming ≥ 4 this banding silently drops
-    * pairs, which for a DEDUP operator means shipping duplicates. */
+    * Two contracts, split at maxHamming = 3 by pigeonhole: a pair
+    * differing in ≤3 bits cannot differ in all 4 bands, so it collides
+    * in at least one — recall 1.0 GUARANTEED at any corpus size, while
+    * the scan stays sub-quadratic (O(Σ per-band bucket²) candidates,
+    * each verified with one XOR+popcount). Above 3 the banding is
+    * honest LSH: a 4+-bit difference CAN straddle all 4 bands, so
+    * recall on the 4..maxHamming range is probabilistic (still high —
+    * the differing bits must spread across every band to hide).
+    * Callers whose downstream math assumes the full pair set (the
+    * pHash census oracle, any exact-twin law) pass `exact = true`, and
+    * a threshold the banding cannot guarantee becomes a hard error
+    * instead of silently shipped duplicates. */
   def hammingBandPairs(sigs: DataFrame, hashCol: String,
-                       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
+                       maxHamming: Int = 3, exact: Boolean = false): DataFrame = {
+    require(!exact || maxHamming <= 3,
       s"4x16-band hamming search is exact only for maxHamming <= 3 " +
       s"(got $maxHamming): a 4-bit difference can straddle all 4 bands")
     // self-join: compute once; spill-safe + opt-out (see graft.Caching)

@@ -7,9 +7,14 @@ import graft.acid.TxLog
 /** Round-10 laws: the PQ ADC scan (lookup-table similarity ==
   * reconstructed cosine, train-once index store), the StreamMv replay
   * clamp (crash + intervening commits), SCD-2 replay semantics and
-  * one-pass accounting, the legacy-numRecords DV husk fix, and the
+  * one-pass accounting, the legacy-numRecords DV husk fix, the
   * sign-LSH embedding near-dup (== its exact all-pairs twin on
-  * duplicate-bearing corpora). */
+  * duplicate-bearing corpora), the merge-on-read MERGE (== its
+  * copy-on-write twin), Misra–Gries heavy-hitter bounds, generated
+  * partition columns (rule-derived partition filters), the pHash
+  * hamming-band near-dup (== its O(n²) popcount twin), CONVERT/ANALYZE
+  * (metadata-only absorb, stats restore skipping), and the streaming
+  * as-of join (== the batch as-of, exact under out-of-order arrival). */
 class Round10Spec extends SparkSpec {
 
   private def tmp(prefix: String): String =
@@ -482,7 +487,8 @@ class Round10Spec extends SparkSpec {
         val h = new graft.multimodal.Codecs.Handle
         it.map(b => (b.doc_id, graft.multimodal.Phash.aHash64(h.decode(b.payload))))
       }.toDF("doc_id", "phash")
-    val banded = graft.dedup.Dedup.hammingBandPairs(hashed, "phash", 3)
+    val banded = graft.dedup.Dedup.hammingBandPairs(hashed, "phash", 3,
+        exact = true)
       .collect().toSeq
     val exact = hashed.as("a").join(hashed.as("b"),
         col("a.doc_id") < col("b.doc_id"))
@@ -525,9 +531,16 @@ class Round10Spec extends SparkSpec {
     val b = Phash.aHash64(img(flip = true))
     assert(Phash.hamming(a, b) === 2)
     val pairs = graft.dedup.Dedup.hammingBandPairs(
-        Seq((1L, a), (2L, b), (3L, ~a)).toDF("doc_id", "phash"), "phash", 3)
+        Seq((1L, a), (2L, b), (3L, ~a)).toDF("doc_id", "phash"), "phash", 3,
+        exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(pairs === Seq((1L, 2L, 2L))) // near pair found; far pairs absent
+    // the exactness guarantee is a hard gate: a threshold the 4-band
+    // layout cannot guarantee errors instead of silently dropping pairs
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingBandPairs(
+        Seq((1L, a)).toDF("doc_id", "phash"), "phash", 10, exact = true)
+    }
   }
 
   test("mm_phash_dedup registry: census nontrivial and fully recalled") {
