@@ -146,10 +146,19 @@ object Dedup {
     // self-join: compute once; spill-safe + opt-out (see graft.Caching)
     val sh = graft.Caching.materialize(
       sigs.select(col("doc_id"), col(hashCol).as("__sig")))
+    val spark = sigs.sparkSession
+    // REPARTITION the banded probe side: the signature frame inherits the
+    // SOURCE's partitioning (often 1-2 input splits for one parquet file),
+    // and when the build side broadcasts, nothing downstream ever
+    // re-partitions — so the candidate explosion and its pair-dedup
+    // aggregate ran on 2 of 32 cores at sf10 (measured: 28 CPU-minutes on
+    // 2 threads). Spreading on the band key puts every core on the join.
     val banded = sh.select(col("doc_id"), col("__sig"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> (__sig >> (j * 16)) & 65535)"))
         .as(Seq("band_idx", "band_val")))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band_idx"), col("band_val"))
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&

@@ -276,8 +276,15 @@ object Cosine {
                       tables: Int = 4, bits: Int = 12): DataFrame = {
     val spark = emb.sparkSession
     val p = graft.Caching.materialize(prepared(emb))
+    // repartition the bucket frame on the join key: it inherits the
+    // SOURCE's partitioning (1-2 input splits for one parquet file), and
+    // with the other side broadcast the candidate join + pair-dedup would
+    // otherwise run on those 2 partitions however many cores exist (the
+    // sf10 parallelism collapse measured on the phash twin — same shape)
     val b = bucketed(p, tables, bits, Dim)
       .select(col("table_id"), col("bucket"), col("vec_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("table_id"), col("bucket"))
     val candidates = b.join(
         b.select(col("table_id"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table_id", "bucket"))
