@@ -143,35 +143,61 @@ object Dedup {
     require(!exact || maxHamming <= 3,
       s"4x16-band hamming search is exact only for maxHamming <= 3 " +
       s"(got $maxHamming): a 4-bit difference can straddle all 4 bands")
-    // self-join: compute once; spill-safe + opt-out (see graft.Caching)
-    val sh = graft.Caching.materialize(
-      sigs.select(col("doc_id"), col(hashCol).as("__sig")))
     val spark = sigs.sparkSession
-    // REPARTITION the banded probe side: the signature frame inherits the
-    // SOURCE's partitioning (often 1-2 input splits for one parquet file),
-    // and when the build side broadcasts, nothing downstream ever
-    // re-partitions — so the candidate explosion and its pair-dedup
-    // aggregate ran on 2 of 32 cores at sf10 (measured: 28 CPU-minutes on
-    // 2 threads). Spreading on the band key puts every core on the join.
-    val banded = sh.select(col("doc_id"), col("__sig"),
-      posexplode(expr(
-        "transform(sequence(0, 3), j -> (__sig >> (j * 16)) & 65535)"))
-        .as(Seq("band_idx", "band_val")))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band_idx"), col("band_val"))
-    banded.as("a").join(banded.as("b"),
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+    // CANONICALIZE before banding: replicated/crawled corpora carry many
+    // byte-identical signatures, and banding them raw makes every bucket
+    // quadratic in the replication factor BEFORE any pruning can help —
+    // at sf10 (a 100×-replicated corpus) the raw band join pushed ~10⁹
+    // candidate rows through the pair-dedup aggregate (measured: six
+    // ~30-CPU-minute spilling stragglers). Identical signatures are
+    // hamming-0 by definition, so: collapse to one canonical row per
+    // DISTINCT signature, band-search only those, then expand member
+    // pairs — output-identical, and the quadratic term moves from the
+    // candidate join (wasted work) to the expansion (which IS the
+    // output: every expanded row is an emitted duplicate pair).
+    val classes = graft.Caching.materialize(
+      sigs.groupBy(col(hashCol).as("__sig"))
+        .agg(min(col("doc_id")).as("cid"),
+             collect_list(col("doc_id")).as("members")))
+    // band-join over distinct signatures only; repartition the banded
+    // frame on the join key — it inherits the class aggregate's layout,
+    // and with the other side broadcast nothing downstream re-partitions
+    val banded = classes.select(col("cid"), col("__sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> (__sig >> (j * 16)) & 65535)"))
+          .as(Seq("band_idx", "band_val")))
+      .repartition(nShuffle, col("band_idx"), col("band_val"))
+    // distinct signatures ⇒ every canonical pair has hamming ≥ 1
+    val canonPairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("ca"), col("b.cid").as("cb"),
         bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).cast("long")
           .as("hamming"))
       // hamming filter BEFORE the pair dedup: shrinks the aggregate input
       // by the band-collision multiplicity (cheap bit_count vs shuffling
       // every collision)
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+      .dropDuplicates("ca", "cb")
+    val m = classes.select(col("cid"), col("members"))
+    // within-class pairs: every member pair of a shared signature
+    val within = classes.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0L))
+    // cross-class pairs: the canonical pair's hamming holds for every
+    // member combination (members share their class signature verbatim)
+    val cross = canonPairs
+      .join(m.select(col("cid").as("ca"), col("members").as("ma")), Seq("ca"))
+      .join(m.select(col("cid").as("cb"), col("members").as("mb")), Seq("cb"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    within.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------- near-dup cluster assembly

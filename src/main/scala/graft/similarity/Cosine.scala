@@ -264,24 +264,33 @@ object Cosine {
     * threshold are probabilistic (tables × bits trade recall vs
     * candidate volume, as in [[lshTopK]]).
     *
-    * Scale shape: the bucket join carries (id, bucket) pairs only — the
-    * float vectors do NOT ride the candidate shuffle; survivors of the
-    * pair-distinct fetch vectors back by id for the verify, exactly
-    * [[nearDupPairs]]'s survivors-side pattern. Candidate volume is the
-    * one thing to size (`bits` ≈ log₂(corpus) keeps expected bucket
-    * width O(1) for spread-out data; replicated corpora pay
-    * O(copies²·originals) — the true duplicate-pair count, which IS the
-    * output size). */
+    * Scale shape: byte-identical vectors are CANONICALIZED first (one
+    * row per distinct vector, members carried as a list) — replicated
+    * corpora would otherwise make every bucket quadratic in the
+    * replication factor before any pruning can help (measured at sf10's
+    * 100×-replicated corpus: ~10⁹ raw candidate rows; collapsed, the
+    * bucket search touches distinct vectors only and the quadratic term
+    * moves to the member-pair expansion, which IS the output). The
+    * bucket join carries (id, bucket) pairs only — vectors do NOT ride
+    * the candidate shuffle; survivors fetch vectors back by id for the
+    * verify. Candidate volume is then sized by `bits` ≈ log₂(distinct
+    * corpus) keeping expected bucket width O(1). */
   def nearDupPairsAnn(emb: DataFrame, threshold: Double,
                       tables: Int = 4, bits: Int = 12): DataFrame = {
     val spark = emb.sparkSession
-    val p = graft.Caching.materialize(prepared(emb))
+    val p = prepared(emb)
+    // one canonical row per DISTINCT vector value; identical vectors are
+    // cosine-1 duplicates by definition and expand afterwards
+    val classes = graft.Caching.materialize(
+      p.groupBy(col("v"))
+        .agg(min(col("vec_id")).as("cid"), first(col("norm")).as("norm"),
+             collect_list(col("vec_id")).as("members")))
+    val pc = classes.select(col("cid").as("vec_id"), col("v"), col("norm"))
     // repartition the bucket frame on the join key: it inherits the
-    // SOURCE's partitioning (1-2 input splits for one parquet file), and
-    // with the other side broadcast the candidate join + pair-dedup would
-    // otherwise run on those 2 partitions however many cores exist (the
-    // sf10 parallelism collapse measured on the phash twin — same shape)
-    val b = bucketed(p, tables, bits, Dim)
+    // class aggregate's layout, and with the other side broadcast the
+    // candidate join + pair-dedup would otherwise run on however few
+    // partitions that left (the sf10 parallelism collapse)
+    val b = bucketed(pc, tables, bits, Dim)
       .select(col("table_id"), col("bucket"), col("vec_id"))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("table_id"), col("bucket"))
@@ -291,13 +300,34 @@ object Cosine {
       .filter(col("vec_id") < col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val va = p.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-    val vb = p.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-    candidates.join(va, "id_a").join(vb, "id_b")
+    val va = pc.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val vb = pc.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    val canonPairs = candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("sim_raw", graft.functions.GraftFunctions
         .cosine_sim(spark, col("v_a"), col("v_b")))
       .filter(col("sim_raw") >= threshold)
-      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+      .select(col("id_a").as("ca"), col("id_b").as("cb"),
               round(col("sim_raw"), 4).as("sim"))
+    val m = classes.select(col("cid"), col("members"))
+    // within-class pairs: the self-cosine through the SAME codegen
+    // expression a raw pair of identical vectors would have computed
+    val within = classes.filter(size(col("members")) > 1)
+      .withColumn("sim", round(graft.functions.GraftFunctions
+        .cosine_sim(spark, col("v"), col("v")), 4))
+      .filter(col("sim") >= threshold)
+      .select(explode(col("members")).as("vec_a"), col("members"), col("sim"))
+      .select(col("vec_a"), explode(col("members")).as("vec_b"), col("sim"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "sim")
+    // cross-class pairs: the canonical sim holds for every member
+    // combination (members are byte-identical to their canonical)
+    val cross = canonPairs
+      .join(m.select(col("cid").as("ca"), col("members").as("ma")), Seq("ca"))
+      .join(m.select(col("cid").as("cb"), col("members").as("mb")), Seq("cb"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("sim"))
+      .select(col("a"), explode(col("mb")).as("b"), col("sim"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+              greatest(col("a"), col("b")).as("vec_b"), col("sim"))
+    within.unionByName(cross)
   }
 }

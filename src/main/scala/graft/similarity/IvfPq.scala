@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * That is the on-disk analogue of FAISS's inverted lists, expressed as
   * the same partition-pruning machinery every other table here uses.
   *
-  * Codes are assigned from ONE shared codebook over raw vectors (not
-  * per-cell residuals): residual encoding buys precision when cells are
-  * tight; raw coding keeps the codebook a single driver literal and the
-  * encode one projection, and the exact re-rank pass erases the
-  * difference for the emitted top-k (candidates carry exact sims either
-  * way — only recall, bounded by the oracle, differs).
+  * Codes are RESIDUAL-encoded (round 10, FAISS `by_residual`): each
+  * vector stores the quantized form of `x − centroid(cell)`, so the
+  * 16-nibble budget spends on structure LOCAL to the cell instead of
+  * re-describing where the cell sits in space — the standard recall
+  * lift at identical code size. The reconstruction is `x̂ = c_cell +
+  * r̂`, and everything that changes is driver METADATA: the scan-side
+  * norm `|c_cell + r̂|` folds into the precomputed per-row `rnorm` at
+  * encode time (cell/codebook cross-dot tables, nCells·m·k doubles),
+  * and the probe adds one per-(query, cell) scalar `q·c_cell` to the
+  * same m-lookup ADC sum. The scanned bytes per row do not change.
   *
   * Probe-side math is all driver metadata: cell selection ranks the
   * query against the IVF centroid literals, the ADC lookup table is
@@ -40,17 +44,43 @@ object IvfPq {
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
 
   /** Train both halves and write the cell-partitioned code table:
-    * `(vec_id, codes, rnorm)` under `cell=<c>/` directories. */
+    * `(vec_id, codes, rnorm)` under `cell=<c>/` directories. Codes
+    * quantize the RESIDUAL `x − centroid(cell)`; `rnorm = |c_cell + r̂|`
+    * expands to `|c|² + 2·(c·r̂) + |r̂|²`, all three terms m-lookup sums
+    * into driver-literal tables (cell norms, cell×codebook cross-dots,
+    * codebook norms) — still paid once at encode time, never per probe. */
   def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 16,
                  iters: Int = 3, sessionLifetime: Boolean = false): IvfPqIndex = {
     val (assigned, centroids) = Ivf.train(emb, nCells, iters)
-    val cb = Pq.train(emb, m, k, iters)
+    val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
+    val d = cents.head.size
+    val subd = d / m
+    // residual corpus — assigned already carries the double vector `v`
+    val resid = graft.Caching.materialize(
+      assigned.withColumn("__cents", typedLit(cents))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(v, (x, i) -> x - __cents[cell][i])").as("embedding")))
+    val cb = Pq.train(resid, m, k, iters)
+    val cn2: Seq[Double] = cents.map(c => c.map(x => x * x).sum)
+    val d2: Seq[Seq[Seq[Double]]] = cents.map { c =>       // [cell][j][code]
+      (0 until m).map { j =>
+        cb(j).map(r => (0 until subd).map(i => c(j * subd + i) * r(i)).sum)
+      }
+    }
+    val rn2: Seq[Seq[Double]] = cb.map(_.map(r => r.map(x => x * x).sum))
+    val crossDot = (0 until m).map(j => s"__d2[cell][$j][codes[$j]]").mkString(" + ")
+    val residN2 = (0 until m).map(j => s"__rn2[$j][codes[$j]]").mkString(" + ")
     val dir =
       if (sessionLifetime)
         java.nio.file.Files.createTempDirectory("graft_ivfpqindex_keep").toString
       else graft.TempDirs.create("ivfpqindex")
-    Pq.encodeWithNorm(emb, cb)
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    Pq.encode(resid, cb, extraCols = Seq("cell"))
+      .withColumn("__cn2", typedLit(cn2))
+      .withColumn("__d2", typedLit(d2))
+      .withColumn("__rn2", typedLit(rn2))
+      .withColumn("rnorm",
+        expr(s"sqrt(__cn2[cell] + 2 * ($crossDot) + ($residN2))"))
+      .select("vec_id", "codes", "rnorm", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
     IvfPqIndex(cb, centroids, dir)
   }
@@ -87,16 +117,22 @@ object IvfPq {
         (1.0 - dot / (vn * cn), cell)
       }.sorted.take(nprobe).map(_._2)
     }
-    // one (query, cell, lut, qnorm) row per probed cell: the equi-join
-    // below replicates each scanned code row only to the queries that
-    // probed its cell
+    // one (query, cell, lut, qnorm, q·c_cell) row per probed cell: the
+    // equi-join below replicates each scanned code row only to the
+    // queries that probed its cell; __off is the residual-decomposition
+    // offset (q·x̂ = q·c_cell + Σ lut lookups)
+    val cellCentroid = idx.centroids.toMap
     val probeRows = qRows.toSeq.flatMap { r =>
       val v = r.getSeq[Double](1)
       val lut = Pq.adcLut(idx.cb, v)
-      nearestCells(v).map(c => (r.getLong(0), c, lut, r.getDouble(2)))
+      nearestCells(v).map { c =>
+        val cent = cellCentroid(c)
+        val off = v.indices.map(i => v(i) * cent(i)).sum
+        (r.getLong(0), c, lut, r.getDouble(2), off)
+      }
     }
     val probes = broadcast(
-      probeRows.toDF("query_id", "cell", "__lut", "__qnorm"))
+      probeRows.toDF("query_id", "cell", "__lut", "__qnorm", "__off"))
     val allProbed = probeRows.map(_._2).distinct
     // cell IN (...) is partition pruning on the cell-partitioned layout:
     // non-probed cells' files are never opened
@@ -105,7 +141,7 @@ object IvfPq {
       .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Pq.adcSim(m).as("pqsim"))
+        Pq.adcSimOffset(m).as("pqsim"))
     Pq.refineExact(emb, Pq.adcShortlist(scored, shortlist), qRows, kNeighbors)
   }
 }

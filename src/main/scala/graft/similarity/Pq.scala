@@ -124,18 +124,21 @@ object Pq {
   }
 
   /** (vec_id, codes: array<int> of length m) — the encoded corpus. The
-    * whole encode is ONE projection against the codebook literal. */
-  def encode(emb: DataFrame, cb: Codebooks): DataFrame = {
+    * whole encode is ONE projection against the codebook literal.
+    * `extraCols` pass through untouched (IVF×PQ keeps the cell id). */
+  def encode(emb: DataFrame, cb: Codebooks,
+             extraCols: Seq[String] = Seq.empty): DataFrame = {
     val m = cb.size
     val k = cb.head.size
     val subd = cb.head.head.size
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    emb.select(col("vec_id") +:
+        expr("transform(embedding, x -> cast(x as double))").as("v") +:
+        extraCols.map(col): _*)
       .withColumn("__cb", cbLit(cb))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), j ->
            |  ${codeExpr(k, subd, "j", i => s"v[j * $subd + $i]")})""".stripMargin))
-      .select("vec_id", "codes")
+      .select(("vec_id" +: "codes" +: extraCols).map(col): _*)
   }
 
   /** A trained-and-encoded PQ index: the codebooks (driver metadata)
@@ -259,6 +262,15 @@ object Pq {
   private[similarity] def adcSim(m: Int): Column = {
     val adcDot = (0 until m).map(j => s"__lut[$j][codes[$j]]").mkString(" + ")
     expr(adcDot) / (col("__qnorm") * col("rnorm"))
+  }
+
+  /** ADC similarity for RESIDUAL codes (IVF×PQ): x̂ = c_cell + r̂, so
+    * q·x̂ = q·c_cell + Σ_j lut[j][codes[j]] — the first term rides in as
+    * the per-(query, cell) `__off` column (driver metadata, one scalar
+    * per probe row), the lookups stay the identical ~16 B/row scan. */
+  private[similarity] def adcSimOffset(m: Int): Column = {
+    val adcDot = (0 until m).map(j => s"__lut[$j][codes[$j]]").mkString(" + ")
+    (expr(adcDot) + col("__off")) / (col("__qnorm") * col("rnorm"))
   }
 
   /** Two-level per-query top-`shortlist` over a scored (query_id,

@@ -95,6 +95,39 @@ class Round10Spec extends SparkSpec {
     assert(full.count() === 20L)
   }
 
+  test("ivfpq residual ADC: offset + lookups == cosine of (centroid + reconstructed residual)") {
+    import graft.similarity.{Cosine, IvfPq, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfPq.buildIndex(emb, iters = 2)
+    val m = idx.cb.size
+    val subd = idx.cb.head.head.size
+    val cellOf = idx.centroids.toMap
+    val codeRows = spark.read.parquet(idx.codesPath)
+      .select("vec_id", "codes", "rnorm", "cell").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1).toArray, r.getDouble(2), r.getInt(3)))
+      .toMap
+    val vecs = Cosine.prepared(emb).select("vec_id", "v", "norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    for ((qid, qv, qnorm) <- vecs.filter(_._1 < 3)) {
+      val lut = idx.cb.zipWithIndex.map { case (cs, j) =>
+        cs.map(c => (0 until subd).map(i => qv(j * subd + i) * c(i)).sum)
+      }
+      for ((nid, _, _) <- vecs.take(40) if nid != qid) {
+        val (cd, rnorm, cell) = codeRows(nid)
+        val cent = cellOf(cell)
+        // x-hat = centroid + reconstructed residual
+        val xhat = (0 until m).flatMap(j =>
+          idx.cb(j)(cd(j)).zipWithIndex.map { case (x, i) => cent(j * subd + i) + x })
+        val xn = math.sqrt(xhat.map(x => x * x).sum)
+        assert(math.abs(rnorm - xn) < 1e-9, s"rnorm != |x-hat| for $nid")
+        val off = qv.indices.map(i => qv(i) * cent(i)).sum
+        val adc = (off + (0 until m).map(j => lut(j)(cd(j))).sum) / (qnorm * rnorm)
+        val ref = qv.indices.map(i => qv(i) * xhat(i)).sum / (qnorm * xn)
+        assert(math.abs(adc - ref) < 1e-9, s"residual ADC diverges for ($qid, $nid)")
+      }
+    }
+  }
+
   // ------------------------------------------------------ StreamMv replay
 
   test("streaming MV: replay with INTERVENING base commits cannot double-apply") {
