@@ -829,6 +829,20 @@ object SparkEntry {
       src => lit(1L) + regexp_extract(src, "([0-9]+)", 1).cast("long") % 3L,
       graft.etl.Mixture.lcgOrder)
 
+  /** #157 Importance (quality-weighted Poisson) sampling (round 10,
+    * [[graft.etl.Mixture.importanceSample]]): each document kept
+    * INDEPENDENTLY with probability ∝ its quality score — the curation
+    * recipe step between hard filtering and uniform sampling. The coin
+    * is the portable LCG over doc_id, the weight the shared quality
+    * score, the keep test integer-vs-integer, so both engines compute
+    * the IDENTICAL sample and the oracle pins exact membership (bit_xor
+    * fingerprint) per source, plus the realized rate (which tracks each
+    * source's mean quality — the probe that sampling is genuinely
+    * quality-weighted). Pure projection + filter: no shuffle beyond the
+    * census aggregate, no RNG state, reproducible at any scale. */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Mixture.importanceReport(Tables.documents(s, dir), "source")
+
   /** #90 Exact-quota stratified sample: per event_type, keep exactly
     * `(n*200 + 999) div 1000` rows (20%, integer-exact quota) chosen by
     * smallest xxhash64(event_id) — deterministic under repartitioning.
@@ -2565,6 +2579,7 @@ object SparkEntry {
     "ann_ivf_pq"          -> (annIvfPq _),
     "sample_stratified"   -> (sampleStratified _),
     "sample_mixture"      -> (sampleMixture _),
+    "sample_importance"   -> (sampleImportance _),
     "text_langid"         -> (textLangid _),
     "text_quality"        -> (textQuality _),
     "text_tokens"         -> (textTokens _),
@@ -4029,6 +4044,26 @@ object SparkEntry {
         |       CAST((count(*) * 200 + 999) // 1000 AS BIGINT) AS n_sampled,
         |       true AS subset_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact-membership census: the keep coin (portable LCG), the weight
+    // (shared quality formula), and the integer keep test are computed
+    // independently by both engines — bit_xor pins the exact sample
+    "sample_importance" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    round(least(CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> t <> '')) AS DOUBLE) / 50, 1.0) *
+        |          (1 - CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |               / length(text)), 4) AS quality_score
+        |  FROM documents),
+        |f AS (SELECT *, CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 1000000
+        |                          < floor(quality_score * 500000)
+        |                THEN 1 ELSE 0 END AS keep FROM q)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+        |       CAST(coalesce(bit_xor(CASE WHEN keep = 1 THEN doc_id END), 0) AS BIGINT) AS kept_xor,
+        |       round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS eff_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_mixture" ->
       """WITH t AS (SELECT doc_id, source,

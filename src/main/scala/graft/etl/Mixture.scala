@@ -67,6 +67,54 @@ object Mixture {
       .filter(col("__cum") <= col("__target"))
   }
 
+  /** IMPORTANCE (quality-weighted Poisson) sampling — the other half of
+    * the curation-sampling family: where [[sampleByTokenShare]] hits
+    * per-DOMAIN token quotas, this keeps each document INDEPENDENTLY
+    * with probability proportional to its quality score — the
+    * "sample the good stuff harder" recipe step pretraining mixes use
+    * between hard filtering (loses borderline mass entirely) and
+    * uniform sampling (pays for junk at the same rate as prose).
+    *
+    * Deterministic and engine-portable by construction: the coin is the
+    * portable LCG over doc_id ([[lcgOrder]] — both engines compute the
+    * identical permutation), the weight is the shared quality score
+    * (rounded at its output edge, so both engines hold the same
+    * double), and the keep test `lcg(id) % 1e6 < floor(q · rateScale)`
+    * is integer-vs-integer — no float-boundary drift anywhere, which is
+    * what lets the oracle pin EXACT membership (bit_xor fingerprint),
+    * not just sample sizes. A pure per-row projection + filter: no
+    * shuffle, no RNG state, trivially reproducible at any scale —
+    * re-running the pipeline keeps the same documents.
+    *
+    * `rateScale`/1e6 is the keep probability of a perfect-quality doc
+    * (default 0.5); a doc's expected keep rate is `q/2`. */
+  def importanceSample(docs: DataFrame, textCol: String = "text",
+                       rateScale: Long = 500000L): DataFrame =
+    graft.text.TextOps.qualityScore(docs, textCol)
+      .filter(pmod(lcgOrder(col("doc_id")), lit(1000000L)) <
+              floor(col("quality_score") * rateScale.toDouble))
+
+  /** Per-source importance-sampling census: inventory, kept docs/tokens,
+    * the exact-membership fingerprint, and the realized rate (which
+    * tracks the source's mean quality — the probe that the sampling is
+    * actually quality-weighted, not uniform). */
+  def importanceReport(docs: DataFrame, sourceCol: String): DataFrame = {
+    val kept = importanceSample(docs)
+      .groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"),
+        expr("bit_xor(doc_id)").as("kept_xor"))
+    docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_xor"), lit(0L)).as("kept_xor"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 4)
+          .as("eff_rate"))
+      .orderBy(sourceCol)
+  }
+
   /** Per-domain mixture report: weight, inventory, integer token target,
     * kept docs/tokens, and a bit_xor membership fingerprint over the
     * kept doc_ids — one row per source, but every doc's keep/drop

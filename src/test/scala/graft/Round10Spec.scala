@@ -403,6 +403,28 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("min_sim") == 1.0)
   }
 
+  // ----------------------------------------------- importance sampling
+
+  test("importanceSample: exact keep rule, deterministic under repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val kept = graft.etl.Mixture.importanceSample(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // driver re-derivation of the keep rule from the published contract
+    val q = graft.text.TextOps.qualityScore(docs)
+      .select("doc_id", "quality_score").collect()
+    val expect = q.filter { r =>
+      val id = r.getLong(0)
+      ((id * 1103515245L + 12345L) % 2147483648L) % 1000000L <
+        math.floor(r.getDouble(1) * 500000.0).toLong
+    }.map(_.getLong(0)).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < q.length, "law is vacuous")
+    // same documents whatever the partitioning — no RNG state anywhere
+    val kept2 = graft.etl.Mixture.importanceSample(docs.repartition(13))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
+
   // ---------------------------------------------------- streaming as-of
 
   test("streamAsof: streamed result equals the batch as-of row-for-row") {
