@@ -1551,7 +1551,7 @@ object SparkEntry {
       .withColumn("total_amount", col("total_amount") + 10)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     val stats = graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), path, Seq("event_id"))
     graft.acid.TxLog.read(s, path)
@@ -1587,7 +1587,7 @@ object SparkEntry {
       .withColumn("total_amount", col("total_amount") + 10)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     val stats = graft.acid.TxLog.mergeWithDv(
       corrections.unionByName(arrivals), path, Seq("event_id"))        // v2
     graft.acid.TxLog.read(s, path)
@@ -1667,7 +1667,7 @@ object SparkEntry {
     val yellow = consumer.filter(col("trip_type") === ConsumerPipeline.YellowType)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     graft.acid.TxLog.mergeConditional(
       yellow.unionByName(arrivals), path, Seq("event_id"), Seq(
         MatchedUpdate(Some("s.total_amount >= 100"),
@@ -1840,7 +1840,7 @@ object SparkEntry {
       .withColumn("total_amount", col("total_amount") + 10)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), path, Seq("event_id"))  // v2
     graft.acid.TxLog.delete(s, path, col("total_amount") < 20)   // v3
@@ -2010,7 +2010,7 @@ object SparkEntry {
     // arrivals land AFTER the rename, under the new logical schema
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
       .withColumnRenamed("total_amount", "fare_total")
       .drop("passenger_count")
     graft.acid.TxLog.append(arrivals, path)                              // v4
@@ -2413,7 +2413,7 @@ object SparkEntry {
       .withColumn("total_amount", col("total_amount") + 10)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), base, Seq("event_id"))      // v2
     cursor = graft.acid.MaterializedView.refresh(s, base, mv, spec, cursor)
@@ -2464,7 +2464,7 @@ object SparkEntry {
       .withColumn("total_amount", col("total_amount") + 10)
     val arrivals = consumer
       .filter(col("trip_type") === ConsumerPipeline.GreenType)
-      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
     graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), base, Seq("event_id"))      // v2
     graft.streaming.StreamMv.pump(s, base, mv, spec, cursor)

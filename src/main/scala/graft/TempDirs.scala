@@ -27,6 +27,34 @@ object TempDirs {
     d
   }
 
+  private val sessionDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = sessionDirs.poll()
+      while (d != null) { deleteTree(d); d = sessionDirs.poll() }
+    }, "graft-session-dir-cleanup"))
+  }
+
+  /** A scratch dir that OUTLIVES per-scenario cleanup (session-lifetime
+    * index stores, bucketed tables) but is still reclaimed when the JVM
+    * exits — without this, every distinct index key leaked its dir for
+    * the machine's lifetime. */
+  def createSessionLifetime(tag: String): String = {
+    hookInstalled
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    sessionDirs.add(d)
+    d
+  }
+
+  private def deleteTree(d: String): Unit =
+    try {
+      import java.nio.file._
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(Paths.get(d)))
+        Files.walk(Paths.get(d)).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   /** Dirs created since the last drain (oldest first). */
   def drain(): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -37,14 +65,5 @@ object TempDirs {
 
   /** Delete every drained dir (best-effort). Call only after the
     * scenario's result has been fully materialized. */
-  def cleanup(): Unit =
-    drain().foreach { d =>
-      try {
-        import java.nio.file._
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(Paths.get(d)))
-          Files.walk(Paths.get(d)).iterator().asScala.toSeq.reverseIterator
-            .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+  def cleanup(): Unit = drain().foreach(deleteTree)
 }

@@ -1696,6 +1696,12 @@ object TxLog {
     * non-partition predicates starts working the moment this commits.
     * Returns the number of files analyzed. */
   def analyze(spark: SparkSession, table: String): Int = {
+    // no-op short-circuit: when every live file already carries stats,
+    // analyze must not write a commit — repeated analyzes would churn
+    // table versions (shifting time-travel numbers) for zero state change
+    val pre = snapshot(spark, table, None).getOrElse(
+      throw new IllegalStateException(s"no txlog table at $table"))
+    if (!pre.files.exists(f => f.numRecords < 0 || f.minValues.isEmpty)) return 0
     var updated = 0
     retryCommit(spark, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(

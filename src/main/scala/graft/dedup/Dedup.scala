@@ -144,7 +144,6 @@ object Dedup {
       s"4x16-band hamming search is exact only for maxHamming <= 3 " +
       s"(got $maxHamming): a 4-bit difference can straddle all 4 bands")
     val spark = sigs.sparkSession
-    val nShuffle = spark.sessionState.conf.numShufflePartitions
     // CANONICALIZE before banding: replicated/crawled corpora carry many
     // byte-identical signatures, and banding them raw makes every bucket
     // quadratic in the replication factor BEFORE any pruning can help —
@@ -162,12 +161,16 @@ object Dedup {
              collect_list(col("doc_id")).as("members")))
     // band-join over distinct signatures only; repartition the banded
     // frame on the join key — it inherits the class aggregate's layout,
-    // and with the other side broadcast nothing downstream re-partitions
+    // and with the other side broadcast nothing downstream re-partitions.
+    // By-column (no explicit width): the exchange fans out to the session
+    // width at scale, but stays an AQE-coalescible REPARTITION_BY_COL so
+    // a small banded frame collapses back to few tasks instead of paying
+    // 32 near-empty sorts (the r10 sf0.1 regression)
     val banded = classes.select(col("cid"), col("__sig"),
         posexplode(expr(
           "transform(sequence(0, 3), j -> (__sig >> (j * 16)) & 65535)"))
           .as(Seq("band_idx", "band_val")))
-      .repartition(nShuffle, col("band_idx"), col("band_val"))
+      .repartition(col("band_idx"), col("band_val"))
     // distinct signatures ⇒ every canonical pair has hamming ≥ 1
     val canonPairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -289,11 +289,13 @@ object Cosine {
     // repartition the bucket frame on the join key: it inherits the
     // class aggregate's layout, and with the other side broadcast the
     // candidate join + pair-dedup would otherwise run on however few
-    // partitions that left (the sf10 parallelism collapse)
+    // partitions that left (the sf10 parallelism collapse). By-column —
+    // no explicit width — so the exchange is an AQE-coalescible
+    // REPARTITION_BY_COL: full session width at sf10, few tasks when the
+    // bucket frame is small (the r10 sf0.1 regression clawed back)
     val b = bucketed(pc, tables, bits, Dim)
       .select(col("table_id"), col("bucket"), col("vec_id"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("table_id"), col("bucket"))
+      .repartition(col("table_id"), col("bucket"))
     val candidates = b.join(
         b.select(col("table_id"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table_id", "bucket"))

@@ -62,8 +62,13 @@ object Ivf {
     while (i < iters) {
       // exact DECIMAL mean per (cell, dim): merge-order-independent, so
       // centroids are run-deterministic (double partial sums are not);
-      // partial-avg combines map-side, the shuffle is k×dim rows
-      centroids = assignExpr(p, centroids)
+      // partial-avg combines map-side, the shuffle is k×dim rows.
+      // A cell that received NO vectors this round keeps its previous
+      // centroid (standard empty-cluster handling) — cell ids therefore
+      // stay dense 0..k-1 forever, which downstream positional indexers
+      // ([[IvfPq.buildIndex]]'s `__cents[cell]` literals) rely on;
+      // dropping empties would silently shift every later cell's lookup.
+      val means = assignExpr(p, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
@@ -71,7 +76,8 @@ object Ivf {
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
           (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.toSeq.sortBy(_._1)
+        }
+      centroids = centroids.map { case (c, old) => (c, means.getOrElse(c, old)) }
       i += 1
     }
     (assignExpr(p, centroids), centroids)

@@ -52,6 +52,12 @@ object IvfPq {
   def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 16,
                  iters: Int = 3, sessionLifetime: Boolean = false): IvfPqIndex = {
     val (assigned, centroids) = Ivf.train(emb, nCells, iters)
+    // the literals below index positionally (`__cents[cell]`, `__cn2[cell]`,
+    // `__d2[cell]`) — guard the density contract Ivf.train now guarantees
+    // (empty Lloyd cells keep their previous centroid, never drop)
+    require(centroids.map(_._1) == centroids.indices,
+      s"IVF centroids must be dense 0..${centroids.size - 1}: " +
+      centroids.map(_._1).mkString(","))
     val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
     val d = cents.head.size
     val subd = d / m
@@ -71,8 +77,7 @@ object IvfPq {
     val crossDot = (0 until m).map(j => s"__d2[cell][$j][codes[$j]]").mkString(" + ")
     val residN2 = (0 until m).map(j => s"__rn2[$j][codes[$j]]").mkString(" + ")
     val dir =
-      if (sessionLifetime)
-        java.nio.file.Files.createTempDirectory("graft_ivfpqindex_keep").toString
+      if (sessionLifetime) graft.TempDirs.createSessionLifetime("ivfpqindex_keep")
       else graft.TempDirs.create("ivfpqindex")
     Pq.encode(resid, cb, extraCols = Seq("cell"))
       .withColumn("__cn2", typedLit(cn2))
@@ -86,10 +91,13 @@ object IvfPq {
   }
 
   /** The index for `key`, building it on first use (train once, probe
-    * many — the stored-artifact lifecycle, like [[Pq.indexFor]]). */
+    * many — the stored-artifact lifecycle, like [[Pq.indexFor]]). The
+    * key carries the source files' content fingerprint so regenerated
+    * testdata invalidates instead of serving stale codes. */
   def indexFor(emb: DataFrame, key: String, nCells: Int = 16, m: Int = 16,
                k: Int = 16, iters: Int = 3): IvfPqIndex =
-    indexStore.computeIfAbsent(s"$key|c=$nCells|m=$m|k=$k|i=$iters",
+    indexStore.computeIfAbsent(
+      s"$key|fp=${Pq.contentFingerprint(emb)}|c=$nCells|m=$m|k=$k|i=$iters",
       _ => buildIndex(emb, nCells, m, k, iters, sessionLifetime = true))
 
   /** IVF×PQ top-k: (1) per query, rank the IVF centroids on the driver

@@ -193,18 +193,38 @@ object Pq {
                  sessionLifetime: Boolean = false): PqIndex = {
     val cb = train(emb, m, k, iters)
     val dir =
-      if (sessionLifetime)
-        java.nio.file.Files.createTempDirectory("graft_pqindex_keep").toString
+      if (sessionLifetime) graft.TempDirs.createSessionLifetime("pqindex_keep")
       else graft.TempDirs.create("pqindex")
     encodeWithNorm(emb, cb).write.mode("overwrite").parquet(dir)
     PqIndex(cb, dir)
   }
 
+  /** Fingerprint of a frame's underlying files — (path, length, mtime)
+    * of every leaf input file, hashed. Folded into session index-store
+    * keys so a REGENERATED source table (same path, new bytes) misses
+    * the cache and retrains instead of silently serving stale codes. */
+  private[similarity] def contentFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) "nofiles"
+    else {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      val sig = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("|")
+      (scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL).toHexString
+    }
+  }
+
   /** The index for `key`, building it on first use (train once, probe
-    * many — the FAISS lifecycle). */
+    * many — the FAISS lifecycle). The stored key carries the source
+    * files' content fingerprint: regenerating the table at the same
+    * path invalidates the cached index. */
   def indexFor(emb: DataFrame, key: String, m: Int = 16, k: Int = 16,
                iters: Int = 3): PqIndex =
-    indexStore.computeIfAbsent(s"$key|m=$m|k=$k|i=$iters",
+    indexStore.computeIfAbsent(
+      s"$key|fp=${contentFingerprint(emb)}|m=$m|k=$k|i=$iters",
       _ => buildIndex(emb, m, k, iters, sessionLifetime = true))
 
   /** PQ top-k with exact re-ranking — the production IVF-PQ read shape:
