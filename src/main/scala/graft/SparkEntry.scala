@@ -783,12 +783,16 @@ object SparkEntry {
     * AND bytes per row, where `ann_pq` alone still scans every code and
     * `ann_ivf` alone still reads full vectors in probed cells. Same
     * bounded recall-floor oracle as its parents, measured vs exact
-    * brute force (sf0.001/0.01/0.1: min 0.2/0.2/0.3, mean
-    * 0.49/0.45/0.55 — below `ann_pq`'s, the designed trade: nprobe=4 of
-    * 16 cells skips 3/4 of the corpus); train/encode run once per
-    * session under `indexKey` (the stored-artifact lifecycle).
-    * Deterministic training on both halves (hash seeds, DECIMAL means),
-    * so the booleans are stable. */
+    * brute force. Round 11 moved the codes from nibbles to BYTES
+    * (k=256 codebooks, 16 B/row unchanged — the FAISS PQ16 default)
+    * and the probe to nprobe=10 of 16: recall is min 0.6–0.8 / mean
+    * 0.86–0.90 across SFs (nprobe=16 reaches 0.99–1.0, pinning the
+    * residual loss to cell selection, not code precision), so the
+    * floors rise to min ≥ 0.5 / mean ≥ 0.75 while the probe still
+    * skips 6 of 16 cells; train/encode run once per session under
+    * `indexKey` (the
+    * stored-artifact lifecycle). Deterministic training on both halves
+    * (hash seeds, DECIMAL means), so the booleans are stable. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val brute = graft.Caching.materialize(
@@ -809,8 +813,8 @@ object SparkEntry {
       .agg(max(abs(col("sim_q") - col("sim_exact"))).as("max_err"))
     recall.crossJoin(simErr)
       .select(col("n_queries"),
-              (col("minr") >= 0.2).as("min_recall_ok"),
-              (col("meanr") >= 0.4).as("mean_recall_ok"),
+              (col("minr") >= 0.5).as("min_recall_ok"),
+              (col("meanr") >= 0.75).as("mean_recall_ok"),
               (col("max_err") <= 0.001).as("sim_err_ok"))
   }
 

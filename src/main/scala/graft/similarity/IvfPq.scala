@@ -6,12 +6,24 @@ import org.apache.spark.sql.functions._
 /** IVF×PQ — the billion-vector production read path, composing the two
   * halves this library already carries: [[Ivf]] partitions the corpus
   * into Voronoi cells (a query probes only its `nprobe` nearest), and
-  * [[Pq]] stores each vector as 16 nibble codes scanned by
+  * [[Pq]] stores each vector as 16 BYTE codes (k=256 codebooks — the
+  * FAISS `PQ16` default; round 11, up from nibbles) scanned by
   * asymmetric-distance lookup tables. Composed, the probe cost is
-  * O(corpus × nprobe / nCells) rows × ~16 B/row — sub-linear in BOTH
+  * O(corpus × nprobe / nCells) rows × 16 B/row — sub-linear in BOTH
   * dimensions: the cell filter prunes which rows are read, the codes
   * shrink what a read costs. Separately each half is a demo; together
   * they are the FAISS `IVFx,PQy` shape.
+  *
+  * Recall regime (measured, sf0.1, top-10 vs brute force): byte codes
+  * are 16× finer per subspace at IDENTICAL scan bytes, moving the
+  * recall limiter from code precision to cell selection — at nprobe=16
+  * (no pruning) recall is 0.99–1.0, so the nprobe knob now buys exactly
+  * the documented trade: nprobe=4 → mean ~0.61, nprobe=8 → min ~0.70 /
+  * mean ~0.83, nprobe=10 (default) → min 0.6–0.8 / mean 0.86–0.90
+  * across SFs while still skipping 6 of 16 cells. The
+  * synthetic corpus is near-orthogonal (max inter-vector cosine ~0.5),
+  * the WORST case for Voronoi locality — clustered real-world
+  * embeddings concentrate neighbors in fewer cells.
   *
   * Index layout: the code table is written PARTITIONED BY CELL, so the
   * probe's `cell IN (probed…)` predicate is directory-level partition
@@ -49,7 +61,7 @@ object IvfPq {
     * expands to `|c|² + 2·(c·r̂) + |r̂|²`, all three terms m-lookup sums
     * into driver-literal tables (cell norms, cell×codebook cross-dots,
     * codebook norms) — still paid once at encode time, never per probe. */
-  def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 16,
+  def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 256,
                  iters: Int = 3, sessionLifetime: Boolean = false): IvfPqIndex = {
     val (assigned, centroids) = Ivf.train(emb, nCells, iters)
     // the literals below index positionally (`__cents[cell]`, `__cn2[cell]`,
@@ -95,7 +107,7 @@ object IvfPq {
     * key carries the source files' content fingerprint so regenerated
     * testdata invalidates instead of serving stale codes. */
   def indexFor(emb: DataFrame, key: String, nCells: Int = 16, m: Int = 16,
-               k: Int = 16, iters: Int = 3): IvfPqIndex =
+               k: Int = 256, iters: Int = 3): IvfPqIndex =
     indexStore.computeIfAbsent(
       s"$key|fp=${Pq.contentFingerprint(emb)}|c=$nCells|m=$m|k=$k|i=$iters",
       _ => buildIndex(emb, nCells, m, k, iters, sessionLifetime = true))
@@ -105,7 +117,7 @@ object IvfPq {
     * cells' code partitions (partition-pruned read, ~16 B/row); (3)
     * exact re-rank of the per-query `shortlist` survivors. */
   def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
-           nCells: Int = 16, nprobe: Int = 4, m: Int = 16, k: Int = 16,
+           nCells: Int = 16, nprobe: Int = 10, m: Int = 16, k: Int = 256,
            iters: Int = 3, shortlist: Int = 50,
            indexKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession

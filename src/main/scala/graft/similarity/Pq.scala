@@ -34,31 +34,6 @@ object Pq {
   /** Codebooks as (subspace)(code) -> centroid (length d/m). */
   type Codebooks = Seq[Seq[Seq[Double]]]
 
-  private def cbLit(cb: Codebooks): Column = typedLit(cb)
-
-  /** Squared-L2 argmin over subspace `j`'s codebook — struct `array_min`
-    * (lexicographic: distance first, code as tie-break). The distance is
-    * STATICALLY UNROLLED element arithmetic (`elem(i)` must yield the
-    * i-th subvector component as a SQL fragment): Spark evaluates HOF
-    * lambdas interpreted, so the original inner `aggregate(zip_with(...))`
-    * paid two lambda dispatches plus a zipped-array allocation per
-    * (code, element) — measured at sf10 as 50 s to encode 200k vectors.
-    * Flat `v[i]` arithmetic keeps only the outer per-code transform
-    * lambda: one UnsafeArrayData getDouble per term, no allocation. */
-  private def codeExpr(k: Int, subd: Int, jExpr: String,
-                       elem: Int => String): String = {
-    // iterate the codebook ARRAY with the 2-arg lambda — `cc` (the
-    // centroid) binds once per code, so the literal nests are traversed
-    // once, not once per squared-difference term (the term-inlined
-    // variant re-resolved __cb[j][c][i] eight times per code and
-    // measured SLOWER than the zip_with original at sf10)
-    val dist = (0 until subd).map { i =>
-      s"(${elem(i)} - cc[$i]) * (${elem(i)} - cc[$i])"
-    }.mkString(" + ")
-    s"""array_min(transform(__cb[$jExpr], (cc, c) -> struct(
-       |  $dist AS d, c AS code))).code""".stripMargin
-  }
-
   /** Vectors the training pass reads — codebooks converge on a sample
     * (FAISS-style engines train PQ on a bounded sample at any corpus
     * size; 64k is 4096 vectors per codebook entry at k=16); the full
@@ -70,8 +45,12 @@ object Pq {
     * in one frame. `emb` must carry `vec_id` and `embedding`. Training
     * reads a deterministic ~[[TrainTarget]]-vector hash-sample of the
     * corpus — O(1) training memory/time at any corpus size, the
-    * standard PQ regime. */
+    * standard PQ regime. Assignment runs through the native
+    * [[graft.functions.PqEncode]] expression (the SQL HOF encode paid
+    * one interpreted lambda dispatch per (row, subspace, code) — at
+    * byte codes that measured ~24 min for the one-time sf10 build). */
   def train(emb: DataFrame, m: Int = 16, k: Int = 16, iters: Int = 3): Codebooks = {
+    val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(1L, (n + TrainTarget - 1) / TrainTarget)
     val sample =
@@ -83,32 +62,28 @@ object Pq {
     val d = p.select(size(col("v"))).first().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val subd = d / m
-    // (vec_id, j, sub): every subvector of every vector, one explode
-    val subs = graft.Caching.materialize(p.select(col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $subd + 1, $subd))"))
-        .as(Seq("j", "sub"))))
-    // deterministic seeds: per subspace, the k subvectors of smallest
-    // xxhash64(vec_id) — one window over the tiny (j, hash) rank
-    val seedW = Window.partitionBy("j").orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var cb: Codebooks = subs
-      .withColumn("r", row_number().over(seedW))
-      .filter(col("r") <= k)
-      .select(col("j"), (col("r") - 1).as("c"), col("sub"))
-      .collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
-      }
+    // deterministic seeds: the k sample vectors of smallest
+    // xxhash64(vec_id) — a distributed top-k (TakeOrdered), k rows of
+    // driver metadata; every subspace seeds from the same vectors'
+    // j-th subvector (bit-identical to the old per-subspace window,
+    // whose hash order never depended on j)
+    val seedRows = p.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("v")).collect()
+    var cb: Codebooks = (0 until m).map { j =>
+      seedRows.toSeq.map(_.getSeq[Double](0).slice(j * subd, (j + 1) * subd))
+    }
     var i = 0
     while (i < iters) {
-      val assigned = subs
-        .withColumn("__cb", cbLit(cb))
-        .withColumn("code", expr(codeExpr(k, subd, "j", i => s"sub[$i]")))
       // exact DECIMAL mean per (j, code, dim) — k·d shuffle rows, map-side
       // partials; an empty cluster keeps its previous centroid
-      val means = assigned
-        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      val means = p
+        .withColumn("codes",
+          graft.functions.PqEncodeFunction.pq_encode(spark, col("v"), cb))
+        .select(col("codes"), posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $subd + 1, $subd))"))
+          .as(Seq("j", "sub")))
+        .select(col("j"), expr("codes[j]").as("code"),
+          posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy("j", "code", "pos")
         .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("mu"))
         .collect()
@@ -124,20 +99,18 @@ object Pq {
   }
 
   /** (vec_id, codes: array<int> of length m) — the encoded corpus. The
-    * whole encode is ONE projection against the codebook literal.
+    * whole encode is ONE projection through the native
+    * [[graft.functions.PqEncode]] expression (codebook = expression
+    * metadata, three primitive loops in whole-stage codegen).
     * `extraCols` pass through untouched (IVF×PQ keeps the cell id). */
   def encode(emb: DataFrame, cb: Codebooks,
              extraCols: Seq[String] = Seq.empty): DataFrame = {
-    val m = cb.size
-    val k = cb.head.size
-    val subd = cb.head.head.size
+    val spark = emb.sparkSession
     emb.select(col("vec_id") +:
         expr("transform(embedding, x -> cast(x as double))").as("v") +:
         extraCols.map(col): _*)
-      .withColumn("__cb", cbLit(cb))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), j ->
-           |  ${codeExpr(k, subd, "j", i => s"v[j * $subd + $i]")})""".stripMargin))
+      .withColumn("codes",
+        graft.functions.PqEncodeFunction.pq_encode(spark, col("v"), cb))
       .select(("vec_id" +: "codes" +: extraCols).map(col): _*)
   }
 
