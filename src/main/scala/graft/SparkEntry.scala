@@ -1019,7 +1019,12 @@ object SparkEntry {
     * contamination flag joins a broadcast eval-gram set), so the funnel
     * costs one scan + one window + one output-sized aggregate — the
     * events_funnel lesson applied to documents. Per-stage survivor and
-    * token counts are exact. */
+    * token counts are exact. Round 11 composes the sub-document stage
+    * in: stage 5 runs [[graft.text.ParagraphDedup]] over the stage-4
+    * survivors (one more hash-window shuffle), reporting how many docs
+    * keep ≥1 paragraph and the surviving token mass — the full
+    * CCNet/RefinedWeb shape, lang → quality → doc-dedup → decontam →
+    * paragraph-dedup, in one operator. */
   def corpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val contaminated = TextOps.contamination(docs, docs.filter(col("doc_id") < 3))
@@ -1041,12 +1046,23 @@ object SparkEntry {
     def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     def t(c: org.apache.spark.sql.Column) =
       sum(when(c, col("n_tokens")).otherwise(0L))
+    // stage 5: paragraph-level dedup over the stage-4 survivors — docs
+    // that keep ≥1 paragraph survive; tokens_kept is the surviving
+    // paragraph token mass (partial docs count what remains)
+    val p5 = graft.text.ParagraphDedup.dedup(
+        docs.join(staged.filter(col("s4")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+      .agg(sum(when(col("n_kept") > 0, 1L).otherwise(0L)).as("n5"),
+           sum(col("kept_tokens")).as("t5"))
+      .select(coalesce(col("n5"), lit(0L)).as("n5"),
+              coalesce(col("t5"), lit(0L)).as("t5"))
     staged.agg(
         count(lit(1)).as("n0"),
         n(col("lang_ok")).as("n1"), n(col("s2")).as("n2"),
         n(col("s3")).as("n3"), n(col("s4")).as("n4"),
         t(col("lang_ok")).as("t1"), t(col("s2")).as("t2"),
         t(col("s3")).as("t3"), t(col("s4")).as("t4"))
+      .crossJoin(p5)
       .select(explode(array(
         struct(lit("1_lang").as("stage"), col("n0").as("n_in"),
           col("n1").as("n_kept"), col("t1").as("tokens_kept")),
@@ -1055,7 +1071,9 @@ object SparkEntry {
         struct(lit("3_dedup").as("stage"), col("n2").as("n_in"),
           col("n3").as("n_kept"), col("t3").as("tokens_kept")),
         struct(lit("4_contamination").as("stage"), col("n3").as("n_in"),
-          col("n4").as("n_kept"), col("t4").as("tokens_kept")))).as("r"))
+          col("n4").as("n_kept"), col("t4").as("tokens_kept")),
+        struct(lit("5_paragraph").as("stage"), col("n4").as("n_in"),
+          col("n5").as("n_kept"), col("t5").as("tokens_kept")))).as("r"))
       .select("r.*")
       .orderBy("stage")
   }
@@ -2494,6 +2512,128 @@ object SparkEntry {
       .orderBy("trip_type")
   }
 
+  /** #158 `spark.readStream.format("graft-table")` (round 11,
+    * [[graft.streaming.TxLogSource]]) — the txlog change feed as a REAL
+    * Structured Streaming source: offsets are commit versions in the
+    * engine's own checkpoint, so ANY standard writeStream pipeline
+    * consumes an ACID table with exactly-once restart semantics —
+    * no hand-rolled cursor pump. The scenario builds #75's table
+    * (v2 MERGE of corrections + arrivals, v3 DELETE of low-value trips)
+    * and streams its feed into a complete-mode aggregate, with the
+    * restart probe a batch query can't express: the query STOPS after
+    * v2, the v3 commit lands in the crash window, and the restarted
+    * query (same checkpoint) must deliver EXACTLY v3's rows — the
+    * aggregate state recovers from the checkpoint, nothing re-applies.
+    * `resume_no_replay` pins both runs' input-row counts to the exact
+    * per-commit change counts. The final aggregate is IDENTICAL to
+    * #75's batch feed — the streamed and batch faces of one CDC log. */
+  def streamTable(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("gstbl"); val ckpt = tempDir("gstblck")
+    val consumer = consumerSlim(s, dir)
+    val parts = Seq("trip_type", "trip_year", "trip_month")
+    graft.acid.TxLog.overwrite(consumer, path, parts)            // v1
+    val corrections = consumer
+      .filter(col("trip_type") === ConsumerPipeline.YellowType &&
+              col("total_amount") >= 100)
+      .withColumn("total_amount", col("total_amount") + 10)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
+    graft.acid.TxLog.merge(
+      corrections.unionByName(arrivals), path, Seq("event_id"))  // v2
+    val name = s"graft_gstbl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    def run(): Long = {
+      val q = s.readStream.format("graft-table")
+        .option("path", path).option("startVersion", "2").load()
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("total_amount")), 2).as("total"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable()
+            q.recentProgress.map(_.numInputRows).sum }
+      finally q.stop()
+    }
+    val rowsRun1 = run()
+    // crash window: the v3 commit lands while the query is DOWN
+    graft.acid.TxLog.delete(s, path, col("total_amount") < 20)   // v3
+    val rowsRun2 = run()
+    val v2Rows = graft.acid.TxLog.readChangeFeed(s, path, 2L, Some(2L)).count()
+    val v3Rows = graft.acid.TxLog.readChangeFeed(s, path, 3L, Some(3L)).count()
+    s.table(name)
+      .select(col("_commit_version").as("commit_version"),
+              col("_change_type").as("change_type"),
+              col("n_rows"), col("total"))
+      .withColumn("resume_no_replay",
+        lit(rowsRun1 == v2Rows && rowsRun2 == v3Rows))
+      .orderBy("commit_version", "change_type")
+  }
+
+  /** #159 Sub-document dedup with reassembly (round 11,
+    * [[graft.text.ParagraphDedup]]) — the CCNet/RefinedWeb curation step
+    * BELOW document granularity: crawled corpora repeat boilerplate
+    * paragraphs across documents that are NOT duplicates of each other,
+    * so whole-document dedup keeps them and span detection
+    * (#107 text_span_dedup) only REPORTS them; this operator REMOVES
+    * them and reassembles every document from its surviving paragraphs
+    * in order. ONE hash shuffle (row_number over the paragraph md5),
+    * nothing pairwise — a paragraph duplicated K× costs K shuffle rows,
+    * linear at any replication. The oracle is EXACT and total: per-doc
+    * paragraph census plus the md5 of the reassembled text, both
+    * engines building the same windows from the shared tokenizer. */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    graft.text.ParagraphDedup.dedup(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** #160 Domain/URL curation (round 11, [[graft.etl.Curation]]) — the
+    * first-class web-corpus stage before content filtering: registrable
+    * domain from each doc's URL (pure codegen string expressions — no
+    * UDF, no suffix table), broadcast-anti-join blocklist, per-domain
+    * doc cap by deterministic permutation (the portable LCG both
+    * engines compute, so kept MEMBERSHIP is pinned exactly by bit_xor,
+    * not just quota counts). The synthetic URL derives from
+    * (source, doc_id, lang) — the corpus carries no URL column — and
+    * DuckDB re-derives the expected domain WITHOUT parsing, so a
+    * host-extraction bug on the Spark side fails the per-domain rows.
+    * ONE shuffle (the per-domain window); blocklist and caps are
+    * metadata-sized at any corpus scale. */
+  def curateDomains(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("url",
+      concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("cdn.assets."))
+          .otherwise(lit("")),
+        col("source"), (col("doc_id") % 7).cast("string"), lit(".com/"),
+        col("lang"), lit("/"), col("doc_id").cast("string")))
+    graft.etl.Curation.domainReport(docs, "url",
+      blocklist = Seq("src00.com", "src13.com", "src191.com"),
+      perDomainCap = 2)
+  }
+
+  /** #161 SemDeDup-shaped semantic redundancy pruning (round 11,
+    * [[graft.similarity.SemDedup]], Abbas et al. 2023's regime): drop
+    * documents whose EMBEDDINGS nearly coincide — same meaning,
+    * different words, invisible to every textual dedup. Canonicalize
+    * byte-identical vectors, k-means-cell the distinct values
+    * (pairwise work only WITHIN a cell — Σ|cell|² not n²), keep the
+    * min-id representative of every cosine-≥τ dominance pair. The
+    * scenario plants #151's direction-preserving scaled copies under
+    * the negative namespace: with corpus max inter-cosine ~0.51 and
+    * τ=0.9, the qualifying pairs are EXACTLY the planted ones, cell
+    * assignment is cosine-based so each copy shares its original's
+    * cell deterministically, and the census (count + bit_xor of
+    * dropped ids) is EXACT on both engines — DuckDB evaluates the
+    * global smaller-id dominance rule the cell decomposition provably
+    * equals at this τ. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 4 === 0)
+      .withColumn("embedding", expr(
+        "transform(embedding, x -> cast(x * (1.0 + (vec_id % 5 + 1) / 100.0) as float))"))
+      .select((-(col("vec_id") + 1)).as("vec_id"), col("embedding"))
+    graft.similarity.SemDedup.report(emb.unionByName(planted), tau = 0.9)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2669,6 +2809,10 @@ object SparkEntry {
     "dedup_incremental"   -> (dedupIncremental _),
     "corpus_pack"         -> (corpusPack _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
+    "stream_table"        -> (streamTable _),
+    "dedup_paragraph"     -> (dedupParagraph _),
+    "curate_domains"      -> (curateDomains _),
+    "dedup_semantic"      -> (dedupSemantic _),
   )
 
   /** DuckDB langid oracle generated from the same stopword inventory as
@@ -2747,13 +2891,48 @@ object SparkEntry {
        |        CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
        |        CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
        |        CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
-       |      FROM st)
+       |      FROM st),
+       |p5src AS (SELECT d.doc_id, d.text FROM documents d
+       |          JOIN st ON st.doc_id = d.doc_id AND st.s4),
+       |${paragraphCtes("p5src")},
+       |p5doc AS (SELECT doc_id,
+       |            sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       |            sum(CASE WHEN rn = 1 THEN len(string_split(para, ' '))
+       |                ELSE 0 END) AS kt
+       |          FROM owned GROUP BY doc_id),
+       |p5agg AS (SELECT
+       |            CAST(coalesce(sum(CASE WHEN n_kept > 0 THEN 1 ELSE 0 END), 0)
+       |              AS BIGINT) AS n5,
+       |            CAST(coalesce(sum(kt), 0) AS BIGINT) AS t5
+       |          FROM p5doc)
        |SELECT '1_lang' AS stage, n0 AS n_in, n1 AS n_kept, t1 AS tokens_kept FROM a
        |UNION ALL SELECT '2_quality', n1, n2, t2 FROM a
        |UNION ALL SELECT '3_dedup', n2, n3, t3 FROM a
        |UNION ALL SELECT '4_contamination', n3, n4, t4 FROM a
+       |UNION ALL SELECT '5_paragraph', n4, n5, t5
+       |          FROM a CROSS JOIN p5agg
        |ORDER BY stage""".stripMargin
   }
+
+  /** Shared paragraph-window CTE body (the [[graft.text.ParagraphDedup]]
+    * model): 20-token windows of the shared tokenizer's output over
+    * `srcRel` (a relation with doc_id, text), md5 per window, first
+    * (doc_id, idx) occurrence corpus-wide owns each distinct paragraph.
+    * Yields CTEs `pt`, `paras`, `owned` for callers to aggregate. */
+  private def paragraphCtes(srcRel: String): String =
+    s"""pt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks
+       |       FROM $srcRel),
+       |paras AS (
+       |  SELECT doc_id, CAST(g.i AS INT) AS idx,
+       |         array_to_string(toks[g.i * 20 + 1 : g.i * 20 + 20], ' ') AS para
+       |  FROM pt, LATERAL (
+       |    SELECT unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT)))) AS g(i)
+       |  WHERE len(toks) > 0),
+       |owned AS (
+       |  SELECT doc_id, idx, para,
+       |         row_number() OVER (PARTITION BY md5(para)
+       |                            ORDER BY doc_id, idx) AS rn
+       |  FROM paras)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_avg_monthly" ->
@@ -4722,5 +4901,107 @@ object SparkEntry {
         |SELECT * FROM (SELECT * FROM exact_drops UNION ALL
         |               SELECT * FROM near_drops)
         |ORDER BY drop_id""".stripMargin,
+
+    // #75's CDC end-state model, streamed: the feed content is identical
+    // to delta_cdf's batch read; the exactly-once restart probe (run-2
+    // input rows == v3's change rows exactly) is pinned true
+    "stream_table" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql)
+         |SELECT *, true AS resume_no_replay FROM (
+         |  SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         |         count(*) AS n_rows, round(sum(total_amount), 2) AS total
+         |  FROM c WHERE trip_type = 'view'
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'update_preimage',
+         |         count(*), round(sum(total_amount), 2)
+         |  FROM c WHERE trip_type = 'purchase' AND total_amount >= 100
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'update_postimage',
+         |         count(*), round(sum(total_amount + 10), 2)
+         |  FROM c WHERE trip_type = 'purchase' AND total_amount >= 100
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'delete',
+         |         count(*), round(sum(total_amount), 2)
+         |  FROM (SELECT total_amount FROM c
+         |        WHERE trip_type = 'purchase' AND total_amount < 20
+         |        UNION ALL SELECT total_amount FROM c
+         |        WHERE trip_type = 'view' AND total_amount < 20
+         |        UNION ALL SELECT total_amount FROM c
+         |        WHERE trip_type = 'view' AND total_amount < 20))
+         |ORDER BY commit_version, change_type""".stripMargin,
+
+    // exact per-doc census of the paragraph-dedup model: same 20-token
+    // windows, same md5 ownership window, same reassembled-text md5
+    "dedup_paragraph" ->
+      s"""WITH ${paragraphCtes("documents")},
+         |agg AS (SELECT doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_paras,
+         |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_kept,
+         |          CAST(sum(CASE WHEN rn = 1
+         |                        THEN len(string_split(para, ' '))
+         |                        ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |          md5(string_agg(para, ' ' ORDER BY idx)
+         |              FILTER (WHERE rn = 1)) AS fp
+         |        FROM owned GROUP BY doc_id)
+         |SELECT doc_id, n_paras, n_kept, kept_tokens,
+         |       round(1.0 - CAST(n_kept AS DOUBLE) / n_paras, 4)
+         |         AS removed_frac,
+         |       coalesce(fp, md5('')) AS text_fp
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // DuckDB re-derives the expected domain WITHOUT URL parsing (the
+    // independent derivation is the stronger oracle: a Spark
+    // host-extraction bug shifts per-domain rows), and mirrors the LCG
+    // permutation so kept MEMBERSHIP is exact via bit_xor
+    "curate_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |             source || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+        |           FROM documents),
+        |allowed AS (SELECT * FROM d
+        |            WHERE domain NOT IN ('src00.com', 'src13.com', 'src191.com')),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |             ORDER BY (doc_id * 1103515245 + 12345) % 2147483648,
+        |                      doc_id) AS rk
+        |           FROM allowed),
+        |kept AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |                CAST(bit_xor(doc_id) AS BIGINT) AS kept_xor
+        |         FROM ranked WHERE rk <= 2 GROUP BY domain),
+        |inv AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM d GROUP BY 1)
+        |SELECT i.domain, i.n_docs,
+        |       i.domain IN ('src00.com', 'src13.com', 'src191.com') AS blocked,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.kept_xor, 0) AS kept_xor
+        |FROM inv i LEFT JOIN kept k USING (domain)
+        |ORDER BY i.domain""".stripMargin,
+
+    // exact census of SemDeDup's keep-one rule on the planted corpus:
+    // at tau=0.9 every qualifying pair is within-cell (identical values
+    // share a cell by construction; scaled copies by cosine assignment),
+    // so the global smaller-id dominance rule below IS the cell
+    // decomposition's answer — membership pinned by bit_xor
+    "dedup_semantic" ->
+      """WITH scaled AS (
+        |  SELECT vec_id AS orig_id,
+        |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+        |           * (1.0 + (vec_id % 5 + 1) / 100.0) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |pl AS (SELECT -(orig_id + 1) AS vec_id, embedding FROM scaled),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM pl),
+        |dropped AS (SELECT DISTINCT a.vec_id
+        |            FROM corpus a JOIN corpus b ON b.vec_id < a.vec_id
+        |            WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_dropped,
+        |       CAST(coalesce(bit_xor(vec_id), 0) AS BIGINT) AS dropped_xor,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM corpus)
+        |         - CAST(count(*) AS BIGINT) AS n_kept
+        |FROM dropped""".stripMargin,
   )
 }

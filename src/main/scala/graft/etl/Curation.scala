@@ -1,0 +1,72 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain/URL curation — the first-class web-corpus stage every
+  * crawled-data pipeline runs before content-level filtering: extract
+  * each document's registrable domain from its URL, drop blocklisted
+  * domains, and cap how many documents any single domain may contribute
+  * (one domain must not dominate the corpus — the per-domain analogue
+  * of [[Mixture]]'s per-source token quotas).
+  *
+  * All pure string expressions inside whole-stage codegen (no UDF):
+  * host = the authority between `scheme://` and the first `/?#`,
+  * registrable domain = its last two dot-labels (the public-suffix
+  * approximation that needs no suffix table). The blocklist is a
+  * broadcast anti-join — O(|blocklist|) driver metadata at any corpus
+  * size. The cap is a per-domain `row_number` over a deterministic
+  * permutation (the portable [[Mixture.lcgOrder]] — both oracle engines
+  * compute the identical sample, so membership is pinned exactly);
+  * production callers pass `xxhash64` instead. ONE shuffle total (the
+  * per-domain window); nothing pairwise, nothing on the driver. */
+object Curation {
+
+  /** The URL's authority (host) — text between `scheme://` and the
+    * first `/`, `?` or `#`. */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Registrable domain: the host's last two dot-labels
+    * (`cdn.docs.example.com` → `example.com`); a bare two-label host
+    * passes through unchanged. */
+  def registrableDomain(url: Column): Column =
+    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Kept documents after blocklist + per-domain cap, with the derived
+    * `domain` column. `orderCol` picks the deterministic permutation
+    * the cap keeps (smallest first). */
+  def curateDomains(docs: DataFrame, urlCol: String, blocklist: Seq[String],
+                    perDomainCap: Int,
+                    orderCol: Column => Column = Mixture.lcgOrder): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withDomain = docs.withColumn("domain", registrableDomain(col(urlCol)))
+    val allowed = withDomain.join(
+      broadcast(blocklist.toDF("domain")), Seq("domain"), "left_anti")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(orderCol(col("doc_id")), col("doc_id"))
+    allowed.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perDomainCap).drop("__rk")
+  }
+
+  /** Per-domain curation census: inventory, blocked flag, kept count,
+    * and the bit_xor membership fingerprint of kept doc_ids — the
+    * oracle pins the exact kept set, not just quota counts. */
+  def domainReport(docs: DataFrame, urlCol: String, blocklist: Seq[String],
+                   perDomainCap: Int,
+                   orderCol: Column => Column = Mixture.lcgOrder): DataFrame = {
+    val kept = curateDomains(docs, urlCol, blocklist, perDomainCap, orderCol)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_xor"))
+    docs.withColumn("domain", registrableDomain(col(urlCol)))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"),
+        col("domain").isin(blocklist: _*).as("blocked"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_xor"), lit(0L)).as("kept_xor"))
+      .orderBy("domain")
+  }
+}

@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A batch frame re-presented as a STREAMING micro-batch with exactly
+    * `schema` — the v1 `Source.getBatch` contract (the Kafka source's
+    * `internalCreateDataFrame(rdd, schema, isStreaming = true)` shape).
+    * Row computation stays lazy (the RDD plans when the batch runs);
+    * what this pins is the presented schema: batches assembled from
+    * different commit types would otherwise leak different NULLABILITY
+    * into the state store's key schema and hard-fail a restart. */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
 }
