@@ -1816,25 +1816,36 @@ object SparkEntry {
     graft.acid.TxLog.merge(b2, src, key)                               // v3
     graft.streaming.StreamScd2.pump(s, src, dim, key, attrs, cursor, tsOf)
     // replay probe: a crashed consumer lost its checkpoint and re-polls
-    // BOTH commits as one widened batch at the latest batchTs
-    val census0 = graft.acid.TxLog.read(s, dim).collect().toSet
+    // BOTH commits as one widened batch at the latest batchTs. The
+    // census is one row-order-free fingerprint aggregate per side
+    // (count + bit_xor of the full-row hash) — O(1) driver transfer,
+    // one job, same no-op evidence the old collect-to-Set gave
+    def census(df: DataFrame) = {
+      val r = df.agg(count(lit(1)),
+        expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val census0 = census(graft.acid.TxLog.read(s, dim))
     val stale = graft.streaming.ChangeFeedStream.cursor(s, src, 2L)
     val replay = graft.streaming.StreamScd2.pump(
       s, src, dim, key, attrs, stale, tsOf)
     val replayNoop = replay.closed == 0L && replay.inserted == 0L &&
-      graft.acid.TxLog.read(s, dim).collect().toSet == census0
-    val d = graft.acid.TxLog.read(s, dim)
-      .select("cust_id", "balance", "valid_from", "valid_to", "is_current")
+      census(graft.acid.TxLog.read(s, dim)) == census0
+    // the dimension feeds FOUR structural checks — read and decode once
+    val d = graft.Caching.materialize(graft.acid.TxLog.read(s, dim)
+      .select("cust_id", "balance", "valid_from", "valid_to", "is_current"))
     val closed = d.filter(!col("is_current"))
     val linked = closed.alias("c").join(d.alias("v"),
         col("c.cust_id") === col("v.cust_id") &&
         col("c.valid_to") === col("v.valid_from"), "left_semi").count()
-    val chainOk = linked == closed.count() &&
-      closed.filter(col("valid_to").isNull).count() == 0
-    val perKey = d.groupBy("cust_id")
+    val closedStats = closed.agg(count(lit(1)),
+      count(when(col("valid_to").isNull, lit(1)))).first()
+    val chainOk = linked == closedStats.getLong(0) &&
+      closedStats.getLong(1) == 0
+    val perKey = graft.Caching.materialize(d.groupBy("cust_id")
       .agg(count(lit(1)).as("n_versions"),
            sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
-           sum(when(col("is_current"), col("balance"))).as("cur_bal"))
+           sum(when(col("is_current"), col("balance"))).as("cur_bal")))
     val oneCurOk = perKey.filter(col("n_cur") =!= 1).count() == 0
     perKey.groupBy("n_versions")
       .agg(count(lit(1)).as("n_keys"),
@@ -2443,11 +2454,12 @@ object SparkEntry {
     graft.acid.TxLog.delete(s, base,
       col("trip_type") === ConsumerPipeline.GreenType)               // v3
     cursor = graft.acid.MaterializedView.refresh(s, base, mv, spec, cursor)
-    val viewNow = graft.acid.TxLog.read(s, mv)
-    val recomputed = graft.acid.MaterializedView.compute(
-      graft.acid.TxLog.read(s, base), spec)
-    val matches = viewNow.exceptAll(recomputed).isEmpty &&
-      recomputed.exceptAll(viewNow).isEmpty
+    // same one-read/one-diff fold as the streaming face (#148)
+    val viewNow = graft.Caching.materialize(graft.acid.TxLog.read(s, mv))
+    val recomputed = graft.Caching.materialize(
+      graft.acid.MaterializedView.compute(graft.acid.TxLog.read(s, base), spec))
+    val matches = viewNow.exceptAll(recomputed)
+      .unionByName(recomputed.exceptAll(viewNow)).isEmpty
     val greenGone = viewNow
       .filter(col("trip_type") === ConsumerPipeline.GreenType).isEmpty
     viewNow
@@ -2496,11 +2508,14 @@ object SparkEntry {
       col("trip_type") === ConsumerPipeline.GreenType)               // v3
     val restarted = graft.streaming.ChangeFeedStream.cursor(s, base, replayFrom)
     val applied = graft.streaming.StreamMv.pump(s, base, mv, spec, restarted)
-    val viewNow = graft.acid.TxLog.read(s, mv)
-    val recomputed = graft.acid.MaterializedView.compute(
-      graft.acid.TxLog.read(s, base), spec)
-    val matches = viewNow.exceptAll(recomputed).isEmpty &&
-      recomputed.exceptAll(viewNow).isEmpty
+    // the view feeds three checks + the output — one read, one cache;
+    // the bit-equality probe is ONE symmetric-difference action instead
+    // of two exceptAll passes that each rebuilt both sides
+    val viewNow = graft.Caching.materialize(graft.acid.TxLog.read(s, mv))
+    val recomputed = graft.Caching.materialize(
+      graft.acid.MaterializedView.compute(graft.acid.TxLog.read(s, base), spec))
+    val matches = viewNow.exceptAll(recomputed)
+      .unionByName(recomputed.exceptAll(viewNow)).isEmpty
     val greenGone = viewNow
       .filter(col("trip_type") === ConsumerPipeline.GreenType).isEmpty
     viewNow

@@ -797,7 +797,6 @@ object TxLog {
       // (unmatched join side) and absent clause both mean "not a delete"
       val src = source.select(
         cols.map(col) :+ coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
-      val full = relationFor(spark, table, meta2, snap.files)._1
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       // file-granular match: which live files hold a matched key
       val touchedPaths = relationFor(spark, table, meta2, snap.files)._1
@@ -810,44 +809,59 @@ object TxLog {
       // old rows they carry surface typed NULLs through the parquet read
       val touchedRows = relationFor(spark, table, meta2, touched)._1
       val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      val wide = touchedRows.alias("t")
-        .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left")
-      val matchedDel = col("s.__m").isNotNull && coalesce(col("s.__del"), lit(false))
-      val updated = wide
-        .filter(!matchedDel) // WHEN MATCHED AND deleteWhen THEN DELETE
-        .select(cols.map { c =>
-          if (keyCols.contains(c)) col(s"t.$c").as(c)
-          else when(col("s.__m").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-        }: _*)
-      val inserts = src.filter(!col("__del")).join(
-        full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-        .select(cols.map(col): _*)
-      val staged = updated.unionByName(inserts)
-      requireConstraintsSatisfied(staged, snap.meta.constraints, table)
-      val adds = stage(staged, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
-      // change feed (Delta CDF): pre/post images of genuinely matched
-      // rows + deletes + inserts, written as cdc files the snapshot
-      // never sees
-      val matched = wide.filter(col("s.__m").isNotNull)
-      val matchedUpd = matched.filter(!coalesce(col("s.__del"), lit(false)))
-      val cdcFrame = matchedUpd
-        .select(cols.map(c => col(s"t.$c").as(c)): _*)
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(matchedUpd.select(cols.map { c =>
-          if (keyCols.contains(c)) col(s"t.$c").as(c) else col(s"s.$c").as(c)
-        }: _*).withColumn("_change_type", lit("update_postimage")))
-        .unionByName(matched.filter(coalesce(col("s.__del"), lit(false)))
+      // the change join and the insert anti-join each feed BOTH staged
+      // writes (data files, then cdc files) — materialized once, the
+      // touched files are read and joined once per commit instead of
+      // twice (the working set is the rewrite set, which copy-on-write
+      // materializes as new files anyway; MEMORY_AND_DISK spills)
+      val wide = graft.Caching.materialize(touchedRows.alias("t")
+        .join(src.withColumn("__m", lit(true)).alias("s"), joinCond, "left"))
+      // inserts anti-join runs against the TOUCHED files' matched keys,
+      // not the whole table: a source key present anywhere in the table
+      // is by definition in a touched file (that is how touched files
+      // are chosen), so the two sets agree — and the full-table key
+      // scan + distinct this replaces was the one remaining whole-table
+      // pass in the merge (file-granular discipline, applied to inserts)
+      val matchedKeys = wide.filter(col("s.__m").isNotNull)
+        .select(keyCols.map(k => col(s"t.$k").as(k)): _*).distinct()
+      val inserts = graft.Caching.materialize(
+        src.filter(!col("__del")).join(matchedKeys, keyCols, "left_anti")
+          .select(cols.map(col): _*))
+      try {
+        val matchedDel = col("s.__m").isNotNull && coalesce(col("s.__del"), lit(false))
+        val updated = wide
+          .filter(!matchedDel) // WHEN MATCHED AND deleteWhen THEN DELETE
+          .select(cols.map { c =>
+            if (keyCols.contains(c)) col(s"t.$c").as(c)
+            else when(col("s.__m").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+          }: _*)
+        val staged = updated.unionByName(inserts)
+        requireConstraintsSatisfied(staged, snap.meta.constraints, table)
+        val adds = stage(staged, table, snap.meta.partitionCols,
+          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+        // change feed (Delta CDF): pre/post images of genuinely matched
+        // rows + deletes + inserts, written as cdc files the snapshot
+        // never sees
+        val matched = wide.filter(col("s.__m").isNotNull)
+        val matchedUpd = matched.filter(!coalesce(col("s.__del"), lit(false)))
+        val cdcFrame = matchedUpd
           .select(cols.map(c => col(s"t.$c").as(c)): _*)
-          .withColumn("_change_type", lit("delete")))
-        .unionByName(inserts.withColumn("_change_type", lit("insert")))
-      val cdcFiles = stageCdc(cdcFrame, table)
-      val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
-      val lines = commitInfoJson("merge", commitTag) +: (metaLine ++
-        touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-          cdcFiles.map(cdcJson))
-      if (tryCommit(hfs, root, snap.version, lines))
-        return MergeStats(touched.size, snap.files.size, adds.size)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(matchedUpd.select(cols.map { c =>
+            if (keyCols.contains(c)) col(s"t.$c").as(c) else col(s"s.$c").as(c)
+          }: _*).withColumn("_change_type", lit("update_postimage")))
+          .unionByName(matched.filter(coalesce(col("s.__del"), lit(false)))
+            .select(cols.map(c => col(s"t.$c").as(c)): _*)
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        val cdcFiles = stageCdc(cdcFrame, table)
+        val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
+        val lines = commitInfoJson("merge", commitTag) +: (metaLine ++
+          touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+            cdcFiles.map(cdcJson))
+        if (tryCommit(hfs, root, snap.version, lines))
+          return MergeStats(touched.size, snap.files.size, adds.size)
+      } finally { wide.unpersist(); inserts.unpersist() }
       attempts += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(
@@ -923,7 +937,6 @@ object TxLog {
       requireCompatible(snap.meta.schema,
         org.apache.spark.sql.types.StructType(
           cols.map(c => source.schema(source.schema.fieldIndex(c)))), table)
-      val full = relationFor(spark, table, snap.meta, snap.files)._1
       val srcKeys = source.select(keyCols.map(col): _*).distinct()
       // file-granular candidates: matched keys always; by-source clauses
       // add files holding an UNMATCHED row satisfying some condition
@@ -954,10 +967,13 @@ object TxLog {
         case ((c, i), els) => when(condExpr(matchedCond(c)), lit(i + 1)).otherwise(els) }
       val bAct = bySrcCl.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
         case ((c, i), els) => when(condExpr(bySrcCond(c)), lit(i + 1)).otherwise(els) }
-      val acted = wide
+      // one materialization feeds the data write AND the cdc write (the
+      // same double-pass fold as [[merge]]); clause indices are cheap
+      // projections on top
+      val acted = graft.Caching.materialize(wide
         .withColumn("__isM", isM)
         .withColumn("__mact", when(isM, mAct).otherwise(lit(0)))
-        .withColumn("__bact", when(!isM, bAct).otherwise(lit(0)))
+        .withColumn("__bact", when(!isM, bAct).otherwise(lit(0))))
       val mDelIdx = matchedCl.zipWithIndex.collect { case (MatchedDelete(_), i) => i + 1 }
       val bDelIdx = bySrcCl.zipWithIndex.collect {
         case (NotMatchedBySourceDelete(_), i) => i + 1 }
@@ -981,9 +997,14 @@ object TxLog {
         when(col("__isM"), mVal).otherwise(bVal).as(c)
       }
       val survivors = acted.filter(!isDeleted).select(cols.map(outCol): _*)
-      // inserts: unmatched source rows through the not-matched chain
+      // inserts: unmatched source rows through the not-matched chain —
+      // anti-joined against the touched files' MATCHED keys (same
+      // file-granular argument as [[merge]]: a table-present source key
+      // is in a touched file by construction), never a full-table scan
       val unmatched = source
-        .join(full.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .join(acted.filter(col("__isM"))
+          .select(keyCols.map(k => col(s"t.$k").as(k)): _*).distinct(),
+          keyCols, "left_anti")
         .alias("s")
       val iAct = insertCl.zipWithIndex.foldRight(lit(0): org.apache.spark.sql.Column) {
         case ((c, i), els) => when(condExpr(c.condition), lit(i + 1)).otherwise(els) }
@@ -993,31 +1014,34 @@ object TxLog {
             when(col("__iact") === (i + 1),
               org.apache.spark.sql.functions.expr(values(c))).otherwise(els)
           case (_, els) => els }
-      val inserts = unmatched.withColumn("__iact", iAct)
-        .filter(col("__iact") > 0)
-        .select(cols.map(c => insCol(c).as(c)): _*)
-      val staged = survivors.unionByName(inserts)
-      requireConstraintsSatisfied(staged, snap.meta.constraints, table)
-      val adds = stage(staged, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
-      val updatedRows = acted.filter(
-        (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
-        (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
-      val deletedRows = acted.filter(isDeleted)
-      val cdcFrame = updatedRows
-        .select(cols.map(c => col(s"t.$c").as(c)): _*)
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(updatedRows.select(cols.map(outCol): _*)
-          .withColumn("_change_type", lit("update_postimage")))
-        .unionByName(deletedRows.select(cols.map(c => col(s"t.$c").as(c)): _*)
-          .withColumn("_change_type", lit("delete")))
-        .unionByName(inserts.withColumn("_change_type", lit("insert")))
-      val cdcFiles = stageCdc(cdcFrame, table)
-      val lines = commitInfoJson("merge") +:
-        (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-          cdcFiles.map(cdcJson))
-      if (tryCommit(hfs, root, snap.version, lines))
-        return MergeStats(touched.size, snap.files.size, adds.size)
+      val inserts = graft.Caching.materialize(
+        unmatched.withColumn("__iact", iAct)
+          .filter(col("__iact") > 0)
+          .select(cols.map(c => insCol(c).as(c)): _*))
+      try {
+        val staged = survivors.unionByName(inserts)
+        requireConstraintsSatisfied(staged, snap.meta.constraints, table)
+        val adds = stage(staged, table, snap.meta.partitionCols,
+          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+        val updatedRows = acted.filter(
+          (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
+          (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
+        val deletedRows = acted.filter(isDeleted)
+        val cdcFrame = updatedRows
+          .select(cols.map(c => col(s"t.$c").as(c)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updatedRows.select(cols.map(outCol): _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(deletedRows.select(cols.map(c => col(s"t.$c").as(c)): _*)
+            .withColumn("_change_type", lit("delete")))
+          .unionByName(inserts.withColumn("_change_type", lit("insert")))
+        val cdcFiles = stageCdc(cdcFrame, table)
+        val lines = commitInfoJson("merge") +:
+          (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
+            cdcFiles.map(cdcJson))
+        if (tryCommit(hfs, root, snap.version, lines))
+          return MergeStats(touched.size, snap.files.size, adds.size)
+      } finally { acted.unpersist(); inserts.unpersist() }
       attempts += 1 // lost the race: recompute against the new snapshot
     }
     throw new IllegalStateException(
@@ -1783,10 +1807,22 @@ object TxLog {
 
     val frames: Seq[DataFrame] = versions.flatMap { case (v, p) =>
       val c = parseCommit(readText(hfs, p))
-      if (c.cdcs.nonEmpty)
-        Seq(spark.read
+      if (c.cdcs.nonEmpty) {
+        // cdc files were staged with THAT commit's logical schema plus
+        // `_change_type` — declare it (from the as-of-version meta, a
+        // driver log replay) instead of paying a footer-inference Spark
+        // job per polled version; evolution still lands on unionByName
+        val m = snapshot(spark, table, Some(v)).getOrElse(
+          throw new IllegalStateException(
+            s"cannot resolve schema for $table v$v")).meta
+        val cdcSchema = org.apache.spark.sql.types.StructType(
+          m.schema.fields.map(_.copy(nullable = true)) :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+        Seq(spark.read.schema(cdcSchema)
           .parquet(c.cdcs.map(rel => new Path(root, rel).toString): _*)
           .withColumn("_commit_version", lit(v)))
+      }
       else c.op match {
         case Some("append") => addsOf(v, c, "insert").toSeq
         case Some("overwrite") | Some("overwritePartitions") | Some("restore") =>

@@ -47,16 +47,21 @@ object StreamScd2 {
     var more = true
     while (more) {
       cursor.poll() match {
-        case Some((_, hi, changes)) =>
+        case Some((lo, hi, changes)) =>
           // newest post-state per key across the polled commit range —
-          // a key touched by several commits folds to its final value
-          val w = Window.partitionBy(keyCols.map(col): _*)
-            .orderBy(col("_commit_version").desc)
-          val latest = changes
+          // a key touched by several commits folds to its final value.
+          // A single-commit poll (the steady-state batch) skips the
+          // window entirely: one commit's post-rows are key-unique by
+          // the merge contract, so the shuffle would dedup nothing
+          val post = changes
             .filter(col("_change_type").isin("insert", "update_postimage"))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .select((keyCols ++ attrCols).map(col): _*)
+          val latest = (if (lo == hi) post
+            else {
+              val w = Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col("_commit_version").desc)
+              post.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1)
+            }).select((keyCols ++ attrCols).map(col): _*)
           val (c, i) = Scd2.apply(spark, latest, dimTable, keyCols,
             attrCols, tsOf(hi))
           batches += 1; closed += c; inserted += i

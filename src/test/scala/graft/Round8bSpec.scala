@@ -231,13 +231,16 @@ class Round8bSpec extends SparkSpec {
   test("curation funnel: stages chain and only ever shrink") {
     val rows = SparkEntry.queries("corpus_curation_funnel")(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("1_lang", "2_quality", "3_dedup", "4_contamination"))
+      Seq("1_lang", "2_quality", "3_dedup", "4_contamination", "5_paragraph"))
     rows.foreach { r => assert(r.getLong(2) <= r.getLong(1),
       s"stage ${r.getString(0)} kept more than it saw") }
     // each stage's intake is exactly the previous stage's survivors
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getLong(1) == a.getLong(2)) }
     assert(rows.last.getLong(2) > 0 && rows.last.getLong(3) > 0)
+    // the paragraph stage keeps at most the doc-level survivors' token
+    // mass (partial docs count only what remains)
+    assert(rows(4).getLong(3) <= rows(3).getLong(3))
   }
 
   test("dynamic prune: skips files and agrees with the unpruned join") {
