@@ -53,6 +53,56 @@ object TextShingles {
   }
 }
 
+object ParagraphWindowsImpl {
+  /** Consecutive (non-overlapping) `w`-token windows of the shared
+    * tokenizer's output, each joined by single spaces; the last window
+    * may be short; zero tokens → empty array. The paragraph unit of
+    * [[graft.text.ParagraphDedup]], as ONE JVM loop per row — the
+    * declarative CASE/transform/slice form referenced the token array
+    * once per window term, and CollapseProject inlined the full
+    * tokenize into every reference (measured at sf10: a 2-task stage
+    * re-tokenizing each 500-doc-corpus row ~100×). */
+  def windows(s: UTF8String, w: Int): ArrayData = {
+    val toks = TextShingles.tokenize(s.toString)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length + w - 1) / w
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = i * w
+      val end = math.min(start + w, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ParagraphWindows(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"paragraph_windows expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "paragraph_windows"
+  override def nullSafeEval(input: Any): Any =
+    ParagraphWindowsImpl.windows(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ParagraphWindowsImpl.windows($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -78,5 +128,12 @@ object TextShingleFunctions {
   def word_ngrams(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function("word_ngrams", text, lit(n))
+  }
+  def paragraph_windows(spark: SparkSession, text: Column, w: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "paragraph_windows",
+      exprs => ParagraphWindows(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    call_function("paragraph_windows", text, lit(w))
   }
 }

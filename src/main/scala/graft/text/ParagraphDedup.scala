@@ -37,19 +37,27 @@ import org.apache.spark.sql.functions._
 object ParagraphDedup {
 
   /** `(doc_id, idx, para)` — every document's normalized paragraphs in
-    * order. Pure projection + posexplode (no shuffle). */
+    * order, via the native [[graft.functions.ParagraphWindows]]
+    * expression: one JVM tokenize-and-window loop per row. The first
+    * cut was declarative (CASE over size + transform/slice of a bound
+    * token-array alias) and CollapseProject inlined the FULL tokenize
+    * into every window reference — measured at sf10 as a 2-task stage
+    * re-tokenizing each row ~100× (the shingleExpr lesson, re-learned).
+    * The input also repartitions BY COLUMN first (round-10
+    * parallelism-collapse discipline): the tokenize loop is the
+    * CPU-heavy step and otherwise runs on however few splits the
+    * source arrived with; by-column, no explicit width, so the
+    * exchange is AQE-coalescible and a small corpus folds back to few
+    * tasks — the bytes moved are the same the ownership shuffle moves
+    * right after. */
   def paragraphs(docs: DataFrame, chunkTokens: Int = 20,
-                 textCol: String = "text"): DataFrame = {
-    val w = chunkTokens
-    docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__paras", expr(
-        s"""CASE WHEN size(__toks) = 0 THEN array()
-           |ELSE transform(
-           |  sequence(0, cast(ceil(size(__toks) / $w.0) AS int) - 1),
-           |  i -> array_join(slice(__toks, i * $w + 1, $w), ' ')) END"""
-          .stripMargin))
-      .select(col("doc_id"), posexplode(col("__paras")).as(Seq("idx", "para")))
-  }
+                 textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), col(textCol))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextShingleFunctions.paragraph_windows(
+          docs.sparkSession, lower(col(textCol)), chunkTokens))
+          .as(Seq("idx", "para")))
 
   /** Per-document dedup census after corpus-wide paragraph ownership:
     * `(doc_id, n_paras, n_kept, kept_tokens, removed_frac, text_fp)`
