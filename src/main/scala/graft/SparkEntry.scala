@@ -2584,6 +2584,42 @@ object SparkEntry {
       .orderBy("commit_version", "change_type")
   }
 
+  /** #162 `writeStream.format("graft-table")` (round 11,
+    * [[graft.streaming.TxLogSink]]) — the SINK face of #158: continuous
+    * ingestion INTO an ACID table, each micro-batch one transactional
+    * append whose commit TAG carries the batch id (sink watermark and
+    * data move atomically). The input stages as 4 parquet files read
+    * with `maxFilesPerTrigger=1`, so the table builds across FOUR
+    * separate batch commits; the query then stops and restarts from
+    * the same checkpoint with no new data — `exactly_once` pins that
+    * the restart re-delivered nothing (table version unchanged) and
+    * that all four batch ids committed. The final table equals the
+    * staged input — the batch aggregate both engines compute. */
+  def streamTableSink(s: SparkSession, dir: String): DataFrame = {
+    val tbl = tempDir("gsink"); val ckpt = tempDir("gsinkck")
+    val srcDir = s"${tempDir("gsinkin")}/in"
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream.format("graft-table").option("path", tbl)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val v1 = graft.acid.TxLog.currentVersion(s, tbl)
+    val applied = graft.streaming.TxLogSink.appliedThrough(s, tbl)
+    run() // restart, same checkpoint, no new files: nothing re-delivers
+    val v2 = graft.acid.TxLog.currentVersion(s, tbl)
+    graft.acid.TxLog.read(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
+      .withColumn("exactly_once", lit(v2 == v1 && applied == 3L))
+      .orderBy("event_type")
+  }
+
   /** #159 Sub-document dedup with reassembly (round 11,
     * [[graft.text.ParagraphDedup]]) — the CCNet/RefinedWeb curation step
     * BELOW document granularity: crawled corpora repeat boilerplate
@@ -2825,6 +2861,7 @@ object SparkEntry {
     "corpus_pack"         -> (corpusPack _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_table"        -> (streamTable _),
+    "stream_table_sink"   -> (streamTableSink _),
     "dedup_paragraph"     -> (dedupParagraph _),
     "curate_domains"      -> (curateDomains _),
     "dedup_semantic"      -> (dedupSemantic _),
@@ -4946,6 +4983,14 @@ object SparkEntry {
          |        UNION ALL SELECT total_amount FROM c
          |        WHERE trip_type = 'view' AND total_amount < 20))
          |ORDER BY commit_version, change_type""".stripMargin,
+
+    // the sink ingests the FULL staged input exactly once across four
+    // batch commits and a checkpoint restart — the content model is the
+    // plain batch aggregate; the restart/batch-id probes pin true
+    "stream_table_sink" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       round(sum(value), 2) AS total, true AS exactly_once
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact per-doc census of the paragraph-dedup model: same 20-token
     // windows, same md5 ownership window, same reassembled-text md5

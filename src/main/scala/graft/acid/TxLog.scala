@@ -654,8 +654,11 @@ object TxLog {
 
   /** Transactional append; schema must match the table's. Generated
     * partition columns are computed (or verified) exactly as on
-    * overwrite — appends never hand-maintain them. */
-  def append(df0: DataFrame, table: String): Unit = {
+    * overwrite — appends never hand-maintain them. `commitTag` rides
+    * the commit's tag channel (the consumer-watermark mechanism
+    * [[commitTags]] reads back — e.g. the streaming sink's batch id). */
+  def append(df0: DataFrame, table: String,
+             commitTag: Option[String] = None): Unit = {
     retryCommit(df0.sparkSession, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"append to non-existent table $table — overwrite first"))
@@ -663,7 +666,7 @@ object TxLog {
       requireCompatible(snap.meta.schema, df.schema, table)
       requireConstraintsSatisfied(df, snap.meta.constraints, table)
       // staged inside the retry: partition columns come from table meta
-      commitInfoJson("append") +:
+      commitInfoJson("append", commitTag) +:
         stage(df, table, snap.meta.partitionCols,
           bloomCols = snap.meta.bloomCols,
           columnMap = snap.meta.columnMap).map(actionJson("add", _))
@@ -1484,6 +1487,11 @@ object TxLog {
     snapshot(spark, table, None)
       .getOrElse(throw new IllegalStateException(s"no txlog table at $table"))
       .version
+
+  /** Whether a txlog table exists at `table` (any committed version). */
+  def exists(spark: SparkSession, table: String): Boolean =
+    try snapshot(spark, table, None).isDefined
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Snapshot read, optionally of a historical version (time travel).
     * One [[TxLogFileIndex]]-backed relation — a SINGLE scan node whose

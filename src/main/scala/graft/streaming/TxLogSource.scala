@@ -109,9 +109,62 @@ object TxLogSource {
   }
 }
 
+/** `writeStream.format("graft-table")` — the SINK face: continuous
+  * ingestion INTO an ACID table (the reference's consumer-table write
+  * process_data_glue.py:186-190, made continuous). Each micro-batch is
+  * ONE transactional append whose commit TAG carries the batch id, so
+  * sink state and ingested data move atomically — the same
+  * consumer-watermark discipline [[StreamMv]] uses for folds.
+  *
+  * Exactly-once across restarts: the engine re-offers a batch whose
+  * sink write it cannot prove completed; [[addBatch]] reads the
+  * highest applied batch id back from the commit tags (one driver log
+  * listing) and SKIPS re-offered ids — a crash between the append
+  * commit and the engine's own batch bookkeeping re-delivers, the tag
+  * says "already applied", nothing doubles. First batch bootstraps the
+  * table (schema from the stream, sink-declared partition columns) as
+  * an empty v1 overwrite + tagged append, so `create-if-absent` needs
+  * no side channel. At 100 TB each batch costs exactly its own rows'
+  * staging + one commit — history never rewrites. */
+final class TxLogSink(sqlContext: SQLContext, table: String,
+                      partitionCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val spark = sqlContext.sparkSession
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (TxLog.exists(spark, table) &&
+        TxLogSink.appliedThrough(spark, table) >= batchId) return
+    // the engine hands a streaming-internal frame; re-present its rows
+    // as a plain batch plan for the append's stage/commit machinery
+    val batch = org.apache.spark.sql.GraftPlanBridge.asBatch(spark, data)
+    if (!TxLog.exists(spark, table))
+      TxLog.overwrite(batch.limit(0), table, partitionCols)  // schema-only v1
+    TxLog.append(batch, table,
+      commitTag = Some(s"${TxLogSink.TagPrefix}$batchId"))
+  }
+
+  override def toString: String = s"TxLogSink[$table]"
+}
+
+object TxLogSink {
+  private[streaming] val TagPrefix = "sink-batch:"
+
+  /** Highest batch id a tagged sink append has committed, -1 if none —
+    * the read-back side of the exactly-once contract. */
+  def appliedThrough(spark: org.apache.spark.sql.SparkSession,
+                     table: String): Long =
+    TxLog.commitTags(spark, table).flatMap { case (_, t) =>
+      if (t.startsWith(TagPrefix)) t.stripPrefix(TagPrefix).toLongOption
+      else None
+    }.foldLeft(-1L)(math.max)
+}
+
 /** The `format("graft-table")` provider (registered in
   * META-INF/services so the short name resolves like any built-in). */
-final class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class TxLogSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -134,4 +187,15 @@ final class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegi
                             parameters: Map[String, String]): Source =
     new TxLogSource(sqlContext, tablePath(parameters),
       parameters.get("startVersion").map(_.toLong).getOrElse(1L))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      "graft-table sink is append-only (an ACID table ingests immutable " +
+        "batches; use MERGE/foldChanges for update semantics)")
+    new TxLogSink(sqlContext, tablePath(parameters), partitionColumns)
+  }
 }

@@ -22,4 +22,13 @@ object GraftPlanBridge {
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+
+  /** The inverse direction for a streaming SINK's `addBatch` input: the
+    * engine hands a frame whose plan is streaming-internal; re-present
+    * its rows as a plain batch frame so ordinary writers (a txlog
+    * append's stage/commit path) can plan against it. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = false)
 }

@@ -132,6 +132,49 @@ class Round11Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-table sink: batch-id dedup, create-if-absent, append-only") {
+    import graft.streaming.TxLogSink
+    val table = tmp("r11sink")
+    val spark2 = spark
+    import spark2.implicits._
+    val sink = new TxLogSink(spark.sqlContext, table, Seq.empty)
+    val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    sink.addBatch(0, b0) // bootstraps: empty v1 overwrite + tagged append
+    assert(TxLog.currentVersion(spark, table) == 2L)
+    assert(TxLogSink.appliedThrough(spark, table) == 0L)
+    sink.addBatch(0, b0) // re-offered id: must not double-apply
+    assert(TxLog.currentVersion(spark, table) == 2L)
+    sink.addBatch(1, Seq((3L, 3.0)).toDF("id", "v"))
+    assert(TxLog.currentVersion(spark, table) == 3L)
+    assert(TxLogSink.appliedThrough(spark, table) == 1L)
+    val got = TxLog.read(spark, table).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("graft-table sink: end-to-end stream equals staged input across restart") {
+    val table = tmp("r11sinke2e"); val ckpt = tmp("r11sinkck")
+    val src = tmp("r11sinkin")
+    val spark2 = spark
+    import spark2.implicits._
+    val in = (1L to 100L).map(i => (i, i % 7, i * 0.5)).toDF("id", "k", "v")
+    in.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format("graft-table").option("path", table)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val v1 = TxLog.currentVersion(spark, table)
+    run() // restart with nothing new: no re-delivery
+    assert(TxLog.currentVersion(spark, table) == v1)
+    val got = TxLog.read(spark, table).as[(Long, Long, Double)].collect().toSet
+    assert(got == in.as[(Long, Long, Double)].collect().toSet)
+    assert(graft.streaming.TxLogSink.appliedThrough(spark, table) == 2L)
+  }
+
   // ------------------------------------------------------ paragraph dedup
 
   test("paragraph dedup: ownership, reassembly, and token accounting") {
