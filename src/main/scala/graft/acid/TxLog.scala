@@ -227,6 +227,26 @@ object TxLog {
     }
   }
 
+  /** Per-commit metadata for versions `lo..hi` (inclusive), ascending:
+    * (version, op, added rows) where `added rows` sums the commit's add
+    * actions' recorded `numRecords` (unknown counts as 0). Driver-side,
+    * O(range) tag-file reads — what a streaming source's admission
+    * control ([[graft.streaming.TxLogSource]]) and a CDC fold's
+    * commit-shape checks ([[graft.streaming.StreamScd2]]) consume:
+    * bounded log metadata, never data I/O. */
+  private[graft] def commitOps(spark: SparkSession, table: String,
+                               lo: Long, hi: Long): Seq[(Long, String, Long)] = {
+    val (hfs, root) = fs(spark, table)
+    listVersions(hfs, root)
+      .filter { case (v, _) => v >= lo && v <= hi }
+      .sortBy(_._1)
+      .map { case (v, p) =>
+        val c = parseCommit(readText(hfs, p))
+        (v, c.op.getOrElse(""),
+          c.adds.map(a => math.max(a.numRecords, 0L)).sum)
+      }
+  }
+
   /** Change-data file reference (Delta `cdc` action): rows describing the
     * commit's row-level changes, tagged `_change_type`, stored OUTSIDE the
     * live-file set — snapshot reads never see them. */
@@ -585,8 +605,16 @@ object TxLog {
     while (!committed && attempts < 10) {
       val snap = snapshot(spark, table, None)
       val expected = snap.map(_.version).getOrElse(0L)
-      committed = tryCommit(hfs, root, expected, mkLines(snap))
-      if (committed) version = expected + 1
+      val lines = mkLines(snap)
+      // a body that produces NO actions is an explicit abort: the
+      // re-examined snapshot shows nothing to change (e.g. a concurrent
+      // analyze already statted every file) — write no commit at all
+      // rather than an empty version that churns time-travel numbers
+      if (lines.isEmpty) committed = true
+      else {
+        committed = tryCommit(hfs, root, expected, lines)
+        if (committed) version = expected + 1
+      }
       attempts += 1
     }
     if (!committed) throw new IllegalStateException(
@@ -1730,17 +1758,21 @@ object TxLog {
   def analyze(spark: SparkSession, table: String): Int = {
     // no-op short-circuit: when every live file already carries stats,
     // analyze must not write a commit — repeated analyzes would churn
-    // table versions (shifting time-travel numbers) for zero state change
+    // table versions (shifting time-travel numbers) for zero state change.
+    // Staleness is `numRecords < 0` ALONE: a successfully analyzed file
+    // of a table with no min/max-eligible columns keeps empty minValues
+    // forever, and testing emptiness would re-analyze (and re-commit) it
+    // on every call — the exact churn this guard exists to prevent.
     val pre = snapshot(spark, table, None).getOrElse(
       throw new IllegalStateException(s"no txlog table at $table"))
-    if (!pre.files.exists(f => f.numRecords < 0 || f.minValues.isEmpty)) return 0
+    if (!pre.files.exists(_.numRecords < 0)) return 0
     var updated = 0
     retryCommit(spark, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"no txlog table at $table"))
       val (hfs, root) = fs(spark, table)
       val qualRoot = hfs.makeQualified(root).toString
-      val stale = snap.files.filter(f => f.numRecords < 0 || f.minValues.isEmpty)
+      val stale = snap.files.filter(_.numRecords < 0)
       updated = stale.size
       val statted: Seq[AddFile] =
         if (stale.isEmpty) Seq.empty
@@ -1761,7 +1793,11 @@ object TxLog {
             f.copy(numRecords = n, minValues = mins, maxValues = maxs)
           }
         }
-      commitInfoJson("analyze") +: statted.map(actionJson("add", _))
+      // a concurrent analyze may have statted everything between the
+      // pre-check and this retry round: emit NO lines → retryCommit
+      // aborts without writing a commit
+      if (statted.isEmpty) Seq.empty
+      else commitInfoJson("analyze") +: statted.map(actionJson("add", _))
     }
     updated
   }

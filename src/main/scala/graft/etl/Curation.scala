@@ -13,26 +13,60 @@ import org.apache.spark.sql.functions._
   *
   * All pure string expressions inside whole-stage codegen (no UDF):
   * host = the authority between `scheme://` and the first `/?#`,
-  * registrable domain = its last two dot-labels (the public-suffix
-  * approximation that needs no suffix table). The blocklist is a
-  * broadcast anti-join — O(|blocklist|) driver metadata at any corpus
-  * size. The cap is a per-domain `row_number` over a deterministic
-  * permutation (the portable [[Mixture.lcgOrder]] — both oracle engines
-  * compute the identical sample, so membership is pinned exactly);
-  * production callers pass `xxhash64` instead. ONE shuffle total (the
-  * per-domain window); nothing pairwise, nothing on the driver. */
+  * registrable domain = one label + the host's public suffix, where
+  * the suffix is two labels when the last two match an embedded
+  * multi-label public-suffix subset (`shop.example.co.uk` →
+  * `example.co.uk`, not `co.uk` — a two-label-only rule merges every
+  * .co.uk site into one "domain", so caps and blocklists misfire on
+  * exactly the ccTLD corpora real crawls are full of) and one label
+  * otherwise. The subset is a literal IN-chain — still pure codegen,
+  * no suffix table shipped to executors, no external dep. The
+  * blocklist is a broadcast anti-join — O(|blocklist|) driver metadata
+  * at any corpus size. The cap is a per-domain `row_number` over a
+  * deterministic permutation (the portable [[Mixture.lcgOrder]] — both
+  * oracle engines compute the identical sample, so membership is
+  * pinned exactly); production callers pass `xxhash64` instead. ONE
+  * shuffle total (the per-domain window); nothing pairwise, nothing on
+  * the driver. */
 object Curation {
+
+  /** Two-label public suffixes under which the registrable domain is
+    * THREE labels — the high-traffic subset of the public-suffix list's
+    * ccTLD second-level registries (publicsuffix.org's data is the
+    * full set; embedding a compact subset keeps extraction a pure
+    * codegen expression). Extend freely: each entry costs one literal
+    * comparison in the IN-chain. */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr",
+    "com.mx", "org.mx",
+    "com.ar", "com.tr", "com.cn", "net.cn", "org.cn",
+    "co.za", "org.za",
+    "com.sg", "com.hk", "com.tw", "org.tw",
+    "com.my", "com.ph", "com.vn", "co.th", "co.id")
 
   /** The URL's authority (host) — text between `scheme://` and the
     * first `/`, `?` or `#`. */
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
 
-  /** Registrable domain: the host's last two dot-labels
-    * (`cdn.docs.example.com` → `example.com`); a bare two-label host
-    * passes through unchanged. */
-  def registrableDomain(url: Column): Column =
-    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+  /** Registrable domain, public-suffix-aware: the host's last two
+    * dot-labels, or its last THREE when the last two are a multi-label
+    * public suffix (`cdn.docs.example.com` → `example.com`;
+    * `shop.example.co.uk` → `example.co.uk`). A bare suffix or
+    * two-label host passes through unchanged. Pure codegen: two
+    * regexp_extracts + one literal IN-chain. */
+  def registrableDomain(url: Column): Column = {
+    val h = host(url)
+    val l2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    val l3 = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(l2.isin(MultiLabelSuffixes: _*) && l3 =!= "", l3).otherwise(l2)
+  }
 
   /** Kept documents after blocklist + per-domain cap, with the derived
     * `domain` column. `orderCol` picks the deterministic permutation

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native PQ encoder: for an `array<double>` vector, the argmin codebook
@@ -118,12 +117,15 @@ object PqEncodeFunction {
     cb.map(_.map(_.toArray).toArray).toArray
 
   /** Column front door — the codebook binds directly into the
-    * expression (driver metadata), only the vector is a column. */
+    * expression (driver metadata), only the vector is a column. The
+    * expression is constructed straight into the Column (no
+    * registry round-trip): unlike `word_ngrams`, whose arguments are
+    * all literals, the codebook rides in the BUILDER's closure, so a
+    * session-global registered name would let two concurrent
+    * encode/train calls interleave register/resolve and silently bind
+    * each other's codebooks. */
   def pq_encode(spark: SparkSession, v: Column,
-                cb: Seq[Seq[Seq[Double]]]): Column = {
-    val arrays = toArrays(cb)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs(0), arrays), "built-in")
-    call_function("pq_encode", v)
-  }
+                cb: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      PqEncode(org.apache.spark.sql.GraftPlanBridge.expression(v), toArrays(cb)))
 }

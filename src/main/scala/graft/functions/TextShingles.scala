@@ -85,6 +85,76 @@ object ParagraphWindowsImpl {
   }
 }
 
+object ParagraphWindowStatsImpl {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  /** `(md5, n_tokens)` of every [[ParagraphWindowsImpl.windows]] window,
+    * WITHOUT materializing the window text downstream — the funnel's
+    * one-pass form: hashing inside the same JVM loop that tokenizes
+    * means a curation pipeline carries 36 bytes per window instead of
+    * the window's text, and the corpus text is scanned exactly once.
+    * The hash is bit-identical to `md5(window)` (lowercase hex of the
+    * UTF-8 bytes) and `n_tokens` to `size(split(window, ' '))` —
+    * windows are non-empty single-space joins of non-empty tokens. */
+  def windowStats(s: UTF8String, w: Int): ArrayData = {
+    val toks = TextShingles.tokenize(s.toString)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length + w - 1) / w
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = i * w
+      val end = math.min(start + w, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val dg = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Hex((dg(b) >> 4) & 0xf)
+        hex(2 * b + 1) = Hex(dg(b) & 0xf)
+        b += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(new String(hex)), end - start))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ParagraphWindowStats(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, "window size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"paragraph_window_stats expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("nt",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "paragraph_window_stats"
+  override def nullSafeEval(input: Any): Any =
+    ParagraphWindowStatsImpl.windowStats(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ParagraphWindowStatsImpl.windowStats($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ParagraphWindows(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, "window size must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -135,5 +205,12 @@ object TextShingleFunctions {
       exprs => ParagraphWindows(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
     call_function("paragraph_windows", text, lit(w))
+  }
+  def paragraph_window_stats(spark: SparkSession, text: Column, w: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "paragraph_window_stats",
+      exprs => ParagraphWindowStats(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    call_function("paragraph_window_stats", text, lit(w))
   }
 }

@@ -120,12 +120,21 @@ object IvfPq {
            nCells: Int = 16, nprobe: Int = 10, m: Int = 16, k: Int = 256,
            iters: Int = 3, shortlist: Int = 50,
            indexKey: Option[String] = None): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val idx = indexKey match {
       case Some(key) => indexFor(emb, key, nCells, m, k, iters)
       case None => buildIndex(emb, nCells, m, k, iters)
     }
+    probe(emb, idx, nQueries, kNeighbors, nprobe, shortlist)
+  }
+
+  /** The pure READ path over an already-built index (session-built or a
+    * catalog load — [[AnnIndexStore]]); cell partition pruning applies
+    * either way. */
+  def probe(emb: DataFrame, idx: IvfPqIndex, nQueries: Int, kNeighbors: Int,
+            nprobe: Int = 10, shortlist: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = idx.cb.size
     val qRows = Pq.collectQueries(emb, nQueries)
     // driver-side probe selection against the centroid metadata — the
     // same cosine-distance ranking Ivf's probe projection computes
@@ -156,7 +165,7 @@ object IvfPq {
     val allProbed = probeRows.map(_._2).distinct
     // cell IN (...) is partition pruning on the cell-partitioned layout:
     // non-probed cells' files are never opened
-    val scored = spark.read.parquet(idx.codesPath)
+    val scored = Pq.codesFrame(spark, idx.codesPath)
       .filter(col("cell").isin(allProbed: _*))
       .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -221,12 +221,21 @@ object Pq {
   def topK(emb: DataFrame, nQueries: Int, kNeighbors: Int,
            m: Int = 16, k: Int = 16, iters: Int = 3,
            shortlist: Int = 50, indexKey: Option[String] = None): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val idx = indexKey match {
       case Some(key) => indexFor(emb, key, m, k, iters)
       case None => buildIndex(emb, m, k, iters)
     }
+    probe(emb, idx, nQueries, kNeighbors, shortlist)
+  }
+
+  /** The pure READ path over an already-built index — what a probe costs
+    * once the artifact exists, whether it came from this session's
+    * [[indexFor]] or a catalog load ([[AnnIndexStore]]). */
+  def probe(emb: DataFrame, idx: PqIndex, nQueries: Int, kNeighbors: Int,
+            shortlist: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = idx.cb.size
     // the query batch is driver metadata by contract (few queries, like
     // Ivf's centroids): one pushed-down point read collects it, and the
     // per-query LUT — lut[j][c] = q_subvector_j · centroid_{j,c} — is
@@ -236,12 +245,20 @@ object Pq {
       (r.getLong(0), adcLut(idx.cb, r.getSeq[Double](1)), r.getDouble(2))
     }
     val q = broadcast(qMeta.toDF("query_id", "__lut", "__qnorm"))
-    val scored = spark.read.parquet(idx.codesPath)
+    val scored = codesFrame(spark, idx.codesPath)
       .join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcSim(m).as("pqsim"))
     refineExact(emb, adcShortlist(scored, shortlist), qRows, kNeighbors)
   }
+
+  /** A code table by path — a plain parquet dir (session scratch) or a
+    * txlog table (the catalog-persisted artifact; reading through the
+    * log keeps only LIVE files visible and partition pruning intact). */
+  private[similarity] def codesFrame(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    if (graft.acid.TxLog.exists(spark, path)) graft.acid.TxLog.read(spark, path)
+    else spark.read.parquet(path)
 
   /** `(vec_id, v, norm)` rows of the query batch — one pushed-down
     * point read; bounded driver metadata by the few-queries contract. */

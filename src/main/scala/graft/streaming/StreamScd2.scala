@@ -51,14 +51,26 @@ object StreamScd2 {
           // newest post-state per key across the polled commit range —
           // a key touched by several commits folds to its final value.
           // A single-commit poll (the steady-state batch) skips the
-          // window entirely: one commit's post-rows are key-unique by
-          // the merge contract, so the shuffle would dedup nothing
+          // window ONLY when that commit is a MERGE: merge post-rows are
+          // key-unique by the merge contract, so the shuffle would dedup
+          // nothing. An APPEND commit carries no such guarantee (repeated
+          // keys in one batch are a normal ingest shape), and feeding
+          // duplicates into Scd2.apply would open multiple current rows
+          // per key — the op check is one driver tag-file read.
+          val keyUnique = lo == hi &&
+            graft.acid.TxLog.commitOps(spark, sourceTable, lo, lo)
+              .forall(_._2 == "merge")
           val post = changes
             .filter(col("_change_type").isin("insert", "update_postimage"))
-          val latest = (if (lo == hi) post
+          val latest = (if (keyUnique) post
             else {
+              // attr columns break version ties DETERMINISTICALLY: rows
+              // of one commit share _commit_version, so duplicate keys
+              // within a single append would otherwise resolve by
+              // arbitrary task order
               val w = Window.partitionBy(keyCols.map(col): _*)
-                .orderBy(col("_commit_version").desc)
+                .orderBy(col("_commit_version").desc +:
+                  attrCols.map(col(_).desc): _*)
               post.withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") === 1)
             }).select((keyCols ++ attrCols).map(col): _*)

@@ -36,22 +36,77 @@ import graft.acid.TxLog
   * (cdc files for merges/deletes, add files for appends), never a
   * table scan — the 100 TB CDC-consumer contract.
   *
+  * Admission control (round 12, the Delta
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` discipline): an unbounded
+  * `getOffset` would hand a restarted or backlogged consumer ONE
+  * catch-up micro-batch spanning every pending commit — at 100 TB an
+  * unbounded batch (memory, shuffle, checkpoint latency).
+  * `maxCommitsPerTrigger` caps how many commits one batch may span;
+  * `maxRowsPerTrigger` caps its admitted add-action row count (commit
+  * row counts are already in the log's add actions — one driver
+  * metadata read, no data I/O). Both always admit at least one commit
+  * per batch, so a stream never starves behind one oversized commit; a
+  * backlog drains in bounded steps, each an ordinary exactly-once
+  * batch. The source tracks the highest version it has PLANNED
+  * in-memory and re-arms it from the engine's own restart protocol
+  * (the engine replays `getBatch` over the checkpointed range before
+  * the first `getOffset` of a restarted query — the Kafka-source
+  * contract), so bounded catch-up survives restarts without a side
+  * checkpoint.
+  *
   * Options: `path` (table root, required), `startVersion` (first commit
   * to deliver; default 1 = full history — commit 1 is the first commit
-  * carrying data in every writer path here).
+  * carrying data in every writer path here), `maxCommitsPerTrigger`,
+  * `maxRowsPerTrigger` (admission caps, both optional = unbounded).
   */
 final class TxLogSource(sqlContext: SQLContext, table: String,
-                        startVersion: Long) extends Source {
+                        startVersion: Long,
+                        maxCommitsPerTrigger: Option[Int] = None,
+                        maxRowsPerTrigger: Option[Long] = None) extends Source {
+
+  maxCommitsPerTrigger.foreach(c => require(c >= 1,
+    s"maxCommitsPerTrigger must be >= 1, got $c"))
+  maxRowsPerTrigger.foreach(r => require(r >= 1,
+    s"maxRowsPerTrigger must be >= 1, got $r"))
 
   private val spark = sqlContext.sparkSession
 
+  /** Highest commit version this source has handed to the engine — as a
+    * planned offset OR as a replayed `getBatch` end (the engine replays
+    * the checkpointed range on restart before polling again, which
+    * re-arms this watermark; see class doc). Admission advances getOffset
+    * from here, never from the log head. */
+  @volatile private var planned: Long = startVersion - 1
+
   override val schema: StructType = TxLogSource.feedSchema(spark, table)
 
-  /** Latest committed version, as the engine's target offset — null
+  /** Next target offset: the latest committed version, clamped to the
+    * admission caps relative to what is already planned — null
     * (no batch) until the table reaches `startVersion`. */
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val current = TxLog.currentVersion(spark, table)
-    if (current < startVersion) None else Some(LongOffset(current))
+    if (current < startVersion) return None
+    val base = math.max(planned, startVersion - 1)
+    if (current <= base) {
+      // nothing new beyond what is planned; report the planned offset so
+      // the engine sees "no change" (never regress below its checkpoint)
+      return if (base >= startVersion) Some(LongOffset(base)) else None
+    }
+    var hi = current
+    maxCommitsPerTrigger.foreach(mc => hi = math.min(hi, base + mc))
+    maxRowsPerTrigger.foreach { mr =>
+      // admit commits in order while the cumulative admitted rows stay
+      // under the cap; always at least one (Delta's at-least-one-file rule)
+      val ops = TxLog.commitOps(spark, table, base + 1, hi)
+      var acc = 0L
+      var last = base
+      ops.foreach { case (v, _, rows) =>
+        if (last == base || acc < mr) { acc += rows; last = v }
+      }
+      hi = last
+    }
+    planned = math.max(planned, hi)
+    Some(LongOffset(hi))
   }
 
   private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
@@ -68,6 +123,9 @@ final class TxLogSource(sqlContext: SQLContext, table: String,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val lo = start.map(versionOf(_) + 1).getOrElse(startVersion)
     val hi = versionOf(end)
+    // restart re-arm: a replayed checkpointed range tells us everything
+    // ≤ hi was already planned by a previous incarnation
+    planned = math.max(planned, hi)
     // re-ordered to the declared schema: readChangeFeed appends the CDF
     // columns, but a restarted query compares schemas structurally
     val batch = TxLog.readChangeFeed(spark, table, lo, Some(hi))
@@ -116,48 +174,108 @@ object TxLogSource {
   * sink state and ingested data move atomically — the same
   * consumer-watermark discipline [[StreamMv]] uses for folds.
   *
-  * Exactly-once across restarts: the engine re-offers a batch whose
-  * sink write it cannot prove completed; [[addBatch]] reads the
-  * highest applied batch id back from the commit tags (one driver log
-  * listing) and SKIPS re-offered ids — a crash between the append
-  * commit and the engine's own batch bookkeeping re-delivers, the tag
-  * says "already applied", nothing doubles. First batch bootstraps the
-  * table (schema from the stream, sink-declared partition columns) as
-  * an empty v1 overwrite + tagged append, so `create-if-absent` needs
-  * no side channel. At 100 TB each batch costs exactly its own rows'
-  * staging + one commit — history never rewrites. */
+  * Exactly-once across restarts, keyed BY QUERY (round 12 — the Delta
+  * `(txnAppId, version)` idempotency shape): the tag carries a query
+  * scope (`queryId` option, else a checkpoint-location hash), so a
+  * SECOND streaming query writing the same table — whose batch ids
+  * also start at 0 — is a separate transaction stream, not a set of
+  * ids to silently skip. Within a scope, the engine re-offers a batch
+  * whose sink write it cannot prove completed; [[addBatch]] skips a
+  * re-offer of exactly the applied watermark batch, and REFUSES
+  * (loudly) a batch id BELOW it — that shape means the checkpoint was
+  * reset/lost while the table kept a newer applied batch, and skipping
+  * would be silent data loss.
+  *
+  * The applied watermark is read from the commit tags ONCE per sink
+  * instance and cached (addBatch calls are serialized per query —
+  * the engine's contract), so a long-running ingest pays O(1) driver
+  * log work per batch, not O(commit history); a restart's fresh sink
+  * instance re-reads once. First batch bootstraps the table (schema
+  * from the stream, sink-declared partition columns) as an empty v1
+  * overwrite + tagged append, so `create-if-absent` needs no side
+  * channel. At 100 TB each batch costs exactly its own rows' staging +
+  * one commit — history never rewrites. */
 final class TxLogSink(sqlContext: SQLContext, table: String,
-                      partitionCols: Seq[String])
+                      partitionCols: Seq[String], scope: String)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val spark = sqlContext.sparkSession
 
+  /** Cached applied watermark: None = not yet read from the log. */
+  private var highWater: Option[Long] = None
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (TxLog.exists(spark, table) &&
-        TxLogSink.appliedThrough(spark, table) >= batchId) return
+    val applied = highWater.getOrElse {
+      val a = if (TxLog.exists(spark, table))
+        TxLogSink.appliedThrough(spark, table, scope) else -1L
+      highWater = Some(a)
+      a
+    }
+    if (batchId <= applied) {
+      // the one legal re-offer is exactly the applied watermark (a crash
+      // between the sink's commit and the engine's own bookkeeping);
+      // anything below it means the checkpoint regressed under a live
+      // table — refuse rather than silently drop the batch
+      require(batchId == applied,
+        s"graft-table sink: batch $batchId re-offered below the applied " +
+          s"watermark $applied for query scope '$scope' on $table — the " +
+          "checkpoint was reset or lost while the table retains newer " +
+          "applied batches; restart with a fresh queryId (or checkpoint " +
+          "location) to ingest as a new stream instead of silently skipping")
+      return
+    }
     // the engine hands a streaming-internal frame; re-present its rows
     // as a plain batch plan for the append's stage/commit machinery
     val batch = org.apache.spark.sql.GraftPlanBridge.asBatch(spark, data)
     if (!TxLog.exists(spark, table))
       TxLog.overwrite(batch.limit(0), table, partitionCols)  // schema-only v1
     TxLog.append(batch, table,
-      commitTag = Some(s"${TxLogSink.TagPrefix}$batchId"))
+      commitTag = Some(s"${TxLogSink.TagPrefix}$scope:$batchId"))
+    highWater = Some(batchId)
   }
 
-  override def toString: String = s"TxLogSink[$table]"
+  override def toString: String = s"TxLogSink[$table, scope=$scope]"
 }
 
 object TxLogSink {
   private[streaming] val TagPrefix = "sink-batch:"
 
-  /** Highest batch id a tagged sink append has committed, -1 if none —
-    * the read-back side of the exactly-once contract. */
+  /** Driver log listings [[appliedThrough]] has performed — spec-level
+    * observability for the O(1)-per-batch read-back contract. */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Highest batch id a tagged sink append has committed FOR `scope`,
+    * -1 if none — the read-back side of the exactly-once contract.
+    * Tags of other scopes (other queries writing the same table) are
+    * invisible by construction. */
   def appliedThrough(spark: org.apache.spark.sql.SparkSession,
-                     table: String): Long =
+                     table: String, scope: String): Long = {
+    logListings.incrementAndGet()
+    val prefix = s"$TagPrefix$scope:"
     TxLog.commitTags(spark, table).flatMap { case (_, t) =>
-      if (t.startsWith(TagPrefix)) t.stripPrefix(TagPrefix).toLongOption
+      if (t.startsWith(prefix)) t.stripPrefix(prefix).toLongOption
       else None
     }.foldLeft(-1L)(math.max)
+  }
+
+  /** The query scope a writeStream's options resolve to: an explicit
+    * `queryId` option, else a hash of the checkpoint location (stable
+    * across restarts of the same query — the identity Delta derives
+    * from `txnAppId`), else a fixed scope for checkpoint-less ad-hoc
+    * writes. */
+  def scopeFor(parameters: Map[String, String]): String = {
+    def opt(k: String) = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v
+    }
+    opt("queryId").getOrElse {
+      opt("checkpointLocation") match {
+        case Some(ckpt) =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(ckpt)
+          f"ckpt-${h & 0xffffffffL}%08x"
+        case None => "default"
+      }
+    }
+  }
 }
 
 /** The `format("graft-table")` provider (registered in
@@ -168,8 +286,11 @@ final class TxLogSourceProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-table"
 
+  private def opt(parameters: Map[String, String], k: String): Option[String] =
+    parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+
   private def tablePath(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+    opt(parameters, "path").getOrElse(throw new IllegalArgumentException(
       "graft-table source requires option(\"path\", <txlog table root>)"))
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -186,7 +307,9 @@ final class TxLogSourceProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new TxLogSource(sqlContext, tablePath(parameters),
-      parameters.get("startVersion").map(_.toLong).getOrElse(1L))
+      opt(parameters, "startVersion").map(_.toLong).getOrElse(1L),
+      opt(parameters, "maxCommitsPerTrigger").map(_.toInt),
+      opt(parameters, "maxRowsPerTrigger").map(_.toLong))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -196,6 +319,7 @@ final class TxLogSourceProvider extends StreamSourceProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       "graft-table sink is append-only (an ACID table ingests immutable " +
         "batches; use MERGE/foldChanges for update semantics)")
-    new TxLogSink(sqlContext, tablePath(parameters), partitionColumns)
+    new TxLogSink(sqlContext, tablePath(parameters), partitionColumns,
+      TxLogSink.scopeFor(parameters))
   }
 }

@@ -31,4 +31,20 @@ object GraftPlanBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = false)
+
+  /** Catalyst expression → Column, directly — for native expressions
+    * whose parameters are driver metadata riding in the expression
+    * itself (e.g. a PQ codebook). The registry round-trip
+    * (`createOrReplaceTempFunction` + `call_function`) used for
+    * literal-argument functions is WRONG for those: the registered
+    * builder closes over one call's metadata under a session-global
+    * name, so two concurrent calls can interleave register/resolve and
+    * silently bind each other's data. Direct construction has no shared
+    * name to race on. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Column → catalyst expression (the inverse bridge). */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

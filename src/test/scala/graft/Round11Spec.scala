@@ -137,16 +137,19 @@ class Round11Spec extends SparkSpec {
     val table = tmp("r11sink")
     val spark2 = spark
     import spark2.implicits._
-    val sink = new TxLogSink(spark.sqlContext, table, Seq.empty)
+    val sink = new TxLogSink(spark.sqlContext, table, Seq.empty, "default")
     val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
     sink.addBatch(0, b0) // bootstraps: empty v1 overwrite + tagged append
     assert(TxLog.currentVersion(spark, table) == 2L)
-    assert(TxLogSink.appliedThrough(spark, table) == 0L)
-    sink.addBatch(0, b0) // re-offered id: must not double-apply
+    assert(TxLogSink.appliedThrough(spark, table, "default") == 0L)
+    // a fresh instance models the crash-replay path (the cached
+    // watermark is per-instance; a re-offer must consult the log)
+    new TxLogSink(spark.sqlContext, table, Seq.empty, "default")
+      .addBatch(0, b0) // re-offered id: must not double-apply
     assert(TxLog.currentVersion(spark, table) == 2L)
     sink.addBatch(1, Seq((3L, 3.0)).toDF("id", "v"))
     assert(TxLog.currentVersion(spark, table) == 3L)
-    assert(TxLogSink.appliedThrough(spark, table) == 1L)
+    assert(TxLogSink.appliedThrough(spark, table, "default") == 1L)
     val got = TxLog.read(spark, table).as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
@@ -172,7 +175,8 @@ class Round11Spec extends SparkSpec {
     assert(TxLog.currentVersion(spark, table) == v1)
     val got = TxLog.read(spark, table).as[(Long, Long, Double)].collect().toSet
     assert(got == in.as[(Long, Long, Double)].collect().toSet)
-    assert(graft.streaming.TxLogSink.appliedThrough(spark, table) == 2L)
+    assert(graft.streaming.TxLogSink.appliedThrough(spark, table,
+      graft.streaming.TxLogSink.scopeFor(Map("checkpointLocation" -> ckpt))) == 2L)
   }
 
   // ------------------------------------------------------ paragraph dedup

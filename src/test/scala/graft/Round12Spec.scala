@@ -1,0 +1,378 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.acid.TxLog
+
+/** Round-12 laws: streaming-source admission control (a commit backlog
+  * drains in BOUNDED batches, exactly-once across a mid-backlog
+  * restart; row-cap admission), query-scoped sink idempotency (a second
+  * query's batch ids are not another query's skip-list; a regressed
+  * checkpoint fails loudly; O(1) log read-back per batch), the
+  * analyze no-op on stats-free tables, StreamScd2's duplicate-key
+  * append handling, public-suffix-aware domain extraction, the
+  * one-pass paragraph-window stats expression, and pq_encode's
+  * codebook isolation under concurrent use. */
+class Round12Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------ source admission control
+
+  test("graft-table source: 5-commit backlog drains in bounded batches, " +
+       "exactly-once across a mid-backlog restart") {
+    val table = tmp("r12adm"); val ckpt = tmp("r12admck")
+    val out = tmp("r12admout")
+    val spark2 = spark
+    import spark2.implicits._
+    // v1 carries table bootstrap data the stream skips (startVersion=2);
+    // v2..v6 are the 5-commit backlog, 10 rows each
+    TxLog.overwrite(Seq((0L, 0L)).toDF("id", "commit"), table)      // v1
+    (1L to 5L).foreach { c =>
+      TxLog.append((1L to 10L).map(i => (c * 100 + i, c)).toDF("id", "commit"),
+        table)                                                      // v2..v6
+    }
+    def start() = spark.readStream.format("graft-table")
+      .option("path", table).option("startVersion", "2")
+      .option("maxCommitsPerTrigger", "2").load()
+      .select("id", "commit", "_commit_version")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // run 1: stop after the FIRST micro-batch completes — mid-backlog
+    val q1 = start()
+    val batches1 =
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+               System.currentTimeMillis() < deadline) Thread.sleep(25)
+        assert(q1.recentProgress.count(_.numInputRows > 0) >= 1,
+          "first micro-batch never completed")
+        q1.recentProgress.filter(_.numInputRows > 0)
+      } finally q1.stop()
+    // run 2 (same checkpoint): drains the rest
+    val q2 = start()
+    val batches2 =
+      try { q2.processAllAvailable()
+            q2.recentProgress.filter(_.numInputRows > 0) }
+      finally q2.stop()
+    // bounded: no batch spans more than 2 commits' rows (20)
+    (batches1 ++ batches2).foreach(p => assert(p.numInputRows <= 20,
+      s"unbounded batch: ${p.numInputRows} input rows"))
+    // the authoritative bounded-catch-up record is the CHECKPOINT's own
+    // offset log (progress events of a batch that commits while stop()
+    // is in flight can be dropped — observed once in CI): one file per
+    // constructed batch, last line = the source's ending commit version.
+    // 5 commits at cap 2 ⇒ ≥3 batches, every offset step ≤ 2 commits.
+    val offFiles = new java.io.File(ckpt, "offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val ends = offFiles.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toList.last.trim.toLong finally src.close()
+    }.toSeq
+    assert(ends.length >= 3, s"offset log shows batches ending at $ends")
+    assert(ends.last == 6L, s"catch-up must reach v6, got $ends")
+    (1L +: ends).sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= 2 && b > a, s"offset step $a -> $b breaches the cap")
+    }
+    // exactly-once: the sink holds every backlog row exactly once
+    val got = spark.read.parquet(out).select("id", "commit").as[(Long, Long)]
+      .collect().toSeq
+    val want = (1L to 5L).flatMap(c => (1L to 10L).map(i => (c * 100 + i, c)))
+    assert(got.sorted == want.sorted,
+      s"got ${got.length} rows, want ${want.length} (no dups, none missing)")
+    // offsets really were commit versions in bounded steps
+    val perVersion = spark.read.parquet(out)
+      .groupBy("_commit_version").count().as[(Long, Long)].collect().toMap
+    assert(perVersion == (2L to 6L).map(_ -> 10L).toMap)
+  }
+
+  test("graft-table source: maxRowsPerTrigger admits whole commits up to " +
+       "the row cap, at least one per batch") {
+    val table = tmp("r12rows"); val ckpt = tmp("r12rowsck")
+    val spark2 = spark
+    import spark2.implicits._
+    TxLog.overwrite((1L to 10L).map(i => (i, 1L)).toDF("id", "commit"), table) // v1: 10 rows
+    TxLog.append((1L to 10L).map(i => (100 + i, 2L)).toDF("id", "commit"), table) // v2
+    TxLog.append((1L to 30L).map(i => (200 + i, 3L)).toDF("id", "commit"), table) // v3: oversized
+    TxLog.append((1L to 10L).map(i => (300 + i, 4L)).toDF("id", "commit"), table) // v4
+    val name = s"r12r_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft-table")
+      .option("path", table).option("maxRowsPerTrigger", "15").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val batches =
+      try { q.processAllAvailable()
+            q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows) }
+      finally q.stop()
+    // admission walks commits in order while admitted rows < 15, always
+    // ≥1 commit: (v1 10 + v2 10) | (v3 30, oversized but alone) | (v4 10)
+    assert(batches.toSeq == Seq(20L, 30L, 10L), s"got ${batches.toSeq}")
+    assert(spark.table(name).count() == 60L)
+  }
+
+  // ------------------------------------------- sink scoping + read-back
+
+  test("graft-table sink: applied watermark is read once per instance, " +
+       "not once per batch") {
+    val table = tmp("r12once"); val ckpt = tmp("r12onceck")
+    val src = tmp("r12oncein")
+    val spark2 = spark
+    import spark2.implicits._
+    (1L to 40L).map(i => (i, i * 0.5)).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("graft-table").option("path", table)
+        .option("queryId", "r12once")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = graft.streaming.TxLogSink.logListings.get()
+    run() // 4 batches onto a FRESH table: bootstrap needs no listing at all
+    assert(TxLog.read(spark, table).count() == 40L)
+    val freshListings = graft.streaming.TxLogSink.logListings.get() - before
+    assert(freshListings == 0L,
+      s"fresh-table run performed $freshListings listings, want 0")
+    // 4 more files; the restarted query's new sink instance reads the
+    // watermark ONCE, then serves the remaining batches from the cache
+    (41L to 80L).map(i => (i, i * 0.5)).toDF("id", "v")
+      .repartition(4).write.mode("append").parquet(src)
+    val mid = graft.streaming.TxLogSink.logListings.get()
+    run()
+    assert(TxLog.read(spark, table).count() == 80L)
+    val listings = graft.streaming.TxLogSink.logListings.get() - mid
+    assert(listings == 1L,
+      s"4-batch restart run performed $listings log listings, want 1 " +
+        "(O(1) read-back)")
+  }
+
+  test("graft-table sink: a second query's batch ids are not skipped; a " +
+       "regressed checkpoint fails loudly") {
+    val table = tmp("r12scope")
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.streaming.TxLogSink
+    // query A applies batches 0..3
+    val a = new TxLogSink(spark.sqlContext, table, Seq.empty, "qA")
+    (0 to 3).foreach(b => a.addBatch(b.toLong,
+      Seq((b.toLong, "a")).toDF("id", "who")))
+    assert(TxLogSink.appliedThrough(spark, table, "qA") == 3L)
+    // query B (fresh checkpoint → ids restart at 0) must NOT be skipped
+    val bSink = new TxLogSink(spark.sqlContext, table, Seq.empty, "qB")
+    bSink.addBatch(0L, Seq((100L, "b")).toDF("id", "who"))
+    assert(TxLogSink.appliedThrough(spark, table, "qB") == 0L)
+    assert(TxLog.read(spark, table).filter(col("who") === "b").count() == 1L,
+      "second query's batch 0 was silently skipped against query A's watermark")
+    // query A restarted with a RESET checkpoint (batch ids regress below
+    // the applied watermark): silent skip would be data loss — fail loudly
+    val aReset = new TxLogSink(spark.sqlContext, table, Seq.empty, "qA")
+    val ex = intercept[IllegalArgumentException] {
+      aReset.addBatch(1L, Seq((999L, "a")).toDF("id", "who"))
+    }
+    assert(ex.getMessage.contains("below the applied watermark"))
+    // the legal re-offer (exactly the watermark) still dedups silently
+    val v = TxLog.currentVersion(spark, table)
+    new TxLogSink(spark.sqlContext, table, Seq.empty, "qA")
+      .addBatch(3L, Seq((3L, "a")).toDF("id", "who"))
+    assert(TxLog.currentVersion(spark, table) == v)
+  }
+
+  // --------------------------------------------------- analyze no-op
+
+  test("analyze: a table with no stats-eligible columns short-circuits " +
+       "after the first analyze (no version churn)") {
+    val dir = tmp("r12an")
+    val spark2 = spark
+    import spark2.implicits._
+    // array columns are not top-level scalars: footers yield numRecords
+    // but no min/max — minValues stays empty FOREVER on this table
+    Seq((Seq(1L, 2L), Seq(0.5)), (Seq(3L), Seq(1.5, 2.5)))
+      .toDF("xs", "ys").write.mode("overwrite").parquet(dir)
+    assert(TxLog.convert(spark, dir) > 0)
+    val v0 = TxLog.currentVersion(spark, dir)
+    assert(TxLog.analyze(spark, dir) == 2)   // both files statted
+    val v1 = TxLog.currentVersion(spark, dir)
+    assert(v1 == v0 + 1)
+    assert(TxLog.analyze(spark, dir) == 0)   // no-op: numRecords known
+    assert(TxLog.currentVersion(spark, dir) == v1,
+      "repeat analyze of a stats-free table must not write a commit")
+  }
+
+  // ----------------------------------------- StreamScd2 duplicate keys
+
+  test("StreamScd2: an append commit with duplicate keys folds to one " +
+       "current row per key, deterministically") {
+    import graft.streaming.{ChangeFeedStream, StreamScd2}
+    val src = tmp("r12scdsrc"); val dim = tmp("r12scddim")
+    val spark2 = spark
+    import spark2.implicits._
+    graft.acid.Scd2.initialize(
+      Seq((1L, "init")).toDF("k", "attr"), dim, Seq("k"), Seq("attr"),
+      "2024-01-01 00:00:00")
+    TxLog.overwrite(Seq((1L, "seed")).toDF("k", "attr"), src)        // v1
+    // ONE append commit carrying duplicate keys — no key-unique contract
+    TxLog.append(Seq((1L, "x"), (1L, "z"), (2L, "y"), (2L, "q"))
+      .toDF("k", "attr"), src)                                       // v2
+    val cursor = ChangeFeedStream.cursor(spark, src, 2L)
+    StreamScd2.pump(spark, src, dim, Seq("k"), Seq("attr"), cursor,
+      v => s"2024-01-02 00:0$v:00")
+    val cur = TxLog.read(spark, dim).filter(col("is_current"))
+      .select("k", "attr").as[(Long, String)].collect().toSeq.sorted
+    // exactly one current row per key; the deterministic pick is the
+    // max attr (version ties break by attrs DESC)
+    assert(cur == Seq((1L, "z"), (2L, "y")), s"got $cur")
+  }
+
+  // ------------------------------------------- public-suffix domains
+
+  test("registrableDomain: public-suffix-aware extraction across URL shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      ("https://shop.example.co.uk/a/b", "example.co.uk"), // the pinned case
+      ("https://example.co.uk/", "example.co.uk"),
+      ("https://www.example.com/x", "example.com"),
+      ("https://cdn.docs.example.com?q=1", "example.com"),
+      ("https://example.com.br/p", "example.com.br"),
+      ("https://a.b.news.com.au/art", "news.com.au"),
+      ("https://deep.sub.host.co.jp#f", "host.co.jp"),
+      ("https://example.org/", "example.org"),
+      ("https://co.uk/", "co.uk"),          // bare suffix passes through
+      ("https://example.co/", "example.co") // .co is NOT a multi-label case
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.etl.Curation.registrableDomain(col("url"))
+        .as("domain"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (url, want) =>
+      assert(got(url) == want, s"$url → ${got(url)}, want $want")
+    }
+  }
+
+  test("curateDomains: ccTLD sites stay distinct domains under caps and " +
+       "blocklists") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two distinct .co.uk sites — a two-label rule would merge them into
+    // one 'co.uk' domain and the cap would drop half their docs
+    val docs = Seq(
+      (1L, "https://alpha.co.uk/1"), (2L, "https://alpha.co.uk/2"),
+      (3L, "https://beta.co.uk/1"), (4L, "https://beta.co.uk/2"),
+      (5L, "https://bad.co.uk/1")
+    ).toDF("doc_id", "url")
+    val kept = graft.etl.Curation.curateDomains(docs, "url",
+        blocklist = Seq("bad.co.uk"), perDomainCap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"got $kept — alpha and beta must each keep both docs; bad.co.uk drops")
+  }
+
+  // --------------------------------------- one-pass paragraph stats
+
+  test("paragraph_window_stats == (md5, token count) of paragraph_windows") {
+    import graft.functions.TextShingleFunctions
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val viaText = docs.select(col("doc_id"),
+        posexplode(TextShingleFunctions.paragraph_windows(spark, col("t"), 20))
+          .as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"), md5(col("para")).as("h"),
+        size(split(col("para"), " ")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    val viaStats = docs.select(col("doc_id"),
+        posexplode(TextShingleFunctions.paragraph_window_stats(spark, col("t"), 20))
+          .as(Seq("idx", "p")))
+      .select(col("doc_id"), col("idx"), col("p.h"), col("p.nt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    assert(viaStats.nonEmpty && viaStats == viaText)
+  }
+
+  // --------------------------------------- catalog-persisted ANN index
+
+  test("AnnIndexStore: a fresh session loads the persisted index with no " +
+       "training, bit-identical codebooks and probe results; a regenerated " +
+       "corpus invalidates") {
+    import graft.similarity.{AnnIndexStore, IvfPq, Pq}
+    val wh = tmp("r12annwh"); val corpus = tmp("r12anncorp")
+    Tables.embeddings(spark, sf).write.mode("overwrite").parquet(corpus)
+    val emb = spark.read.parquet(corpus)
+    val (built, loaded0) = AnnIndexStore.pqIndex(emb, wh, "p", m = 16, k = 16)
+    assert(!loaded0)
+    // fresh session, fresh frame: only the on-disk catalog connects them
+    val s2 = spark.newSession()
+    val emb2 = s2.read.parquet(corpus)
+    val (idx, loaded) = AnnIndexStore.pqIndex(emb2, wh, "p", m = 16, k = 16)
+    assert(loaded)
+    assert(idx.cb == built.cb, "codebooks must round-trip JSON bit-exact")
+    val a = Pq.probe(emb, built, 8, 10).collect().map(_.toString).toSeq
+    val b = Pq.probe(emb2, idx, 8, 10).collect().map(_.toString).toSeq
+    assert(a == b, "loaded-index probe must equal built-index probe")
+    // ivf×pq face: cell partitioning survives the catalog round-trip
+    val (ib, il0) = AnnIndexStore.ivfPqIndex(emb, wh, "ip", k = 16)
+    val (ix, il) = AnnIndexStore.ivfPqIndex(emb2, wh, "ip", k = 16)
+    assert(!il0 && il && ix.cb == ib.cb && ix.centroids == ib.centroids)
+    val ia = IvfPq.probe(emb, ib, 8, 10).collect().map(_.toString).toSeq
+    val ibr = IvfPq.probe(emb2, ix, 8, 10).collect().map(_.toString).toSeq
+    assert(ia == ibr)
+    // regenerated corpus (same path, new bytes) must MISS and retrain
+    Tables.embeddings(spark, sf).limit(400)
+      .write.mode("overwrite").parquet(corpus)
+    val (_, loaded2) = AnnIndexStore.pqIndex(
+      spark.read.parquet(corpus), wh, "p", m = 16, k = 16)
+    assert(!loaded2, "stale fingerprint must invalidate the stored index")
+  }
+
+  test("AnnIndexStore: the load path launches zero Spark jobs") {
+    import graft.similarity.AnnIndexStore
+    val wh = tmp("r12annwh0")
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndexStore.pqIndex(emb, wh, "p0") // build + persist
+    val s2 = spark.newSession()
+    val emb2 = Tables.embeddings(s2, sf)
+    // corpus listing/schema inference is INPUT setup, not index load —
+    // force it before the measured window (a fresh session's first read
+    // of a path runs one tiny listing job)
+    emb2.inputFiles
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    })
+    val (_, loaded) = AnnIndexStore.pqIndex(emb2, wh, "p0")
+    assert(loaded)
+    // flush the async listener bus with a marker job (FIFO: once the
+    // marker's event lands, any load-time job would already be counted)
+    spark.sparkContext.parallelize(Seq(1), 1).count()
+    val deadline = System.currentTimeMillis() + 30000
+    while (counter.get() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(counter.get() == 1L,
+      s"load ran ${counter.get() - 1} Spark jobs, want 0 (driver metadata only)")
+  }
+
+  // --------------------------------------------- pq_encode isolation
+
+  test("pq_encode: two codebooks in one projection bind independently") {
+    import graft.functions.PqEncodeFunction
+    val spark2 = spark
+    import spark2.implicits._
+    // cb1 and cb2 disagree on every vector: any cross-binding shows
+    val cb1: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val cb2: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(10.0, 10.0), Seq(0.0, 0.0)))
+    val df = Seq((1L, Seq(0.1, 0.1)), (2L, Seq(9.9, 9.9))).toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        PqEncodeFunction.pq_encode(spark, col("v"), cb1).as("c1"),
+        PqEncodeFunction.pq_encode(spark, col("v"), cb2).as("c2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).head, r.getSeq[Int](2).head)).toMap
+    assert(got(1L) == ((0, 1)) && got(2L) == ((1, 0)),
+      s"codebooks cross-bound: $got")
+  }
+}
