@@ -1035,18 +1035,43 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val contaminated = TextOps.contamination(docs, docs.filter(col("doc_id") < 3))
       .select(col("doc_id"), col("contaminated"))
+    // n_tokens derives from the SAME windowStats pass (windows partition
+    // the token stream, so the struct's total equals the shared
+    // tokenizer's count) — a separate size(tokenize(text)) projection
+    // would tokenize every document a second time. The struct stays
+    // WHOLE through the cache boundary: extracting pw.nt and pw.paras
+    // in this projection would leave two windowStats references after
+    // CollapseProject, and codegen CSE did NOT fold them (measured at
+    // sf10: 117 → 147 s) — field extraction happens post-cache, where
+    // it reads stored bytes.
+    // EXPLICIT-width fan-out before the feature chain: the corpus
+    // arrives as 1-2 input splits at sf10 and the per-row work here is
+    // regex/tokenize-bound, so byte-based AQE coalescing would fold a
+    // by-column exchange right back to those few partitions — jstack
+    // during the sf10 run showed ONE busy worker of 32 (the round-10
+    // parallelism collapse, CPU-heavy variant). Width = the session's
+    // core count, which scales with the cluster.
+    val fanout = docs.repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
     val flags = graft.Caching.materialize(
-      TextOps.langId(TextOps.qualityScore(docs))
+      TextOps.langId(TextOps.qualityScore(fanout))
         .select(col("doc_id"),
-          size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"),
           (col("lang_pred") === "en").as("lang_ok"),
           (col("quality_score") >= 0.5).as("q_ok"),
           md5(col("text")).as("h"),
-          graft.functions.TextShingleFunctions.paragraph_window_stats(
-            s, lower(col("text")), 20).as("paras"))
+          graft.functions.TextShingleFunctions
+            .paragraph_window_stats(s, lower(col("text")), 20).as("pw"))
         .join(contaminated, Seq("doc_id")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    // the stage flags derive on the SLIM columns only: the canon window
+    // shuffles every row, and `staged` is consumed twice (the stage agg
+    // and the stage-5 semi-join) — carrying the `paras` array through
+    // it would shuffle the hashed corpus twice (measured at sf10:
+    // 121 → 181 s before this projection). `paras` re-enters from the
+    // persisted flags frame only where stage 5 actually reads it.
     val staged = flags
+      .select(col("doc_id"), col("pw.nt").cast("long").as("n_tokens"),
+        col("lang_ok"), col("q_ok"), col("h"), col("contaminated"))
       .withColumn("s2", col("lang_ok") && col("q_ok"))
       .withColumn("canon_id", min(when(col("s2"), col("doc_id"))).over(w))
       .withColumn("s3", col("s2") && col("doc_id") === col("canon_id"))
@@ -1061,7 +1086,8 @@ object SparkEntry {
     // the surviving window token mass (partial docs count what remains)
     val wOwn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("doc_id"), col("idx"))
-    val p5 = staged.filter(col("s4"))
+    val p5 = flags.select(col("doc_id"), col("pw.paras").as("paras"))
+      .join(staged.filter(col("s4")).select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "p")))
       .select(col("doc_id"), col("idx"),
         col("p.h").as("__h"), col("p.nt").cast("long").as("__nt"))
@@ -2660,9 +2686,17 @@ object SparkEntry {
     * nothing pairwise — a paragraph duplicated K× costs K shuffle rows,
     * linear at any replication. The oracle is EXACT and total: per-doc
     * paragraph census plus the md5 of the reassembled text, both
-    * engines building the same windows from the shared tokenizer. */
+    * engines building the same windows from the shared tokenizer.
+    * Round 12: windows respect STRUCTURAL paragraph boundaries (blank
+    * lines) and never cross one; the synthetic corpus is break-free, so
+    * the scenario PLANTS boundaries (a literal `replace` both engines
+    * compute) before every ` the ` — the oracle exercises the
+    * segment-aware unit on real multi-paragraph shapes, and a boundary
+    * bug shifts every downstream hash. */
   def dedupParagraph(s: SparkSession, dir: String): DataFrame =
-    graft.text.ParagraphDedup.dedup(Tables.documents(s, dir))
+    graft.text.ParagraphDedup.dedup(
+      Tables.documents(s, dir).withColumn("text",
+        expr("replace(text, ' the ', concat(char(10), char(10), 'the '))")))
       .orderBy("doc_id")
 
   /** #160 Domain/URL curation (round 11, [[graft.etl.Curation]]) — the
@@ -3093,19 +3127,36 @@ object SparkEntry {
   }
 
   /** Shared paragraph-window CTE body (the [[graft.text.ParagraphDedup]]
-    * model): 20-token windows of the shared tokenizer's output over
-    * `srcRel` (a relation with doc_id, text), md5 per window, first
-    * (doc_id, idx) occurrence corpus-wide owns each distinct paragraph.
-    * Yields CTEs `pt`, `paras`, `owned` for callers to aggregate. */
+    * model): the text splits on structural paragraph boundaries (blank
+    * lines — round 12; break-free text is ONE segment, the original
+    * fixed-window behavior), each segment yields 20-token windows of
+    * the shared tokenizer's output that never cross a boundary, `idx`
+    * numbers windows document-globally in (segment, window) order, md5
+    * per window, first (doc_id, idx) occurrence corpus-wide owns each
+    * distinct paragraph. Over `srcRel` (a relation with doc_id, text);
+    * yields CTEs `segs`, `pt`, `paras`, `owned` for callers to
+    * aggregate. */
   private def paragraphCtes(srcRel: String): String =
-    s"""pt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks
-       |       FROM $srcRel),
-       |paras AS (
-       |  SELECT doc_id, CAST(g.i AS INT) AS idx,
+    s"""segs AS (
+       |  SELECT doc_id, g.i AS seg_i, sa[g.i] AS seg
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(text), '\\n\\s*\\n') AS sa
+       |        FROM $srcRel),
+       |  LATERAL (SELECT unnest(generate_series(1, len(sa)))) AS g(i)),
+       |pt AS (SELECT doc_id, seg_i, list_filter(regexp_split_to_array(seg, '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks
+       |       FROM segs),
+       |winraw AS (
+       |  SELECT doc_id, seg_i, CAST(g.i AS INT) AS win_i,
        |         array_to_string(toks[g.i * 20 + 1 : g.i * 20 + 20], ' ') AS para
        |  FROM pt, LATERAL (
        |    SELECT unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT)))) AS g(i)
        |  WHERE len(toks) > 0),
+       |paras AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY seg_i, win_i) - 1 AS INT) AS idx,
+       |         para
+       |  FROM winraw),
        |owned AS (
        |  SELECT doc_id, idx, para,
        |         row_number() OVER (PARTITION BY md5(para)
@@ -5144,10 +5195,15 @@ object SparkEntry {
         |       round(sum(value), 2) AS total, true AS exactly_once
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // exact per-doc census of the paragraph-dedup model: same 20-token
-    // windows, same md5 ownership window, same reassembled-text md5
+    // exact per-doc census of the paragraph-dedup model: same planted
+    // boundaries, same segment-aware 20-token windows, same md5
+    // ownership window, same reassembled-text md5
     "dedup_paragraph" ->
-      s"""WITH ${paragraphCtes("documents")},
+      s"""WITH pdocs AS (
+         |  SELECT doc_id,
+         |         replace(text, ' the ', chr(10) || chr(10) || 'the ') AS text
+         |  FROM documents),
+         |${paragraphCtes("pdocs")},
          |agg AS (SELECT doc_id,
          |          CAST(count(*) AS BIGINT) AS n_paras,
          |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)

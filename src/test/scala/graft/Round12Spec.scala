@@ -270,6 +270,50 @@ class Round12Spec extends SparkSpec {
       s"got $kept — alpha and beta must each keep both docs; bad.co.uk drops")
   }
 
+  // ------------------------------------ structural paragraph boundaries
+
+  test("paragraph windows respect blank-line boundaries; break-free text " +
+       "keeps the fixed-window unit") {
+    import graft.functions.TextShingleFunctions
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a b c\n\nd e"),        // two segments: windows never cross
+      (2L, "a b c d e"),           // break-free: original fixed windows
+      (3L, "a b\n \n c\n\n\nd"),   // blank line with spaces; \n\n\n run
+      (4L, "\n\nx\n\n")            // empty edge segments contribute nothing
+    ).toDF("doc_id", "t")
+    val got = docs.select(col("doc_id"),
+        TextShingleFunctions.paragraph_windows(spark, col("t"), 2).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("a b", "c", "d e"))
+    assert(got(2L) == List("a b", "c d", "e"))
+    assert(got(3L) == List("a b", "c", "d"))
+    assert(got(4L) == List("x"))
+    // the stats face computes the identical segment-aware unit, and its
+    // struct total equals the shared tokenizer's whole-document count
+    val totals = docs.select(col("doc_id"),
+        TextShingleFunctions.paragraph_window_stats(spark, col("t"), 2)
+          .getField("nt").as("nt"),
+        size(graft.text.TextOps.tokenize(col("t"))).as("want"))
+      .collect()
+    totals.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"doc ${r.getLong(0)}: struct total ${r.getInt(1)} != tokenizer ${r.getInt(2)}"))
+    val stats = docs.select(col("doc_id"),
+        posexplode(TextShingleFunctions.paragraph_window_stats(spark, col("t"), 2)
+          .getField("paras")).as(Seq("idx", "p")))
+      .select(col("doc_id"), col("idx"), col("p.h"), col("p.nt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    got.foreach { case (d, ws) =>
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(stats((d, i)) == ((md, w.split(" ").length)))
+      }
+    }
+  }
+
   // --------------------------------------- one-pass paragraph stats
 
   test("paragraph_window_stats == (md5, token count) of paragraph_windows") {
@@ -284,8 +328,8 @@ class Round12Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getString(2), r.getInt(3))).toMap
     val viaStats = docs.select(col("doc_id"),
-        posexplode(TextShingleFunctions.paragraph_window_stats(spark, col("t"), 20))
-          .as(Seq("idx", "p")))
+        posexplode(TextShingleFunctions.paragraph_window_stats(spark, col("t"), 20)
+          .getField("paras")).as(Seq("idx", "p")))
       .select(col("doc_id"), col("idx"), col("p.h"), col("p.nt"))
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getString(2), r.getInt(3))).toMap
