@@ -21,10 +21,18 @@ object ProbeIvfPq {
     val brute = graft.Caching.materialize(
       Cosine.bruteTopK(emb, nQueries = 8, k = 10)
         .select("query_id", "neighbor_id"))
+    // SPARK_GRAFT_PROBE_SHORTLIST oversizes the ADC shortlist (e.g. to
+    // the corpus size) to isolate the CELL-SELECTION recall component:
+    // with every row of every probed cell exact-reranked, code quality
+    // is out of the loop — the measured recall is the ceiling ANY code
+    // improvement (finer k, OPQ rotation) could reach at that nprobe
+    val shortlist = sys.env.get("SPARK_GRAFT_PROBE_SHORTLIST")
+      .map(_.toInt).getOrElse(50)
     for (k <- ks; nprobe <- nprobes) {
       val t0 = System.nanoTime()
       val ivfpq = IvfPq.topK(emb, nQueries = 8, kNeighbors = 10,
-          k = k, nprobe = nprobe, indexKey = Some(s"probe:$dir:k$k"))
+          k = k, nprobe = nprobe, shortlist = shortlist,
+          indexKey = Some(s"probe:$dir:k$k"))
         .select("query_id", "neighbor_id")
       val hits = brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))
