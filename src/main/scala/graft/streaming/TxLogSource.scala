@@ -127,9 +127,20 @@ final class TxLogSource(sqlContext: SQLContext, table: String,
     // ≤ hi was already planned by a previous incarnation
     planned = math.max(planned, hi)
     // re-ordered to the declared schema: readChangeFeed appends the CDF
-    // columns, but a restarted query compares schemas structurally
-    val batch = TxLog.readChangeFeed(spark, table, lo, Some(hi))
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    // columns, but a restarted query compares schemas structurally.
+    // Declared columns ABSENT from the range's feed back-fill as typed
+    // NULLs (round 12): the feed presents each commit range's
+    // as-of-version schema, so after a restart that resolved a WIDENED
+    // table schema (a schema-evolving merge landed in the crash
+    // window), the engine's recovery replay of the PRE-evolution range
+    // must still project the current schema — the same typed-NULL
+    // completion TxLog.read applies to pre-evolution data files.
+    val feed = TxLog.readChangeFeed(spark, table, lo, Some(hi))
+    val present = feed.columns.toSet
+    val batch = feed.select(schema.fields.map { f =>
+      if (present(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
     // the v1 Source contract, two halves (the Kafka source's
     // internalCreateDataFrame shape): the frame must CARRY the
     // isStreaming bit (MicroBatchExecution asserts it), and every batch
@@ -154,9 +165,13 @@ object TxLogSource {
     * all nullable — batches span commit types whose natural nullability
     * differs (appends project literals, merges read cdc parquet), and
     * the one declared schema must be reachable from every batch by
-    * RELAXING, never narrowing. Resolved once at source creation —
-    * schema evolution mid-stream fails loudly at the engine's schema
-    * check rather than drifting. */
+    * RELAXING, never narrowing. Resolved once at source creation; a
+    * column a mid-stream additive evolution appends becomes visible on
+    * the next RESTART (round 12 — the Delta restart-with-new-schema
+    * contract: the restarted source resolves the widened schema and
+    * getBatch back-fills typed NULLs when replaying pre-evolution
+    * ranges; spec-pinned). Non-additive changes surface loudly at the
+    * consumer's plan/sink. */
   def feedSchema(spark: org.apache.spark.sql.SparkSession,
                  table: String): StructType = {
     val base = TxLog.read(spark, table).schema

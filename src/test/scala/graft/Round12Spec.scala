@@ -111,6 +111,39 @@ class Round12Spec extends SparkSpec {
     assert(spark.table(name).count() == 60L)
   }
 
+  test("graft-table source: restart after a schema-evolving commit picks " +
+       "up the widened feed; earlier offsets stay delivered-once") {
+    val table = tmp("r12evo"); val ckpt = tmp("r12evock")
+    val out = tmp("r12evoout")
+    val spark2 = spark
+    import spark2.implicits._
+    TxLog.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), table)  // v1
+    def start(cols: Seq[String]) = spark.readStream.format("graft-table")
+      .option("path", table).load()
+      .select((cols :+ "_commit_version").map(col): _*)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(Seq("id", "v"))
+    try q1.processAllAvailable() finally q1.stop()
+    // the crash window carries a SCHEMA-EVOLVING merge (new column w):
+    // mid-stream this would fail the running query loudly; a RESTART
+    // resolves the widened feed schema at source creation (the Delta
+    // restart-with-new-schema contract for stateless pipelines)
+    TxLog.merge(Seq((3L, 3.0, "x")).toDF("id", "v", "w"), table,
+      Seq("id"), evolveSchema = true)                                  // v2
+    val q2 = start(Seq("id", "v", "w"))
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.columns.contains("w"))
+    val rows = got.select("id", "w", "_commit_version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    // v1's two rows delivered once (pre-evolution files: w absent → null);
+    // v2's insert delivered once with the new column populated
+    assert(rows == Set((1L, None, 1L), (2L, None, 1L), (3L, Some("x"), 2L)),
+      s"got $rows")
+  }
+
   // ------------------------------------------- sink scoping + read-back
 
   test("graft-table sink: applied watermark is read once per instance, " +
