@@ -110,7 +110,43 @@ object Bench {
     out
   }
 
+  /** Cap for the stderr sidecar — enough for several full stack traces,
+    * bounded so a log storm can't fill the disk. */
+  private val MaxErrBytes = 4L * 1024 * 1024
+
   def main(args: Array[String]): Unit = {
+    // STDERR SIDECAR (round 13): the round-12 bench tail carried an
+    // amputated stack-trace fragment (the driver keeps only ~2000 chars
+    // of output) with `failed: 0` — whatever threw was swallowed, most
+    // likely a whole-stage-codegen compile failure falling back to
+    // interpreted execution. Tee everything written to stderr (Spark's
+    // log4j console appender binds to the CURRENT System.err when it
+    // initializes, which is after this line) into BENCH_STDERR.txt next
+    // to BENCH_DETAIL.json, bounded, so the full cause of any future
+    // swallowed error is on disk even though the stdout tail can't
+    // carry it. Best-effort: a sidecar failure must never fail a bench.
+    try {
+      val origErr = System.err
+      val sink = new java.io.FileOutputStream("BENCH_STDERR.txt")
+      val tee = new java.io.OutputStream {
+        private var written = 0L
+        override def write(b: Int): Unit = {
+          origErr.write(b)
+          if (written < MaxErrBytes) { sink.write(b); written += 1 }
+        }
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          origErr.write(b, off, len)
+          if (written < MaxErrBytes) {
+            val n = math.min(len.toLong, MaxErrBytes - written).toInt
+            sink.write(b, off, n); written += n
+          }
+        }
+        override def flush(): Unit = { origErr.flush(); sink.flush() }
+      }
+      System.setErr(new java.io.PrintStream(tee, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try { sink.flush(); sink.close() } catch { case _: Throwable => () }))
+    } catch { case _: Throwable => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -2607,7 +2607,7 @@ object SparkEntry {
     graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), path, Seq("event_id"))  // v2
     val name = s"graft_gstbl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    def run(): (Long, Long) = {
+    def run(): Long = {
       val q = s.readStream.format("graft-table")
         .option("path", path).option("startVersion", "2")
         .option("maxCommitsPerTrigger", "1").load()
@@ -2616,16 +2616,28 @@ object SparkEntry {
              round(sum(col("total_amount")), 2).as("total"))
         .writeStream.outputMode("complete").format("memory")
         .queryName(name).option("checkpointLocation", ckpt).start()
-      try { q.processAllAvailable()
-            (q.recentProgress.map(_.numInputRows).sum,
-             q.recentProgress.count(_.numInputRows > 0).toLong) }
+      try { q.processAllAvailable(); q.recentProgress.map(_.numInputRows).sum }
       finally q.stop()
     }
-    val (rowsRun1, _) = run()
+    // batch counts come from the checkpoint's COMMITS log, not
+    // recentProgress (round 13, ADVICE: a progress event for a batch
+    // committing while stop() is in flight can be dropped — observed
+    // once in CI — and would spuriously fail the pinned boolean; the
+    // checkpoint is the engine's own durable record)
+    def committedThrough(): Long = {
+      val d = new java.io.File(ckpt, "commits")
+      val ids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong)
+      ids.foldLeft(-1L)(math.max)
+    }
+    val rowsRun1 = run()
+    val committedRun1 = committedThrough()
     // crash window: v3 AND v4 land while the query is DOWN — a backlog
     graft.acid.TxLog.delete(s, path, col("total_amount") < 20)   // v3
     graft.acid.TxLog.delete(s, path, col("total_amount") < 30)   // v4
-    val (rowsRun2, batchesRun2) = run()
+    val rowsRun2 = run()
+    val batchesRun2 = committedThrough() - committedRun1
     val v2Rows = graft.acid.TxLog.readChangeFeed(s, path, 2L, Some(2L)).count()
     val v34Rows = graft.acid.TxLog.readChangeFeed(s, path, 3L, Some(4L)).count()
     s.table(name)
@@ -2648,7 +2660,17 @@ object SparkEntry {
     * the same checkpoint with no new data — `exactly_once` pins that
     * the restart re-delivered nothing (table version unchanged) and
     * that all four batch ids committed. The final table equals the
-    * staged input — the batch aggregate both engines compute. */
+    * staged input — the batch aggregate both engines compute.
+    *
+    * Round 13 adds the SMALL-FILE LIFECYCLE to the probe: the sink runs
+    * with `maintenanceEvery=2`, so the 4-batch ingest triggers
+    * auto-compaction + log checkpointing mid-stream.
+    * `maintenance_ran` pins that an `optimize` maintenance commit
+    * landed AND a log checkpoint exists AND the live file count ended
+    * below the batch count — while the content aggregate, the
+    * exactly-once probes, and the change feed stay exactly what they
+    * were without maintenance (an optimize commit contributes no
+    * changes). */
   def streamTableSink(s: SparkSession, dir: String): DataFrame = {
     val tbl = tempDir("gsink"); val ckpt = tempDir("gsinkck")
     val srcDir = s"${tempDir("gsinkin")}/in"
@@ -2660,6 +2682,7 @@ object SparkEntry {
         .parquet(srcDir)
         .writeStream.format("graft-table").option("path", tbl)
         .option("queryId", "gsink") // the (txnAppId)-style idempotency scope
+        .option("maintenanceEvery", "2") // auto-compaction every 2 batches
         .option("checkpointLocation", ckpt).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -2668,10 +2691,17 @@ object SparkEntry {
     val applied = graft.streaming.TxLogSink.appliedThrough(s, tbl, "gsink")
     run() // restart, same checkpoint, no new files: nothing re-delivers
     val v2 = graft.acid.TxLog.currentVersion(s, tbl)
+    val maintCommits = graft.acid.TxLog.commitOps(s, tbl, 1L, v2)
+      .count(_.op == "optimize")
+    val ckptFiles = Option(new java.io.File(tbl, "_txlog").listFiles())
+      .map(_.count(_.getName.endsWith(".checkpoint.json"))).getOrElse(0)
+    val maintenanceRan = maintCommits >= 1 && ckptFiles >= 1 &&
+      graft.acid.TxLog.fileCount(s, tbl) < 4
     graft.acid.TxLog.read(s, tbl)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total"))
       .withColumn("exactly_once", lit(v2 == v1 && applied == 3L))
+      .withColumn("maintenance_ran", lit(maintenanceRan))
       .orderBy("event_type")
   }
 
@@ -2712,22 +2742,33 @@ object SparkEntry {
     * cycles through .com/.co.uk/.com.br/.org/.net TLDs so the ccTLD
     * rule is exercised on every fifth doc; DuckDB re-derives the
     * expected domain WITHOUT parsing, so a host-extraction bug on the
-    * Spark side fails the per-domain rows. ONE shuffle (the per-domain
-    * window); blocklist and caps are metadata-sized at any corpus
-    * scale. */
+    * Spark side fails the per-domain rows. Round 13 dirties the URLs
+    * with the real crawl shapes the round-12 extractor misparsed —
+    * UPPERCASE scheme+host on every 4th/6th doc, a `:8443` port on
+    * every 9th, `user:t0k@` userinfo on every 11th — while the oracle's
+    * independent derivation stays the clean lowercase domain: any of
+    * the three misfires (empty-host bucket, spurious `:port`/`user@`
+    * domains, case-mismatched blocklist) now shifts per-domain rows.
+    * ONE shuffle (the per-domain window); blocklist and caps are
+    * metadata-sized at any corpus scale. */
   def curateDomains(s: SparkSession, dir: String): DataFrame = {
     val suffix = when(col("doc_id") % 5 === 0, lit(".com"))
       .when(col("doc_id") % 5 === 1, lit(".co.uk"))
       .when(col("doc_id") % 5 === 2, lit(".com.br"))
       .when(col("doc_id") % 5 === 3, lit(".org"))
       .otherwise(lit(".net"))
+    val hostClean = concat(
+      when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("cdn.assets."))
+        .otherwise(lit("")),
+      col("source"), (col("doc_id") % 7).cast("string"), suffix)
     val docs = Tables.documents(s, dir).withColumn("url",
-      concat(lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("www."))
-          .when(col("doc_id") % 3 === 1, lit("cdn.assets."))
-          .otherwise(lit("")),
-        col("source"), (col("doc_id") % 7).cast("string"), suffix, lit("/"),
-        col("lang"), lit("/"), col("doc_id").cast("string")))
+      concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 11 === 3, lit("user:t0k@")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 2, upper(hostClean)).otherwise(hostClean),
+        when(col("doc_id") % 9 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
     graft.etl.Curation.domainReport(docs, "url",
       blocklist = Seq("src00.com", "src11.co.uk", "src192.com.br"),
       perDomainCap = 2)
@@ -2766,21 +2807,49 @@ object SparkEntry {
     annWarehouses.computeIfAbsent(dir,
       _ => graft.TempDirs.createSessionLifetime("annwh"))
 
-  // monotone job counter per SparkContext (installed once); listener
-  // delivery is async, so readers must flush with a marker job first
-  private val jobCounters = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicLong]()
-  private def jobCounter(s: SparkSession): java.util.concurrent.atomic.AtomicLong =
-    jobCounters.computeIfAbsent(s.sparkContext, sc => {
-      val c = new java.util.concurrent.atomic.AtomicLong
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          c.incrementAndGet(); ()
-        }
-      })
-      c
-    })
+  /** Spark jobs `body` launches, counted EXACTLY (round 13 — the
+    * round-12 form waited for "counter >= before+1" after a marker job,
+    * but under FIFO delivery the first event to land could be a hidden
+    * load job's, letting it evade the count; and an in-flight event
+    * from a pre-window job could deliver late and count spuriously).
+    * Marker jobs are IDENTIFIED by a dedicated job group, so the wait
+    * is for the markers' own events, never "any event": one marker
+    * flushes in-flight deliveries BEFORE the window opens, a second
+    * flushes the body's events before the count is read; non-marker
+    * jobs started in between are the answer. */
+  private[graft] def countJobs(s: SparkSession)(body: => Unit): Long = {
+    val sc = s.sparkContext
+    val markerGroup = s"graft-marker-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val markers = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (g.contains(markerGroup)) markers.incrementAndGet()
+        else jobs.incrementAndGet()
+        ()
+      }
+    }
+    def marker(expect: Long): Unit = {
+      sc.setJobGroup(markerGroup, "listener flush marker")
+      try sc.parallelize(Seq(1), 1).count() finally sc.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (markers.get() < expect && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      require(markers.get() >= expect,
+        s"marker job event never delivered (have ${markers.get()}, want $expect)")
+    }
+    sc.addSparkListener(listener)
+    try {
+      marker(1) // drain any event already in flight toward this listener
+      val before = jobs.get()
+      body
+      marker(2) // the body's events are all delivered once this returns
+      jobs.get() - before
+    } finally sc.removeSparkListener(listener)
+  }
 
   /** #163 Catalog-persisted ANN index (round 12,
     * [[graft.similarity.AnnIndexStore]]) — "train once, probe many"
@@ -2790,10 +2859,11 @@ object SparkEntry {
     * fingerprint. The scenario builds (or, on warm passes, loads) the
     * artifact, then opens a FRESH SESSION and probes through the
     * CATALOG-LOADED index: `loaded_without_train` pins that the load
-    * came from the catalog and launched ZERO Spark jobs (proved with a
-    * marker-job flush of the async listener bus — the listener counter
-    * is read only after a deliberately-run marker job's event arrives,
-    * so a hidden train job could not hide behind delivery lag), and
+    * came from the catalog and launched ZERO Spark jobs (round 13: the
+    * job count uses IDENTIFIED marker jobs on both sides of the window
+    * — [[countJobs]] — so a hidden train job can no longer slip out
+    * between "first event delivered" and the marker's own event, and a
+    * pre-window in-flight event can no longer count spuriously), and
     * `codebooks_identical` pins the JSON round-trip bit-exact against
     * the in-memory trained codebooks. Recall floors are `ann_pq`'s —
     * the loaded index must probe as well as the trained one. */
@@ -2809,17 +2879,13 @@ object SparkEntry {
     // force it before the measured window (a fresh session's first read
     // of a path runs one tiny listing job)
     emb2.inputFiles
-    val counter = jobCounter(s)
-    val before = counter.get()
-    val (idx2, loaded) =
-      graft.similarity.AnnIndexStore.pqIndex(emb2, wh, "emb_pq")
-    // flush: one marker job; the bus is FIFO, so once its event lands,
-    // any job the load might have run would already be counted
-    s.sparkContext.parallelize(Seq(1), 1).count()
-    val deadline = System.currentTimeMillis() + 30000
-    while (counter.get() < before + 1 &&
-           System.currentTimeMillis() < deadline) Thread.sleep(10)
-    val loadJobs = counter.get() - before - 1 // minus the marker
+    var idx2: graft.similarity.Pq.PqIndex = null
+    var outcome: graft.similarity.AnnIndexStore.IndexOutcome = null
+    val loadJobs = countJobs(s) {
+      val r = graft.similarity.AnnIndexStore.pqIndex(emb2, wh, "emb_pq")
+      idx2 = r._1; outcome = r._2
+    }
+    val loaded = outcome == graft.similarity.AnnIndexStore.IndexOutcome.Loaded
     val brute = graft.Caching.materialize(
       Cosine.bruteTopK(emb, nQueries = 8, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact")))
@@ -2842,6 +2908,106 @@ object SparkEntry {
               (col("max_err") <= 0.001).as("sim_err_ok"))
       .withColumn("loaded_without_train", lit(loaded && loadJobs == 0L))
       .withColumn("codebooks_identical", lit(idx1.cb == idx2.cb))
+  }
+
+  /** #164 SQL DML front door (round 13, [[graft.analytics.GraftSql]]) —
+    * MERGE INTO / UPDATE / DELETE as SQL TEXT over a cataloged txlog
+    * table, parsed by Spark's own SQL parser and routed to the existing
+    * kernels; the reference's Athena consumption face
+    * (analysis/analytics_job.py:29-54) made read-write. The scenario is
+    * #141's five-clause conditional MERGE run THROUGH SQL (identical
+    * clause conditions and precedence), followed by an SQL UPDATE
+    * (purchase amounts +1) and an SQL DELETE (< 25) — all three DML
+    * verbs through one front door, against the catalog-registered
+    * name, with the oracle modeling the exact end state. */
+  def sqlDml(s: SparkSession, dir: String): DataFrame = {
+    val path = tempDir("txsqldml"); val wh = tempDir("sqldmlwh")
+    val consumer = consumerSlim(s, dir)
+    graft.acid.TxLog.overwrite(consumer, path,
+      Seq("trip_type", "trip_year", "trip_month"))
+    graft.acid.GraftCatalog.register(wh, "consumer_sql", path)
+    val arrivals = consumer
+      .filter(col("trip_type") === ConsumerPipeline.GreenType)
+      .withColumn("event_id", -(col("event_id") + 1L)) // collision-proof vs ScaleUp's +10M stride
+    val srcView = s"sql_dml_source_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    consumer.filter(col("trip_type") === ConsumerPipeline.YellowType)
+      .unionByName(arrivals).createOrReplaceTempView(srcView)
+    graft.analytics.GraftSql.execute(s, wh,
+      s"""MERGE INTO consumer_sql t USING $srcView s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.total_amount >= 100
+         |  THEN UPDATE SET total_amount = t.total_amount + 10
+         |WHEN MATCHED AND s.total_amount >= 150 OR s.total_amount < 20
+         |  THEN DELETE
+         |WHEN NOT MATCHED AND s.total_amount >= 50 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.total_amount < 30 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE
+         |  THEN UPDATE SET total_amount = t.total_amount + 5""".stripMargin)
+    graft.analytics.GraftSql.execute(s, wh,
+      "UPDATE consumer_sql SET total_amount = total_amount + 1 " +
+        "WHERE trip_type = 'purchase'")
+    graft.analytics.GraftSql.execute(s, wh,
+      "DELETE FROM consumer_sql WHERE total_amount < 25")
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .orderBy("trip_type")
+  }
+
+  /** #165 Incremental ANN index maintenance (round 13,
+    * [[graft.similarity.AnnIndexStore]]) — a GROWING corpus must not
+    * retrain and re-encode everything: the store detects append-only
+    * growth from the persisted per-file signatures, keeps the
+    * codebooks, encodes ONLY the new files (a direct read of exactly
+    * those paths — O(batch) input at any corpus size), and appends to
+    * the code table in one tagged commit; a drift guard (mean cosine
+    * distortion of the batch vs the training-time baseline) falls back
+    * to full retrain when the old codebooks no longer describe the new
+    * data. The probe pins: the extension outcome (codebooks kept, code
+    * table grew by exactly the batch), the recall floors over the GROWN
+    * corpus through the extended index (`ann_pq`'s floors — extension
+    * must not degrade the probe), and that the next call is a pure
+    * load. */
+  def annIndexIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndexStore
+    val wh = tempDir("annincwh")
+    val corpus = s"${tempDir("anninccorp")}/corpus"
+    val emb0 = Tables.embeddings(s, dir)
+    emb0.filter(col("vec_id") % 5 =!= 0).write.parquet(corpus)
+    val (built, o0) = AnnIndexStore.pqIndex(s.read.parquet(corpus), wh, "emb_inc")
+    val loc = new java.io.File(wh, "emb_inc").toString
+    val rows0 = graft.acid.TxLog.read(s, loc).count()
+    val batch = emb0.filter(col("vec_id") % 5 === 0)
+    val batchRows = batch.count()
+    batch.coalesce(1).write.mode("append").parquet(corpus)
+    val emb2 = s.read.parquet(corpus)
+    val (ext, o1) = AnnIndexStore.pqIndex(emb2, wh, "emb_inc")
+    val rows1 = graft.acid.TxLog.read(s, loc).count()
+    val (_, o2) = AnnIndexStore.pqIndex(s.read.parquet(corpus), wh, "emb_inc")
+    val extendedOk =
+      o0 == AnnIndexStore.IndexOutcome.Trained(false) &&
+      o1 == AnnIndexStore.IndexOutcome.Extended(1) &&
+      o2 == AnnIndexStore.IndexOutcome.Loaded &&
+      ext.cb == built.cb
+    val brute = graft.Caching.materialize(
+      Cosine.bruteTopK(emb2, nQueries = 8, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_exact")))
+    val pq = graft.Caching.materialize(
+      graft.similarity.Pq.probe(emb2, ext, nQueries = 8, kNeighbors = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q")))
+    val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val recall = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+           min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
+    recall.select(col("n_queries"),
+        (col("minr") >= 0.4).as("min_recall_ok"),
+        (col("meanr") >= 0.65).as("mean_recall_ok"))
+      .withColumn("extended_without_retrain", lit(extendedOk))
+      .withColumn("code_rows_grew_by_batch", lit(rows1 == rows0 + batchRows))
   }
 
   // ------------------------------------------------------------ registry
@@ -3024,6 +3190,8 @@ object SparkEntry {
     "dedup_paragraph"     -> (dedupParagraph _),
     "curate_domains"      -> (curateDomains _),
     "ann_index_persist"   -> (annIndexPersist _),
+    "ann_index_incremental" -> (annIndexIncremental _),
+    "sql_dml"             -> (sqlDml _),
     "dedup_semantic"      -> (dedupSemantic _),
   )
 
@@ -3063,7 +3231,11 @@ object SparkEntry {
       s"WHEN $conds THEN '$lang'"
     }.mkString(" ")
     s"""WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks,
-       |             CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}\\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+       |             -- n_tokens over lower(text), matching the funnel's pw.nt
+       |             -- (windowStats runs on the lowered text): Unicode case
+       |             -- mappings that change character class would otherwise
+       |             -- diverge (round-13 parity pin)
+       |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '')) AS BIGINT) AS n_tokens
        |           FROM documents),
        |sc AS (SELECT doc_id, text, n_tokens, toks, $scoreDefs FROM t),
        |lp AS (SELECT doc_id, text, n_tokens,
@@ -3140,7 +3312,7 @@ object SparkEntry {
     s"""segs AS (
        |  SELECT doc_id, g.i AS seg_i, sa[g.i] AS seg
        |  FROM (SELECT doc_id,
-       |          regexp_split_to_array(lower(text), '\\n\\s*\\n') AS sa
+       |          regexp_split_to_array(lower(text), '\\n[ \\t\\r]*\\n') AS sa
        |        FROM $srcRel),
        |  LATERAL (SELECT unnest(generate_series(1, len(sa)))) AS g(i)),
        |pt AS (SELECT doc_id, seg_i, list_filter(regexp_split_to_array(seg, '[^\\p{L}\\p{N}]+'), t -> t <> '') AS toks
@@ -4461,6 +4633,51 @@ object SparkEntry {
         |       true AS loaded_without_train,
         |       true AS codebooks_identical""".stripMargin,
 
+    // append-only growth: extension (not retrain) pinned, codebooks
+    // kept, code table grew by exactly the batch, next call a pure
+    // load; recall floors hold over the GROWN corpus through the
+    // extended index
+    "ann_index_incremental" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
+        |       true AS mean_recall_ok, true AS extended_without_retrain,
+        |       true AS code_rows_grew_by_batch""".stripMargin,
+
+    // #141's five-clause merge model run through SQL text, then the SQL
+    // UPDATE (+1 on purchases) and SQL DELETE (< 25) applied on top —
+    // the CASE chains mirror clause precedence exactly
+    "sql_dml" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |y AS (SELECT total_amount,
+         |             CASE WHEN total_amount >= 100 THEN 'upd'
+         |                  WHEN total_amount >= 150 OR total_amount < 20 THEN 'del'
+         |                  ELSE 'keep' END AS act
+         |      FROM c WHERE trip_type = 'purchase'),
+         |g AS (SELECT total_amount,
+         |             CASE WHEN total_amount < 30 THEN 'del'
+         |                  ELSE 'upd' END AS act
+         |      FROM c WHERE trip_type = 'view'),
+         |merged AS (
+         |  SELECT 'purchase' AS trip_type,
+         |         CASE WHEN act = 'upd' THEN total_amount + 10
+         |              ELSE total_amount END AS total_amount
+         |  FROM y WHERE act <> 'del'
+         |  UNION ALL
+         |  SELECT 'view', total_amount + 5 FROM g WHERE act = 'upd'
+         |  UNION ALL
+         |  SELECT 'view', total_amount FROM c
+         |  WHERE trip_type = 'view' AND total_amount >= 50),
+         |updated AS (
+         |  SELECT trip_type,
+         |         CASE WHEN trip_type = 'purchase' THEN total_amount + 1
+         |              ELSE total_amount END AS total_amount
+         |  FROM merged)
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(total_amount), 2) AS total
+         |FROM updated WHERE total_amount >= 25
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "sample_stratified" ->
       """SELECT event_type, count(*) AS n_total,
         |       CAST((count(*) * 200 + 999) // 1000 AS BIGINT) AS n_sampled,
@@ -5189,10 +5406,14 @@ object SparkEntry {
 
     // the sink ingests the FULL staged input exactly once across four
     // batch commits and a checkpoint restart — the content model is the
-    // plain batch aggregate; the restart/batch-id probes pin true
+    // plain batch aggregate; the restart/batch-id probes pin true, and
+    // (round 13) so does the mid-stream maintenance cycle: compaction +
+    // log checkpoint ran AND changed neither the content nor the
+    // exactly-once accounting
     "stream_table_sink" ->
       """SELECT event_type, count(*) AS n_rows,
-        |       round(sum(value), 2) AS total, true AS exactly_once
+        |       round(sum(value), 2) AS total, true AS exactly_once,
+        |       true AS maintenance_ran
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact per-doc census of the paragraph-dedup model: same planted

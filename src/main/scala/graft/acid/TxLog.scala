@@ -227,41 +227,66 @@ object TxLog {
     }
   }
 
-  /** Per-commit metadata for versions `lo..hi` (inclusive), ascending:
-    * (version, op, added rows) where `added rows` sums the commit's add
-    * actions' recorded `numRecords` (unknown counts as 0). Driver-side,
-    * O(range) tag-file reads — what a streaming source's admission
-    * control ([[graft.streaming.TxLogSource]]) and a CDC fold's
-    * commit-shape checks ([[graft.streaming.StreamScd2]]) consume:
-    * bounded log metadata, never data I/O. */
+  /** Per-commit metadata for versions `lo..hi` (inclusive), ascending.
+    * Driver-side, O(range) tag-file reads — what a streaming source's
+    * admission control ([[graft.streaming.TxLogSource]]) and a CDC
+    * fold's commit-shape checks ([[graft.streaming.StreamScd2]])
+    * consume: bounded log metadata, never data I/O.
+    *
+    * `rows`/`bytes` estimate what the change feed DELIVERS for the
+    * commit, not what it wrote (round 13 — the admission-cap currency):
+    * a commit with cdc actions delivers its cdc rows (a delete-only
+    * commit records ~0 added rows yet feeds its whole change set — the
+    * round-12 add-row proxy left delete/merge-heavy backlogs unbounded
+    * under `maxRowsPerTrigger`); a maintenance commit (optimize /
+    * compactLog / metadata ops) delivers nothing and counts 0; anything
+    * else delivers its add actions. Cdc actions of pre-round-13 commits
+    * carry no counts — those fall back to the add-row proxy. */
+  private[graft] final case class CommitMeta(version: Long, op: String,
+                                             rows: Long, bytes: Long)
+
+  private val MaintenanceOps = Set("optimize", "compactLog", "setConstraint",
+    "dropConstraint", "setBloomFilter", "renameColumn", "dropColumn", "analyze")
+
   private[graft] def commitOps(spark: SparkSession, table: String,
-                               lo: Long, hi: Long): Seq[(Long, String, Long)] = {
+                               lo: Long, hi: Long): Seq[CommitMeta] = {
     val (hfs, root) = fs(spark, table)
     listVersions(hfs, root)
       .filter { case (v, _) => v >= lo && v <= hi }
       .sortBy(_._1)
       .map { case (v, p) =>
         val c = parseCommit(readText(hfs, p))
-        (v, c.op.getOrElse(""),
-          c.adds.map(a => math.max(a.numRecords, 0L)).sum)
+        val op = c.op.getOrElse("")
+        val (rows, bytes) =
+          if (c.cdcRows > 0) (c.cdcRows, c.cdcBytes)
+          else if (MaintenanceOps.contains(op)) (0L, 0L)
+          else (c.adds.map(a => math.max(a.numRecords, 0L)).sum,
+                c.adds.map(a => math.max(a.size, 0L)).sum)
+        CommitMeta(v, op, rows, bytes)
       }
   }
 
   /** Change-data file reference (Delta `cdc` action): rows describing the
     * commit's row-level changes, tagged `_change_type`, stored OUTSIDE the
-    * live-file set — snapshot reads never see them. */
-  private def cdcJson(path: String): String =
+    * live-file set — snapshot reads never see them. Carries the file's
+    * row count and size (round 13) so admission control can budget what
+    * the feed will DELIVER from driver metadata alone. */
+  private def cdcJson(path: String, rows: Long, size: Long): String =
     JsonMethods.compact(JsonMethods.render(
-      JObject("cdc" -> JObject("path" -> JString(path)))))
+      JObject("cdc" -> JObject("path" -> JString(path),
+        "numRecords" -> JLong(rows), "size" -> JLong(size)))))
 
   private case class ParsedCommit(meta: Option[Meta], adds: Seq[AddFile],
                                   removes: Seq[String], cdcs: Seq[String],
-                                  op: Option[String], tag: Option[String] = None)
+                                  op: Option[String], tag: Option[String] = None,
+                                  cdcRows: Long = 0L, cdcBytes: Long = 0L)
 
   private def parseCommit(text: String): ParsedCommit = {
     var meta: Option[Meta] = None
     var op: Option[String] = None
     var tag: Option[String] = None
+    var cdcRows = 0L
+    var cdcBytes = 0L
     val adds = mutable.ArrayBuffer.empty[AddFile]
     val removes = mutable.ArrayBuffer.empty[String]
     val cdcs = mutable.ArrayBuffer.empty[String]
@@ -332,6 +357,11 @@ object TxLog {
         case JObject(List(("cdc", c))) =>
           val JString(p) = c \ "path"
           cdcs += p
+          def longField(field: String): Long = c \ field match {
+            case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+          }
+          cdcRows += longField("numRecords")
+          cdcBytes += longField("size")
         case JObject(List(("commitInfo", i))) =>
           i \ "op" match { case JString(o) => op = Some(o); case _ => () }
           i \ "tag" match { case JString(t) => tag = Some(t); case _ => () }
@@ -339,7 +369,8 @@ object TxLog {
           throw new IllegalStateException(s"unknown txlog action: $other")
       }
     }
-    ParsedCommit(meta, adds.toSeq, removes.toSeq, cdcs.toSeq, op, tag)
+    ParsedCommit(meta, adds.toSeq, removes.toSeq, cdcs.toSeq, op, tag,
+      cdcRows, cdcBytes)
   }
 
   // ------------------------------------------------------------ snapshot
@@ -571,21 +602,29 @@ object TxLog {
   }
 
   /** Stage a change-data frame (table columns + `_change_type`) as
-    * immutable parquet under a `cdc-` dir; returns the relative paths for
-    * cdc actions. Unpartitioned on purpose: partition columns ride as
-    * ordinary columns, so feed reads are plain parquet scans. */
-  private def stageCdc(df: DataFrame, table: String): Seq[String] = {
+    * immutable parquet under a `cdc-` dir; returns (relative path, row
+    * count, byte size) for cdc actions — the counts come from footer
+    * metadata (no data I/O, like [[stage]]) so streaming admission can
+    * budget the feed's delivered volume from the log alone. Unpartitioned
+    * on purpose: partition columns ride as ordinary columns, so feed
+    * reads are plain parquet scans. */
+  private def stageCdc(df: DataFrame, table: String): Seq[(String, Long, Long)] = {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"cdc-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
     df.write.mode("overwrite").parquet(staging.toString)
     val qualified = hfs.makeQualified(staging).toString
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val it = hfs.listFiles(staging, true)
-    val files = mutable.ArrayBuffer.empty[String]
+    val files = mutable.ArrayBuffer.empty[(String, Long, Long)]
     while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet"))
-        files += s"$stagingName/${f.toString.stripPrefix(qualified).stripPrefix("/")}"
+      val status = it.next()
+      val f = status.getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rows = ParquetStats.readFooter(conf, f)._1
+        files += ((s"$stagingName/${f.toString.stripPrefix(qualified).stripPrefix("/")}",
+          math.max(rows, 0L), status.getLen))
+      }
     }
     files.toSeq
   }
@@ -889,7 +928,7 @@ object TxLog {
         val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
         val lines = commitInfoJson("merge", commitTag) +: (metaLine ++
           touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-            cdcFiles.map(cdcJson))
+            cdcFiles.map((cdcJson _).tupled))
         if (tryCommit(hfs, root, snap.version, lines))
           return MergeStats(touched.size, snap.files.size, adds.size)
       } finally { wide.unpersist(); inserts.unpersist() }
@@ -1069,7 +1108,7 @@ object TxLog {
         val cdcFiles = stageCdc(cdcFrame, table)
         val lines = commitInfoJson("merge") +:
           (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-            cdcFiles.map(cdcJson))
+            cdcFiles.map((cdcJson _).tupled))
         if (tryCommit(hfs, root, snap.version, lines))
           return MergeStats(touched.size, snap.files.size, adds.size)
       } finally { acted.unpersist(); inserts.unpersist() }
@@ -1323,7 +1362,7 @@ object TxLog {
         val lines = commitInfoJson(op) +:
           (gone.map(actionJson("remove", _)) ++
             (adds ++ newAdds).map(actionJson("add", _)) ++
-            cdcFiles.map(cdcJson))
+            cdcFiles.map((cdcJson _).tupled))
         if (tryCommit(hfs, root, snap.version, lines))
           return MergeStats(touched.size, snap.files.size, newAdds.size)
       } finally hits.unpersist()
@@ -1383,7 +1422,7 @@ object TxLog {
       val cdcFiles = stageCdc(cdcOf(rows, condition), table)
       val lines = commitInfoJson(op) +:
         (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
-          cdcFiles.map(cdcJson))
+          cdcFiles.map((cdcJson _).tupled))
       if (tryCommit(hfs, root, snap.version, lines))
         return MergeStats(touched.size, snap.files.size, adds.size)
       attempts += 1
@@ -1873,7 +1912,11 @@ object TxLog {
           removesOf(v, c).toSeq ++ addsOf(v, c, "insert").toSeq
         case Some("optimize") | Some("compactLog") | Some("setConstraint") |
              Some("dropConstraint") | Some("setBloomFilter") |
-             Some("renameColumn") | Some("dropColumn") => Seq.empty
+             Some("renameColumn") | Some("dropColumn") |
+             // analyze re-adds the same files with stats attached — a
+             // metadata-only commit, no row changed (round 13: a sink's
+             // maintenance cycle can land one mid-stream)
+             Some("analyze") => Seq.empty
         case Some("merge") | Some("delete") | Some("update") =>
           Seq.empty // committed with no matching rows: nothing changed
         case Some(other) => throw new IllegalStateException(
@@ -1904,9 +1947,63 @@ object TxLog {
     }
   }
 
+  /** The txlog version a streaming reader's checkpoint PROVABLY no
+    * longer needs commits at or below — the MINIMUM offset across the
+    * checkpoint's retained `offsets/` files (round 13). The engine
+    * replays `(last committed offset, last planned offset]` on restart
+    * and retains a window of older batches; taking the minimum of every
+    * retained file is conservative for all of them. A reader below the
+    * vacuum horizon fails like old time travel — correct but
+    * operationally blunt (VERDICT r12); this turns the outage into a
+    * guard. None when the dir has no parseable offsets (a brand-new or
+    * foreign checkpoint: the caller decides — [[vacuum]] refuses, since
+    * a checkpoint you can't read is a reader you can't clear). */
+  def readerSafeHorizon(spark: SparkSession,
+                        checkpointDir: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(checkpointDir, "offsets")
+    val hfs = dir.getFileSystem(conf)
+    if (!hfs.exists(dir)) return None
+    val batchFiles = hfs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+    val offsets = batchFiles.flatMap { s =>
+      // offsets file format: "v1" \n metadata json \n one offset line per
+      // source — a single graft-table source serializes its LongOffset
+      // as the bare version number
+      readText(hfs, s.getPath).linesIterator.toSeq.drop(2)
+        .flatMap(_.trim.toLongOption)
+    }
+    if (offsets.isEmpty) None else Some(offsets.min)
+  }
+
   /** Physically delete files no snapshot ≥ `retainVersion` references —
-    * Delta VACUUM (time travel before `retainVersion` stops working). */
-  def vacuum(spark: SparkSession, table: String, retainVersion: Long): Unit = {
+    * Delta VACUUM (time travel before `retainVersion` stops working).
+    *
+    * `protectReaders` (round 13): streaming-consumer checkpoint dirs
+    * whose progress this vacuum must not outrun. For each, the safe
+    * horizon is derived from the checkpoint's own offsets log
+    * ([[readerSafeHorizon]]); a `retainVersion` above any reader's
+    * horizon REFUSES loudly instead of stranding the reader below the
+    * vacuum (the restart would fail mid-replay, after the files are
+    * gone). `force = true` overrides — the operator's explicit decision
+    * to abandon a lagging consumer, recorded in the error text it had
+    * to read first. */
+  def vacuum(spark: SparkSession, table: String, retainVersion: Long,
+             protectReaders: Seq[String] = Seq.empty,
+             force: Boolean = false): Unit = {
+    if (!force) protectReaders.foreach { ckpt =>
+      readerSafeHorizon(spark, ckpt) match {
+        case Some(h) => require(retainVersion <= h,
+          s"vacuum(retainVersion=$retainVersion) on $table would strand the " +
+            s"streaming reader checkpointed at $ckpt (its replay window may " +
+            s"still need commits above version $h): let the reader catch up, " +
+            "lower retainVersion, or pass force=true to abandon it explicitly")
+        case None => throw new IllegalArgumentException(
+          s"vacuum on $table: protected reader checkpoint $ckpt has no " +
+            "readable offsets log — refusing to vacuum against an unknown " +
+            "reader position (pass force=true to override)")
+      }
+    }
     val (hfs, root) = fs(spark, table)
     val versions = listVersions(hfs, root)
     val referenced = versions.map(_._1).filter(_ >= retainVersion)
@@ -2028,6 +2125,57 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"txlog optimizeDv on $table lost $attempts optimistic races; giving up")
+  }
+
+  /** AUTO-COMPACTION unit (round 13 — the Delta auto-compaction shape a
+    * streaming sink's lifecycle needs): rewrite ONLY the live files
+    * smaller than `maxFileBytes` into consolidated files, one ACID
+    * `optimize` commit. The crucial difference from [[optimize]] is the
+    * cost bound — a full-snapshot rewrite every N micro-batches is
+    * O(table) work at 100 TB; this is O(small files), which for a
+    * trigger-per-minute ingest is exactly the last maintenance window's
+    * appends. Partitioned tables re-stage one file per touched
+    * partition; unpartitioned output coalesces to ~4×`maxFileBytes`
+    * files so compacted output never re-qualifies as small. Files with
+    * outstanding DVs rewrite THROUGH the DV filter (live rows
+    * unchanged, sidecar materialized away — the [[optimizeDv]]
+    * argument). Returns 0-stats (no commit at all) when fewer than
+    * `minSmallFiles` qualify, so an idle table pays one driver log read
+    * per cycle and nothing else. The `optimize` op is invisible to the
+    * change feed and counts zero toward streaming admission caps —
+    * a concurrent `stream_table` reader sees no phantom rows. */
+  def compactSmallFiles(spark: SparkSession, table: String,
+                        maxFileBytes: Long = 32L * 1024 * 1024,
+                        minSmallFiles: Int = 4): MergeStats = {
+    require(maxFileBytes > 0, s"maxFileBytes must be > 0, got $maxFileBytes")
+    val (hfs, root) = fs(spark, table)
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(
+        throw new IllegalStateException(s"no txlog table at $table"))
+      val small = snap.files.filter(f => f.size >= 0 && f.size < maxFileBytes)
+      if (small.size < math.max(minSmallFiles, 2))
+        return MergeStats(0, snap.files.size, 0)
+      val rows = relationFor(spark, table, snap.meta, small)._1
+      val adds =
+        if (snap.meta.partitionCols.nonEmpty)
+          stage(rows, table, snap.meta.partitionCols,
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+        else {
+          val totalBytes = small.map(f => math.max(f.size, 0L)).sum
+          val nOut = math.max(1L,
+            (totalBytes + 4 * maxFileBytes - 1) / (4 * maxFileBytes)).toInt
+          stage(rows.coalesce(nOut), table, Seq.empty, rearrange = false,
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+        }
+      val lines = commitInfoJson("optimize") +:
+        (small.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(small.size, snap.files.size, adds.size)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog compactSmallFiles on $table lost $attempts optimistic races; giving up")
   }
 
   /** Live file count of the current snapshot (compaction observability). */

@@ -55,9 +55,15 @@ object TextShingles {
 
 object ParagraphWindowsImpl {
   // structural paragraph boundary: a blank line (newline, optional
-  // whitespace, newline) — the conventional paragraph break of crawl
-  // text. Round 12: windows never cross one.
-  private val BoundaryRe = java.util.regex.Pattern.compile("\\n\\s*\\n")
+  // intra-line whitespace, newline) — the conventional paragraph break
+  // of crawl text. Round 12: windows never cross one. Round 13: the
+  // class is EXPLICIT (`[ \t\r]`, not `\s`) and mirrored VERBATIM in
+  // the DuckDB oracle CTE — Java's \s includes U+000B while RE2's does
+  // not, so a `\n\x0B\n` sequence split paragraphs on the Spark side
+  // only (latent real-text parity trap; token-level segmentation is
+  // unchanged for all other inputs because a stray `\n` left inside a
+  // segment contributes no tokens).
+  private val BoundaryRe = java.util.regex.Pattern.compile("\\n[ \\t\\r]*\\n")
 
   /** The text's structural segments: split on blank-line runs when any
     * newline is present, the whole text otherwise (break-free corpora —
@@ -117,8 +123,19 @@ object ParagraphWindowStatsImpl {
     * shared tokenizer's count exactly). The hash is bit-identical to
     * `md5(window)` (lowercase hex of the UTF-8 bytes) and per-window
     * `nt` to `size(split(window, ' '))` — windows are non-empty
-    * single-space joins of non-empty tokens. */
-  def windowStats(s: UTF8String, w: Int): Any = {
+    * single-space joins of non-empty tokens.
+    *
+    * Return type is DECLARED as [[InternalRow]] (round 13): the codegen
+    * template assigns the call result to a variable of the struct's
+    * javaType (`InternalRow`), and Janino REJECTS an Object-typed
+    * right-hand side — the round-12 `Any` declaration erased to Object,
+    * so whole-stage compilation of every stage containing this
+    * expression failed and Spark silently fell back to interpreted
+    * execution on the funnel's hottest scan (the unexplained stack
+    * trace in the round-12 bench tail). Spec-pinned via a
+    * fallback-disabled compile. */
+  def windowStats(s: UTF8String, w: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var total = 0

@@ -27,8 +27,12 @@ object Ivf {
 
   /** Assignment as a projection: argmin over k centroid literals via
     * `least` on (distance, cell) structs — codegen'd, ties break to the
-    * lower cell id. */
-  private def assignExpr(p: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    * lower cell id. Exposed to the package (round 13) so the
+    * incremental index path ([[AnnIndexStore]]) can assign NEW vectors
+    * under an existing index's centroids with the training pass's exact
+    * rule. */
+  private[similarity] def assignExpr(p: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = p.sparkSession
     val alts = centroids.map { case (cell, c) =>
       struct((lit(1.0) - graft.functions.GraftFunctions

@@ -71,14 +71,37 @@ object IvfPq {
       s"IVF centroids must be dense 0..${centroids.size - 1}: " +
       centroids.map(_._1).mkString(","))
     val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
+    // residual corpus — assigned already carries the double vector `v`
+    val resid = graft.Caching.materialize(residualFrame(assigned, cents))
+    val cb = Pq.train(resid, m, k, iters)
+    val dir =
+      if (sessionLifetime) graft.TempDirs.createSessionLifetime("ivfpqindex_keep")
+      else graft.TempDirs.create("ivfpqindex")
+    codeRows(resid, cb, cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    IvfPqIndex(cb, centroids, dir)
+  }
+
+  /** Residuals `x − centroid(cell)` of a cell-assigned prepared frame
+    * (columns `vec_id, v, cell`), shaped as the `embedding` column
+    * [[Pq]] consumes. */
+  private[similarity] def residualFrame(assigned: DataFrame,
+                                        cents: Seq[Seq[Double]]): DataFrame =
+    assigned.withColumn("__cents", typedLit(cents))
+      .select(col("vec_id"), col("cell"),
+        expr("transform(v, (x, i) -> x - __cents[cell][i])").as("embedding"))
+
+  /** `(vec_id, codes, rnorm, cell)` code rows of a residual frame under
+    * GIVEN artifacts — the write-side projection, shared by
+    * [[buildIndex]] and the incremental append path
+    * ([[AnnIndexStore]]): `rnorm = |c_cell + r̂|` expands to
+    * `|c|² + 2·(c·r̂) + |r̂|²`, all three terms m-lookup sums into
+    * driver-literal tables, paid once at encode time. */
+  private[similarity] def codeRows(resid: DataFrame, cb: Pq.Codebooks,
+                                   cents: Seq[Seq[Double]]): DataFrame = {
+    val m = cb.size
     val d = cents.head.size
     val subd = d / m
-    // residual corpus — assigned already carries the double vector `v`
-    val resid = graft.Caching.materialize(
-      assigned.withColumn("__cents", typedLit(cents))
-        .select(col("vec_id"), col("cell"),
-          expr("transform(v, (x, i) -> x - __cents[cell][i])").as("embedding")))
-    val cb = Pq.train(resid, m, k, iters)
     val cn2: Seq[Double] = cents.map(c => c.map(x => x * x).sum)
     val d2: Seq[Seq[Seq[Double]]] = cents.map { c =>       // [cell][j][code]
       (0 until m).map { j =>
@@ -88,9 +111,6 @@ object IvfPq {
     val rn2: Seq[Seq[Double]] = cb.map(_.map(r => r.map(x => x * x).sum))
     val crossDot = (0 until m).map(j => s"__d2[cell][$j][codes[$j]]").mkString(" + ")
     val residN2 = (0 until m).map(j => s"__rn2[$j][codes[$j]]").mkString(" + ")
-    val dir =
-      if (sessionLifetime) graft.TempDirs.createSessionLifetime("ivfpqindex_keep")
-      else graft.TempDirs.create("ivfpqindex")
     Pq.encode(resid, cb, extraCols = Seq("cell"))
       .withColumn("__cn2", typedLit(cn2))
       .withColumn("__d2", typedLit(d2))
@@ -98,8 +118,18 @@ object IvfPq {
       .withColumn("rnorm",
         expr(s"sqrt(__cn2[cell] + 2 * ($crossDot) + ($residN2))"))
       .select("vec_id", "codes", "rnorm", "cell")
-      .write.partitionBy("cell").mode("overwrite").parquet(dir)
-    IvfPqIndex(cb, centroids, dir)
+  }
+
+  /** Code rows for NEW vectors under an EXISTING index's artifacts —
+    * assign cells with the training pass's exact rule
+    * ([[Ivf.assignExpr]] over the stored centroids), residual-encode
+    * with the stored codebooks. O(new rows); the corpus is never
+    * rescanned. */
+  private[similarity] def encodeNewRows(newEmb: DataFrame,
+                                        idx: IvfPqIndex): DataFrame = {
+    val cents = idx.centroids.sortBy(_._1).map(_._2)
+    val assigned = Ivf.assignExpr(Cosine.prepared(newEmb), idx.centroids)
+    codeRows(residualFrame(assigned, cents), idx.cb, cents)
   }
 
   /** The index for `key`, building it on first use (train once, probe

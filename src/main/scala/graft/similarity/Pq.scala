@@ -172,23 +172,34 @@ object Pq {
     PqIndex(cb, dir)
   }
 
+  /** Per-file signatures `path:length:mtime` of a frame's leaf input
+    * files, sorted — the unit [[contentFingerprint]] hashes, and (round
+    * 13) what [[AnnIndexStore]] persists verbatim so APPEND-ONLY corpus
+    * growth is detectable: a stored signature set that is a strict
+    * subset of the current one, every stored file unchanged, means the
+    * old index covers a prefix of the corpus and only the new files
+    * need encoding. */
+  private[similarity] def fileSignatures(df: DataFrame): Seq[String] = {
+    val files = df.inputFiles.sorted.toSeq
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+  }
+
   /** Fingerprint of a frame's underlying files — (path, length, mtime)
     * of every leaf input file, hashed. Folded into session index-store
     * keys so a REGENERATED source table (same path, new bytes) misses
     * the cache and retrains instead of silently serving stale codes. */
-  private[similarity] def contentFingerprint(df: DataFrame): String = {
-    val files = df.inputFiles.sorted
-    if (files.isEmpty) "nofiles"
-    else {
-      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-      val sig = files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(hconf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
-      }.mkString("|")
-      (scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL).toHexString
-    }
-  }
+  private[similarity] def contentFingerprint(df: DataFrame): String =
+    fingerprintOf(fileSignatures(df))
+
+  private[similarity] def fingerprintOf(sigs: Seq[String]): String =
+    if (sigs.isEmpty) "nofiles"
+    else (scala.util.hashing.MurmurHash3.stringHash(sigs.mkString("|"))
+      & 0xffffffffL).toHexString
 
   /** The index for `key`, building it on first use (train once, probe
     * many — the FAISS lifecycle). The stored key carries the source

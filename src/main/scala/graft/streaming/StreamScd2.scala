@@ -59,7 +59,7 @@ object StreamScd2 {
           // per key — the op check is one driver tag-file read.
           val keyUnique = lo == hi &&
             graft.acid.TxLog.commitOps(spark, sourceTable, lo, lo)
-              .forall(_._2 == "merge")
+              .forall(_.op == "merge")
           val post = changes
             .filter(col("_change_type").isin("insert", "update_postimage"))
           val latest = (if (keyUnique) post

@@ -42,32 +42,40 @@ import graft.acid.TxLog
   * catch-up micro-batch spanning every pending commit — at 100 TB an
   * unbounded batch (memory, shuffle, checkpoint latency).
   * `maxCommitsPerTrigger` caps how many commits one batch may span;
-  * `maxRowsPerTrigger` caps its admitted add-action row count (commit
-  * row counts are already in the log's add actions — one driver
-  * metadata read, no data I/O). Both always admit at least one commit
-  * per batch, so a stream never starves behind one oversized commit; a
-  * backlog drains in bounded steps, each an ordinary exactly-once
-  * batch. The source tracks the highest version it has PLANNED
-  * in-memory and re-arms it from the engine's own restart protocol
-  * (the engine replays `getBatch` over the checkpointed range before
-  * the first `getOffset` of a restarted query — the Kafka-source
-  * contract), so bounded catch-up survives restarts without a side
-  * checkpoint.
+  * `maxRowsPerTrigger` and `maxBytesPerTrigger` (round 13 — rows
+  * mis-proxy wide/blob rows, exactly the multimodal tables this engine
+  * carries) cap the batch's DELIVERED volume, budgeted from log
+  * metadata alone ([[graft.acid.TxLog.commitOps]]: cdc actions carry
+  * their own row/byte counts, so a delete-only commit — ~0 added rows,
+  * a huge change set — is budgeted by what the feed will actually read;
+  * maintenance commits count 0 and deliver nothing). All caps always
+  * admit at least one commit per batch, so a stream never starves
+  * behind one oversized commit; a backlog drains in bounded steps, each
+  * an ordinary exactly-once batch. The source tracks the highest
+  * version it has PLANNED in-memory and re-arms it from the engine's
+  * own restart protocol (the engine replays `getBatch` over the
+  * checkpointed range before the first `getOffset` of a restarted
+  * query — the Kafka-source contract), so bounded catch-up survives
+  * restarts without a side checkpoint.
   *
   * Options: `path` (table root, required), `startVersion` (first commit
   * to deliver; default 1 = full history — commit 1 is the first commit
   * carrying data in every writer path here), `maxCommitsPerTrigger`,
-  * `maxRowsPerTrigger` (admission caps, both optional = unbounded).
+  * `maxRowsPerTrigger`, `maxBytesPerTrigger` (admission caps, all
+  * optional = unbounded).
   */
 final class TxLogSource(sqlContext: SQLContext, table: String,
                         startVersion: Long,
                         maxCommitsPerTrigger: Option[Int] = None,
-                        maxRowsPerTrigger: Option[Long] = None) extends Source {
+                        maxRowsPerTrigger: Option[Long] = None,
+                        maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   maxCommitsPerTrigger.foreach(c => require(c >= 1,
     s"maxCommitsPerTrigger must be >= 1, got $c"))
   maxRowsPerTrigger.foreach(r => require(r >= 1,
     s"maxRowsPerTrigger must be >= 1, got $r"))
+  maxBytesPerTrigger.foreach(b => require(b >= 1,
+    s"maxBytesPerTrigger must be >= 1, got $b"))
 
   private val spark = sqlContext.sparkSession
 
@@ -94,14 +102,21 @@ final class TxLogSource(sqlContext: SQLContext, table: String,
     }
     var hi = current
     maxCommitsPerTrigger.foreach(mc => hi = math.min(hi, base + mc))
-    maxRowsPerTrigger.foreach { mr =>
-      // admit commits in order while the cumulative admitted rows stay
-      // under the cap; always at least one (Delta's at-least-one-file rule)
+    if (maxRowsPerTrigger.isDefined || maxBytesPerTrigger.isDefined) {
+      // admit commits in order while the cumulative admitted DELIVERED
+      // volume (cdc-aware rows/bytes) stays under every cap; always at
+      // least one (Delta's at-least-one-file rule). One metadata read
+      // budgets both caps.
       val ops = TxLog.commitOps(spark, table, base + 1, hi)
-      var acc = 0L
+      var accRows = 0L
+      var accBytes = 0L
       var last = base
-      ops.foreach { case (v, _, rows) =>
-        if (last == base || acc < mr) { acc += rows; last = v }
+      ops.foreach { m =>
+        if (last == base ||
+            (maxRowsPerTrigger.forall(accRows < _) &&
+             maxBytesPerTrigger.forall(accBytes < _))) {
+          accRows += m.rows; accBytes += m.bytes; last = m.version
+        }
       }
       hi = last
     }
@@ -209,15 +224,44 @@ object TxLogSource {
   * from the stream, sink-declared partition columns) as an empty v1
   * overwrite + tagged append, so `create-if-absent` needs no side
   * channel. At 100 TB each batch costs exactly its own rows' staging +
-  * one commit — history never rewrites. */
+  * one commit — history never rewrites.
+  *
+  * SMALL-FILE LIFECYCLE (round 13 — the Delta auto-compaction
+  * discipline): one append per micro-batch FOREVER is ~1,440 small
+  * files/day at a trigger per minute, plus an ever-growing log tail —
+  * the first thing a production ingest hits after a week. Every
+  * `maintenanceEvery` committed batches (option, default 50; 0
+  * disables) the sink runs [[graft.acid.TxLog.compactSmallFiles]]
+  * (files < `maintenanceMaxFileBytes`, default 32 MB — O(small files)
+  * work, never O(table)) and writes a log CHECKPOINT, so live file
+  * count and log-replay cost stay bounded however long the query runs.
+  * The maintenance commit is an ordinary `optimize`: it carries no
+  * sink-batch tag (exactly-once replay unaffected), contributes
+  * nothing to the change feed, and counts zero toward a downstream
+  * `stream_table` reader's admission caps — a concurrent consumer sees
+  * no phantom rows. */
 final class TxLogSink(sqlContext: SQLContext, table: String,
-                      partitionCols: Seq[String], scope: String)
+                      partitionCols: Seq[String], scope: String,
+                      maintenanceEvery: Int = 50,
+                      maintenanceMaxFileBytes: Long = 32L * 1024 * 1024)
     extends org.apache.spark.sql.execution.streaming.Sink {
+
+  require(maintenanceEvery >= 0,
+    s"maintenanceEvery must be >= 0 (0 disables), got $maintenanceEvery")
 
   private val spark = sqlContext.sparkSession
 
   /** Cached applied watermark: None = not yet read from the log. */
   private var highWater: Option[Long] = None
+
+  /** Batches committed by THIS instance since its last maintenance —
+    * cadence is per-process on purpose (a restart resets it; the cycle
+    * is a rate limiter, not an exactness contract). */
+  private var sinceMaintenance: Int = 0
+
+  /** Maintenance cycles this instance has run that actually compacted
+    * (spec/probe observability). */
+  private[graft] val maintenanceRuns = new java.util.concurrent.atomic.AtomicLong
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val applied = highWater.getOrElse {
@@ -247,6 +291,18 @@ final class TxLogSink(sqlContext: SQLContext, table: String,
     TxLog.append(batch, table,
       commitTag = Some(s"${TxLogSink.TagPrefix}$scope:$batchId"))
     highWater = Some(batchId)
+    if (maintenanceEvery > 0) {
+      sinceMaintenance += 1
+      if (sinceMaintenance >= maintenanceEvery) {
+        sinceMaintenance = 0
+        val stats = TxLog.compactSmallFiles(spark, table,
+          maxFileBytes = maintenanceMaxFileBytes)
+        // checkpoint regardless: it bounds log REPLAY even when nothing
+        // qualified for compaction (idempotent at a version)
+        TxLog.checkpoint(spark, table)
+        if (stats.filesRewritten > 0) maintenanceRuns.incrementAndGet()
+      }
+    }
   }
 
   override def toString: String = s"TxLogSink[$table, scope=$scope]"
@@ -324,7 +380,8 @@ final class TxLogSourceProvider extends StreamSourceProvider
     new TxLogSource(sqlContext, tablePath(parameters),
       opt(parameters, "startVersion").map(_.toLong).getOrElse(1L),
       opt(parameters, "maxCommitsPerTrigger").map(_.toInt),
-      opt(parameters, "maxRowsPerTrigger").map(_.toLong))
+      opt(parameters, "maxRowsPerTrigger").map(_.toLong),
+      opt(parameters, "maxBytesPerTrigger").map(_.toLong))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -335,6 +392,9 @@ final class TxLogSourceProvider extends StreamSourceProvider
       "graft-table sink is append-only (an ACID table ingests immutable " +
         "batches; use MERGE/foldChanges for update semantics)")
     new TxLogSink(sqlContext, tablePath(parameters), partitionColumns,
-      TxLogSink.scopeFor(parameters))
+      TxLogSink.scopeFor(parameters),
+      opt(parameters, "maintenanceEvery").map(_.toInt).getOrElse(50),
+      opt(parameters, "maintenanceMaxFileBytes").map(_.toLong)
+        .getOrElse(32L * 1024 * 1024))
   }
 }

@@ -378,13 +378,14 @@ class Round12Spec extends SparkSpec {
     val wh = tmp("r12annwh"); val corpus = tmp("r12anncorp")
     Tables.embeddings(spark, sf).write.mode("overwrite").parquet(corpus)
     val emb = spark.read.parquet(corpus)
+    import AnnIndexStore.IndexOutcome
     val (built, loaded0) = AnnIndexStore.pqIndex(emb, wh, "p", m = 16, k = 16)
-    assert(!loaded0)
+    assert(loaded0 == IndexOutcome.Trained(false))
     // fresh session, fresh frame: only the on-disk catalog connects them
     val s2 = spark.newSession()
     val emb2 = s2.read.parquet(corpus)
     val (idx, loaded) = AnnIndexStore.pqIndex(emb2, wh, "p", m = 16, k = 16)
-    assert(loaded)
+    assert(loaded == IndexOutcome.Loaded)
     assert(idx.cb == built.cb, "codebooks must round-trip JSON bit-exact")
     val a = Pq.probe(emb, built, 8, 10).collect().map(_.toString).toSeq
     val b = Pq.probe(emb2, idx, 8, 10).collect().map(_.toString).toSeq
@@ -392,7 +393,8 @@ class Round12Spec extends SparkSpec {
     // ivf×pq face: cell partitioning survives the catalog round-trip
     val (ib, il0) = AnnIndexStore.ivfPqIndex(emb, wh, "ip", k = 16)
     val (ix, il) = AnnIndexStore.ivfPqIndex(emb2, wh, "ip", k = 16)
-    assert(!il0 && il && ix.cb == ib.cb && ix.centroids == ib.centroids)
+    assert(il0 == IndexOutcome.Trained(false) && il == IndexOutcome.Loaded &&
+      ix.cb == ib.cb && ix.centroids == ib.centroids)
     val ia = IvfPq.probe(emb, ib, 8, 10).collect().map(_.toString).toSeq
     val ibr = IvfPq.probe(emb2, ix, 8, 10).collect().map(_.toString).toSeq
     assert(ia == ibr)
@@ -401,7 +403,10 @@ class Round12Spec extends SparkSpec {
       .write.mode("overwrite").parquet(corpus)
     val (_, loaded2) = AnnIndexStore.pqIndex(
       spark.read.parquet(corpus), wh, "p", m = 16, k = 16)
-    assert(!loaded2, "stale fingerprint must invalidate the stored index")
+    assert(loaded2 != IndexOutcome.Loaded,
+      "stale fingerprint must invalidate the stored index")
+    // a rewritten (non-append) corpus is NOT append-only growth either
+    assert(loaded2 == IndexOutcome.Trained(false))
   }
 
   test("AnnIndexStore: the load path launches zero Spark jobs") {
@@ -415,23 +420,16 @@ class Round12Spec extends SparkSpec {
     // force it before the measured window (a fresh session's first read
     // of a path runs one tiny listing job)
     emb2.inputFiles
-    val counter = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
-      }
-    })
-    val (_, loaded) = AnnIndexStore.pqIndex(emb2, wh, "p0")
-    assert(loaded)
-    // flush the async listener bus with a marker job (FIFO: once the
-    // marker's event lands, any load-time job would already be counted)
-    spark.sparkContext.parallelize(Seq(1), 1).count()
-    val deadline = System.currentTimeMillis() + 30000
-    while (counter.get() < 1 && System.currentTimeMillis() < deadline)
-      Thread.sleep(10)
-    assert(counter.get() == 1L,
-      s"load ran ${counter.get() - 1} Spark jobs, want 0 (driver metadata only)")
+    // round 13: identified-marker job counting (SparkEntry.countJobs) —
+    // the old "wait for any first event" flush could let a hidden train
+    // job's event satisfy the wait and escape the count
+    var loaded: AnnIndexStore.IndexOutcome = null
+    val loadJobs = SparkEntry.countJobs(spark) {
+      loaded = AnnIndexStore.pqIndex(emb2, wh, "p0")._2
+    }
+    assert(loaded == AnnIndexStore.IndexOutcome.Loaded)
+    assert(loadJobs == 0L,
+      s"load ran $loadJobs Spark jobs, want 0 (driver metadata only)")
   }
 
   // --------------------------------------------- pq_encode isolation
