@@ -2182,6 +2182,14 @@ object TxLog {
   def fileCount(spark: SparkSession, table: String): Int =
     snapshot(spark, table, None).map(_.files.size).getOrElse(0)
 
+  /** Live files under `maxBytes` (auto-compaction observability: the
+    * sink lifecycle's invariant is that this never accumulates past
+    * the compaction trigger, whatever the data scale). */
+  private[graft] def smallFileCount(spark: SparkSession, table: String,
+                                    maxBytes: Long): Int =
+    snapshot(spark, table, None).map(_.files
+      .count(f => f.size >= 0 && f.size < maxBytes)).getOrElse(0)
+
   /** (data path, outstanding DV rows) per DV-carrying live file —
     * deletion-vector observability for specs and probes. */
   private[graft] def dvInfo(spark: SparkSession, table: String,

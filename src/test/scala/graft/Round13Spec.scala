@@ -83,6 +83,90 @@ class Round13Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("curation_features == the declarative langid/quality/windowStats " +
+       "chain, including Unicode edge shapes") {
+    import graft.text.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial fixtures: accents, CJK (letters with no spaces),
+    // Turkish dotted capital (lowercases to i + combining dot — changes
+    // the punct census of LOWERED text but ours counts RAW, like the
+    // declarative chain), exotic punctuation, digits-only, empty-ish
+    val nasty = Seq(
+      "The quick brown fox. El perro, le chat — und der Hund!",
+      "İstanbul VE Ankara İLE İzmir", "学中文的人很多 in the city",
+      "¡¿Ωμέγα?! the a of and to in is on for with",
+      "12345 67890 !!!", "   ", "a", "",
+      "the\n\nthe of\n \nand is on", "ñ ç ß ü the of")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text"))
+      .unionByName(nasty.toDF("doc_id", "text")
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val ft = graft.functions.CurationFeaturesFunctions
+      .curation_features(spark, col("text"), 20, TextOps.stopwords.map(_._2))
+    val fused = docs.select(col("doc_id"), ft.as("ft"))
+      .select(col("doc_id"), col("ft.nt"), col("ft.chars"), col("ft.punct"),
+        col("ft.stop"), col("ft.paras"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toString).toMap
+    val declarative = TextOps.langId(TextOps.qualityScore(docs))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("nt"),
+        length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+          .cast("long").as("punct"),
+        array(TextOps.stopwords.map(l => col(s"score_${l._1}")): _*).as("stop"),
+        graft.functions.TextShingleFunctions
+          .paragraph_window_stats(spark, lower(col("text")), 20)
+          .getField("paras").as("paras"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toString).toMap
+    assert(fused.keySet == declarative.keySet)
+    fused.keySet.toSeq.sorted.foreach { id =>
+      assert(fused(id) == declarative(id),
+        s"doc $id: fused=${fused(id)} declarative=${declarative(id)}")
+    }
+    // and the flags the funnel actually derives agree with the chain
+    val viaChain = TextOps.langId(TextOps.qualityScore(docs))
+      .select(col("doc_id"), (col("lang_pred") === "en").as("lang_ok"),
+        (col("quality_score") >= 0.5).as("q_ok"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val langOk = (1 until TextOps.stopwords.size)
+      .map(i => col("ft.stop").getItem(0) >= col("ft.stop").getItem(i))
+      .reduce(_ && _) && col("ft.stop").getItem(0) > 0
+    val punctRatio = when(col("ft.chars") > 0,
+      col("ft.punct").cast("double") / col("ft.chars").cast("double"))
+      .otherwise(lit(0.0))
+    val qScore = round(
+      least(col("ft.nt").cast("double") / lit(50.0), lit(1.0)) *
+        (lit(1.0) - punctRatio), 4)
+    val viaFused = docs.select(col("doc_id"), ft.as("ft"))
+      .select(col("doc_id"), langOk.as("lang_ok"), (qScore >= 0.5).as("q_ok"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(viaFused == viaChain)
+    // fused contamination == the declarative broadcast-join flag over
+    // the same bench set (grams built with the production kernel; the
+    // fused loop slides over the concatenated token stream — identical
+    // to word_ngrams' whole-text stream because boundaries are
+    // whitespace runs the tokenizer drops)
+    val bench = docs.filter(col("doc_id") < 45).select("text").collect()
+      .flatMap { r =>
+        val arr = graft.functions.TextShingles.wordNgrams(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(0)).toLowerCase, 8)
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }.distinct.toSeq
+    val ftc = graft.functions.CurationFeaturesFunctions
+      .curation_features(spark, col("text"), 20, TextOps.stopwords.map(_._2),
+        bench)
+    val fusedCont = docs.select(col("doc_id"), ftc.getField("contaminated").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val declCont = TextOps.contamination(docs, docs.filter(col("doc_id") < 45))
+      .select(col("doc_id"), col("contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fusedCont.nonEmpty && fusedCont.count(_._2) > 0 &&
+      fusedCont == declCont)
+  }
+
   // ------------------------------------------------- real URL shapes
 
   test("Curation.host/registrableDomain: uppercase scheme+host, ports, " +
@@ -411,6 +495,53 @@ class Round13Spec extends SparkSpec {
     assert(outcome == IndexOutcome.Trained(true),
       s"got $outcome — drifted batch must trigger the retrain fallback")
     assert(idx.cb != built.cb, "retrain must produce fresh codebooks")
+  }
+
+  // ------------------------------------------------ SQL DML front door
+
+  test("GraftSql: UPDATE SET * / explicit INSERT clauses, theta-key and " +
+       "alias rejection, path-resolved targets") {
+    import graft.analytics.GraftSql
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r13sqlwh"); val table = tmp("r13sqltbl")
+    TxLog.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v"), table)
+    graft.acid.GraftCatalog.register(wh, "t13", table)
+    Seq((2L, "B", 200.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("r13src")
+    // UPDATE SET * (wholesale row replacement on match) + explicit
+    // per-column INSERT assignments
+    GraftSql.execute(spark, wh,
+      """MERGE INTO t13 t USING r13src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT (k, name, v)
+        |  VALUES (s.k, upper(s.name), s.v + 1)""".stripMargin)
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet == Set(
+      Seq(1L, "a", 10.0), Seq(2L, "B", 200.0), Seq(3L, "c", 30.0),
+      Seq(4L, "D", 41.0)))
+    // UPDATE/DELETE resolve a non-cataloged target as a direct txlog path
+    GraftSql.execute(spark, wh,
+      s"UPDATE `$table` SET v = v * 2 WHERE k = 1")
+    GraftSql.execute(spark, wh, s"DELETE FROM `$table` WHERE k = 3")
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet == Set(
+      Seq(1L, "a", 20.0), Seq(2L, "B", 200.0), Seq(4L, "D", 41.0)))
+    // θ-keys and missing aliases are rejected loudly, table untouched
+    val before = TxLog.currentVersion(spark, table)
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "MERGE INTO t13 t USING r13src s ON t.k > s.k " +
+          "WHEN MATCHED THEN DELETE")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "MERGE INTO t13 USING r13src s ON t13.k = s.k " +
+          "WHEN MATCHED THEN DELETE")
+    }
+    assert(TxLog.currentVersion(spark, table) == before)
+    // non-DML text falls through to spark.sql
+    assert(GraftSql.execute(spark, wh, "SELECT count(*) AS n FROM r13src")
+      .collect()(0).getLong(0) == 2L)
   }
 
   // --------------------------------------- vacuum retention guard
