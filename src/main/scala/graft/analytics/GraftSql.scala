@@ -42,10 +42,28 @@ object GraftSql {
 
   /** Execute `sql`. DML against txlog tables returns a 1-row summary
     * frame (op, files_rewritten, files_added); anything else returns
-    * `spark.sql(sql)`'s result. */
+    * `spark.sql(sql)`'s result.
+    *
+    * MAINTENANCE verbs (not in Spark's grammar — handled by a
+    * documented mini-grammar when the engine parser rejects the text):
+    * `OPTIMIZE <table>` (full small-file rewrite),
+    * `OPTIMIZE <table> ZORDER BY (a, b, ...)` (Morton clustering),
+    * `VACUUM <table> RETAIN <n> VERSIONS` (physically delete files no
+    * retained snapshot references; the last n versions stay
+    * time-travelable). Everything else that fails to parse rethrows
+    * the engine's ParseException untouched. */
   def execute(spark: SparkSession, warehouse: String, sql: String): DataFrame = {
     import spark.implicits._
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          maintenance(spark, warehouse, sql) match {
+            case Some(df) => return df
+            case None => throw e
+          }
+      }
+    plan match {
       case m: MergeIntoTable =>
         val s = mergeInto(spark, warehouse, m)
         Seq((s.op, s.filesRewritten, s.filesAdded))
@@ -68,6 +86,59 @@ object GraftSql {
         // the read face: catalog tables attach as temp views
         // (GraftCatalog.attachAll) and plain spark.sql serves them
         spark.sql(sql)
+    }
+  }
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(`[^`]+`|[\w./-]+)\s*$""".r
+  private val OptimizeZRe =
+    """(?is)^\s*OPTIMIZE\s+(`[^`]+`|[\w./-]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(`[^`]+`|[\w./-]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*$""".r
+
+  private def unquote(name: String): String =
+    if (name.startsWith("`") && name.endsWith("`"))
+      name.substring(1, name.length - 1)
+    else name
+
+  private def resolveName(spark: SparkSession, warehouse: String,
+                          name0: String): String = {
+    val name = unquote(name0)
+    GraftCatalog.entries(warehouse).find(_.name == name).map(_.location)
+      .getOrElse {
+        require(TxLog.exists(spark, name),
+          s"maintenance target `$name` is neither in the catalog at " +
+            s"$warehouse nor a txlog table path")
+        name
+      }
+  }
+
+  /** The maintenance mini-grammar — Some(result) when `sql` is one of
+    * the documented verbs, None to rethrow the engine's parse error. */
+  private def maintenance(spark: SparkSession, warehouse: String,
+                          sql: String): Option[DataFrame] = {
+    import spark.implicits._
+    sql match {
+      case OptimizeZRe(name, cols) =>
+        val loc = resolveName(spark, warehouse, name)
+        TxLog.optimize(spark, loc,
+          zorderBy = cols.split(",").map(c => unquote(c.trim)).toSeq)
+        Some(Seq(("optimize_zorder", TxLog.fileCount(spark, loc)))
+          .toDF("op", "files_after"))
+      case OptimizeRe(name) =>
+        // Delta's bare OPTIMIZE = small-file compaction (bounded:
+        // O(small files), never a full-table rewrite)
+        val loc = resolveName(spark, warehouse, name)
+        TxLog.compactSmallFiles(spark, loc, minSmallFiles = 2)
+        Some(Seq(("optimize", TxLog.fileCount(spark, loc)))
+          .toDF("op", "files_after"))
+      case VacuumRe(name, n) =>
+        val loc = resolveName(spark, warehouse, name)
+        val cur = TxLog.currentVersion(spark, loc)
+        val retain = math.max(1L, cur - n.toLong + 1L)
+        TxLog.vacuum(spark, loc, retain)
+        Some(Seq(("vacuum", retain)).toDF("op", "retained_from_version"))
+      case _ => None
     }
   }
 

@@ -542,6 +542,23 @@ class Round13Spec extends SparkSpec {
     // non-DML text falls through to spark.sql
     assert(GraftSql.execute(spark, wh, "SELECT count(*) AS n FROM r13src")
       .collect()(0).getLong(0) == 2L)
+    // maintenance verbs (mini-grammar behind the engine's ParseException):
+    // OPTIMIZE compacts the DML-fragmented table to one file without
+    // changing content; VACUUM RETAIN n VERSIONS deletes below-horizon
+    // files while the last n versions stay time-travelable
+    val contentBefore = TxLog.read(spark, table).collect().map(_.toSeq).toSet
+    val opt = GraftSql.execute(spark, wh, "OPTIMIZE t13").collect()(0)
+    assert(opt.getString(0) == "optimize" && opt.getInt(1) == 1)
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet == contentBefore)
+    val cur = TxLog.currentVersion(spark, table)
+    GraftSql.execute(spark, wh, "VACUUM t13 RETAIN 2 VERSIONS")
+    // the current and previous versions still read; content unchanged
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet == contentBefore)
+    assert(TxLog.read(spark, table, Some(cur - 1)).count() >= 1)
+    // garbage text still fails with the ENGINE's parse error
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      GraftSql.execute(spark, wh, "OPTIMIZE") // no target: not the mini-grammar
+    }
   }
 
   // --------------------------------------- vacuum retention guard
