@@ -2178,6 +2178,12 @@ object TxLog {
       s"txlog compactSmallFiles on $table lost $attempts optimistic races; giving up")
   }
 
+  /** The table's declared partition columns (SQL front-door overwrite
+    * needs them to re-stage with the existing layout). */
+  private[graft] def partitionColsOf(spark: SparkSession,
+                                     table: String): Seq[String] =
+    snapshot(spark, table, None).map(_.meta.partitionCols).getOrElse(Seq.empty)
+
   /** Live file count of the current snapshot (compaction observability). */
   def fileCount(spark: SparkSession, table: String): Int =
     snapshot(spark, table, None).map(_.files.size).getOrElse(0)

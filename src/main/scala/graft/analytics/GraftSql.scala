@@ -10,12 +10,16 @@ import graft.acid.{GraftCatalog, MergeClause, TxLog}
 
 /** The SQL DML front door over cataloged txlog tables (round 13 —
   * VERDICT: "the reference's consumption face is SQL", made
-  * read-write): `MERGE INTO` / `UPDATE` / `DELETE` statements parse
-  * through SPARK'S OWN SQL PARSER (`sessionState.sqlParser.parsePlan` —
-  * the full ANSI grammar, no hand-rolled parser to drift from it) and
-  * the resulting logical plans (`MergeIntoTable`, `UpdateTable`,
-  * `DeleteFromTable`) route to the existing TxLog kernels
-  * ([[TxLog.mergeConditional]], [[TxLog.update]], [[TxLog.delete]]).
+  * read-write): `MERGE INTO` / `UPDATE` / `DELETE` / `INSERT INTO
+  * [BY NAME]` / `INSERT OVERWRITE` / `ALTER TABLE ... RENAME|DROP
+  * COLUMN` statements parse through SPARK'S OWN SQL PARSER
+  * (`sessionState.sqlParser.parsePlan` — the full ANSI grammar, no
+  * hand-rolled parser to drift from it) and the resulting logical
+  * plans (`MergeIntoTable`, `UpdateTable`, `DeleteFromTable`,
+  * `InsertIntoStatement`, `RenameColumn`, `DropColumns`) route to the
+  * existing TxLog kernels ([[TxLog.mergeConditional]],
+  * [[TxLog.update]], [[TxLog.delete]], [[TxLog.append]]/
+  * [[TxLog.overwrite]], [[TxLog.renameColumn]], [[TxLog.dropColumn]]).
   * Everything else (SELECT, DDL over views) falls through to
   * `spark.sql` unchanged, so one entry point serves the whole
   * consumption face (reference: analysis/analytics_job.py:29-54).
@@ -82,6 +86,50 @@ object GraftSql {
         val st = TxLog.delete(spark, loc, expr(d.condition.sql))
         Seq(("delete", st.filesRewritten, st.filesAdded))
           .toDF("op", "files_rewritten", "files_added")
+      case i: InsertIntoStatement =>
+        require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
+          "graft SQL INSERT supports neither PARTITION specs nor column " +
+            "lists — partitioning comes from the table's declared layout")
+        val loc = resolveTable(spark, warehouse, i.table)
+        val q = GraftPlanBridge.ofRows(spark, i.query)
+        val schema = TxLog.read(spark, loc).schema
+        val tableCols = schema.fieldNames.toSeq
+        // SQL standard: positional unless BY NAME, then ANSI store
+        // assignment (the query's output casts to the table's types —
+        // a VALUES row arrives as int/decimal literals)
+        val aligned =
+          if (i.byName) q.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+          else {
+            require(q.columns.length == tableCols.length,
+              s"INSERT arity mismatch: query produces ${q.columns.length} " +
+                s"columns, table has ${tableCols.length}")
+            q.toDF(tableCols: _*)
+          }
+        val casted = aligned.select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            .as(f.name)).toSeq: _*)
+        if (i.overwrite) TxLog.overwrite(casted, loc,
+          TxLog.partitionColsOf(spark, loc))
+        else TxLog.append(casted, loc)
+        Seq((if (i.overwrite) "insert_overwrite" else "insert",
+          TxLog.currentVersion(spark, loc)))
+          .toDF("op", "version")
+      case RenameColumn(t, fieldName, newName) =>
+        val loc = resolveTable(spark, warehouse, t)
+        require(fieldName.name.length == 1,
+          s"nested-field rename unsupported: ${fieldName.name.mkString(".")}")
+        TxLog.renameColumn(spark, loc, fieldName.name.head, newName)
+        Seq(("rename_column", s"${fieldName.name.head} -> $newName"))
+          .toDF("op", "change")
+      case DropColumns(t, fields, _) =>
+        val loc = resolveTable(spark, warehouse, t)
+        fields.foreach { f =>
+          require(f.name.length == 1,
+            s"nested-field drop unsupported: ${f.name.mkString(".")}")
+          TxLog.dropColumn(spark, loc, f.name.head)
+        }
+        Seq(("drop_column", fields.map(_.name.head).mkString(",")))
+          .toDF("op", "change")
       case _ =>
         // the read face: catalog tables attach as temp views
         // (GraftCatalog.attachAll) and plain spark.sql serves them
@@ -233,11 +281,14 @@ object GraftSql {
   }
 
   /** Target plan → txlog location: catalog name first, direct path
-    * second. */
+    * second. DML statements carry `UnresolvedRelation`; ALTER commands
+    * carry `UnresolvedTable`. */
   private def resolveTable(spark: SparkSession, warehouse: String,
                            plan: LogicalPlan): String = {
     val name = stripAlias(plan) match {
       case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier.mkString(".")
       case other => throw new IllegalArgumentException(
         s"DML target must be a table name, got: $other")
     }

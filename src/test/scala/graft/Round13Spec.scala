@@ -561,6 +561,43 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("GraftSql: INSERT INTO (positional + BY NAME + OVERWRITE) and " +
+       "ALTER TABLE RENAME/DROP COLUMN route to the txlog kernels") {
+    import graft.analytics.GraftSql
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r13sqlins"); val table = tmp("r13sqlinst")
+    TxLog.overwrite(Seq((1L, "a", 10.0)).toDF("k", "name", "v"), table)
+    graft.acid.GraftCatalog.register(wh, "ti13", table)
+    // positional INSERT (VALUES columns are unnamed)
+    GraftSql.execute(spark, wh, "INSERT INTO ti13 VALUES (2, 'b', 20.0)")
+    // BY NAME insert with a reordered projection
+    Seq((30.0, 3L, "c")).toDF("v", "k", "name").createOrReplaceTempView("r13ins")
+    GraftSql.execute(spark, wh, "INSERT INTO ti13 BY NAME SELECT * FROM r13ins")
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet == Set(
+      Seq(1L, "a", 10.0), Seq(2L, "b", 20.0), Seq(3L, "c", 30.0)))
+    // each insert was one ACID commit
+    assert(TxLog.currentVersion(spark, table) == 3L)
+    // INSERT OVERWRITE replaces the snapshot
+    GraftSql.execute(spark, wh, "INSERT OVERWRITE ti13 VALUES (9, 'z', 90.0)")
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet ==
+      Set(Seq(9L, "z", 90.0)))
+    // time travel still sees the pre-overwrite state
+    assert(TxLog.read(spark, table, Some(3L)).count() == 3L)
+    // ALTER TABLE column surgery: rename is metadata-only (files read
+    // through the physical mapping), drop tombstones
+    GraftSql.execute(spark, wh, "ALTER TABLE ti13 RENAME COLUMN v TO amount")
+    assert(TxLog.read(spark, table).columns.toSeq == Seq("k", "name", "amount"))
+    assert(TxLog.read(spark, table).select("amount").collect()(0).getDouble(0)
+      == 90.0)
+    GraftSql.execute(spark, wh, "ALTER TABLE ti13 DROP COLUMN name")
+    assert(TxLog.read(spark, table).columns.toSeq == Seq("k", "amount"))
+    // arity mismatch is loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh, "INSERT INTO ti13 VALUES (1, 2, 3)")
+    }
+  }
+
   // --------------------------------------- vacuum retention guard
 
   test("vacuum refuses to strand a registered streaming reader; force " +
