@@ -114,6 +114,50 @@ object GraftSql {
         Seq((if (i.overwrite) "insert_overwrite" else "insert",
           TxLog.currentVersion(spark, loc)))
           .toDF("op", "version")
+      case c: CreateTableAsSelect =>
+        val name = c.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"CTAS target must be a plain identifier, got: $other")
+        }
+        // identity transforms only, via the PUBLIC Transform interface
+        // (the IdentityTransform extractor is private[sql])
+        val partCols = c.partitioning.map { t =>
+          require(t.name == "identity" && t.references.length == 1 &&
+            t.references()(0).fieldNames().length == 1,
+            s"graft CTAS supports only identity PARTITIONED BY columns, " +
+              s"got transform: $t")
+          t.references()(0).fieldNames()(0)
+        }
+        val exists = GraftCatalog.entries(warehouse).exists(_.name == name)
+        if (exists && c.ignoreIfExists)
+          Seq(("create_table", name, false)).toDF("op", "table", "created")
+        else {
+          require(!exists, s"table `$name` already exists in the catalog at " +
+            s"$warehouse (use CREATE TABLE IF NOT EXISTS to skip)")
+          val loc = new java.io.File(warehouse, name).toString
+          TxLog.overwrite(GraftPlanBridge.ofRows(spark, c.query), loc, partCols)
+          GraftCatalog.register(warehouse, name, loc)
+          Seq(("create_table", name, true)).toDF("op", "table", "created")
+        }
+      case d: DropTable =>
+        // the EXTERNAL-table contract (GraftCatalog.drop): metadata only,
+        // the table's files are untouched — physical deletion is vacuum's
+        // job, never a catalog statement's
+        val name = d.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts.mkString(".")
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            u.multipartIdentifier.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"DROP TABLE target must be a table name, got: $other")
+        }
+        val existed = GraftCatalog.entries(warehouse).exists(_.name == name)
+        require(existed || d.ifExists,
+          s"table `$name` not found in the catalog at $warehouse")
+        if (existed) GraftCatalog.drop(warehouse, name)
+        Seq(("drop_table", name, existed)).toDF("op", "table", "dropped")
       case RenameColumn(t, fieldName, newName) =>
         val loc = resolveTable(spark, warehouse, t)
         require(fieldName.name.length == 1,

@@ -598,6 +598,52 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("GraftSql: CTAS (partitioned, IF NOT EXISTS) and DROP TABLE " +
+       "(metadata-only) complete the catalog lifecycle") {
+    import graft.analytics.GraftSql
+    import graft.acid.GraftCatalog
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r13ctaswh")
+    Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+      .toDF("k", "grp", "v").createOrReplaceTempView("r13ctassrc")
+    val r = GraftSql.execute(spark, wh,
+      "CREATE TABLE tc13 PARTITIONED BY (grp) AS SELECT * FROM r13ctassrc")
+      .collect()(0)
+    assert(r.getString(0) == "create_table" && r.getBoolean(2))
+    val loc = GraftCatalog.entries(wh).find(_.name == "tc13").get.location
+    assert(TxLog.read(spark, loc).count() == 3L)
+    assert(TxLog.partitionColsOf(spark, loc) == Seq("grp"))
+    // partition pruning works on the created layout (hive-style dirs
+    // under the commit's staging directory)
+    def findDir(root: java.io.File, name: String): Boolean = {
+      val kids = Option(root.listFiles()).getOrElse(Array.empty)
+      kids.exists(f => f.isDirectory &&
+        (f.getName == name || findDir(f, name)))
+    }
+    assert(findDir(new java.io.File(loc), "grp=x"))
+    // IF NOT EXISTS skips; a bare re-create is loud
+    assert(!GraftSql.execute(spark, wh,
+      "CREATE TABLE IF NOT EXISTS tc13 AS SELECT * FROM r13ctassrc")
+      .collect()(0).getBoolean(2))
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh, "CREATE TABLE tc13 AS SELECT 1 AS x")
+    }
+    // the created table is DML-addressable by name through the same door
+    GraftSql.execute(spark, wh, "DELETE FROM tc13 WHERE k = 2")
+    assert(TxLog.read(spark, loc).count() == 2L)
+    // DROP TABLE: catalog metadata only, files untouched
+    assert(GraftSql.execute(spark, wh, "DROP TABLE tc13")
+      .collect()(0).getBoolean(2))
+    assert(GraftCatalog.entries(wh).isEmpty)
+    assert(TxLog.read(spark, loc).count() == 2L, "files must be untouched")
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh, "DROP TABLE tc13")
+    }
+    assert(!GraftSql.execute(spark, wh, "DROP TABLE IF EXISTS tc13")
+      .collect()(0).getBoolean(2))
+  }
+
   // --------------------------------------- vacuum retention guard
 
   test("vacuum refuses to strand a registered streaming reader; force " +
