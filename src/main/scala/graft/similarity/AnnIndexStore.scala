@@ -19,13 +19,15 @@ import graft.acid.{GraftCatalog, TxLog}
   *     Glue-registration shape, process_data_glue.py:198-205) — IVF×PQ
   *     keeps its cell-partitioned layout, so the probe's partition
   *     pruning works unchanged through [[TxLog.read]]'s file index;
-  *   - the CODEBOOKS (+ IVF centroids) are driver metadata, stored as
-  *     JSON in a commit TAG riding the same log — index data and index
-  *     metadata move atomically, nothing lives in JVM state. A codebook
-  *     payload above [[CbInlineMax]] moves to a SIDECAR file referenced
-  *     by the tag (round 13 — the tag is parsed by EVERY commitTags
-  *     listing of the table, sink watermark reads included; a d=1024
-  *     (m,k) shape would otherwise put MBs of JSON on every listing);
+  *   - the CODEBOOKS (+ IVF centroids + the corpus file-signature
+  *     list) are driver metadata, stored as JSON in a commit TAG riding
+  *     the same log — index data and index metadata move atomically,
+  *     nothing lives in JVM state. A payload above [[CbInlineMax]]
+  *     moves to a SIDECAR file referenced by the tag (round 13 — the
+  *     tag is parsed by EVERY commitTags listing of the table, sink
+  *     watermark reads included; a d=1024 (m,k) shape or a 100k-file
+  *     corpus's signature list would otherwise put MBs of JSON on every
+  *     listing; the always-inline part is O(1): kind/fp/shape/dist);
   *   - the key is the corpus CONTENT FINGERPRINT (file paths + lengths
   *     + mtimes) plus the index shape: a match loads with ZERO Spark
   *     jobs (catalog file + commit tags are driver file reads, numbers
@@ -113,41 +115,47 @@ object AnnIndexStore {
     case other => throw new IllegalStateException(s"bad centroids $other")
   }
 
-  /** The tag payload. `cb`/`centroids` inline when small; a combined
-    * payload above [[CbInlineMax]] goes to a sidecar JSON file under
-    * the table dir and the tag carries `cbRef` (its relative path)
-    * instead — the sidecar is written BEFORE the tagged commit, so a
-    * crash between the two leaves an orphan file, never a dangling
-    * reference. */
+  /** The tag payload. The file-signature list, `cb`, and `centroids`
+    * inline when small; a combined payload above [[CbInlineMax]] goes
+    * to a sidecar JSON file under the table dir and the tag carries
+    * `cbRef` (its relative path) instead — the sidecar is written
+    * BEFORE the tagged commit, so a crash between the two leaves an
+    * orphan file, never a dangling reference. The always-inline part
+    * is O(1): kind + fingerprint + shape + drift baseline — every
+    * `commitTags` listing of the table (sink watermark reads included)
+    * parses the tag, so a 100k-file corpus's signature list (MBs of
+    * JSON) must never ride inline; the exact-match LOAD path needs
+    * only `fp`, and the append-detection path reads the sidecar once
+    * on a fingerprint miss. */
   private def tag(spark: SparkSession, tableLoc: String, kind: String,
                   fp: String, shape: Map[String, Long], files: Seq[String],
                   dist: Double, cb: Pq.Codebooks,
-                  centroids: Option[Seq[Seq[Double]]],
-                  reuseCbRef: Option[String]): String = {
+                  centroids: Option[Seq[Seq[Double]]]): String = {
     val meta = List[(String, JValue)](
       "kind" -> JString(kind), "fp" -> JString(fp),
       "shape" -> JObject(shape.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
-      "files" -> JArray(files.toList.map(JString(_): JValue)),
       "dist" -> JDouble(dist))
-    val payload = List[(String, JValue)]("cb" -> cbJson(cb)) ++
+    val payload = List[(String, JValue)](
+      "files" -> JArray(files.toList.map(JString(_): JValue)),
+      "cb" -> cbJson(cb)) ++
       centroids.map(cs => "centroids" -> centroidsJson(cs))
     val inline = JsonMethods.compact(JsonMethods.render(JObject(meta ++ payload)))
     val withPayload =
-      if (inline.length <= CbInlineMax && reuseCbRef.isEmpty) inline
+      if (inline.length <= CbInlineMax) inline
       else {
-        val ref = reuseCbRef.getOrElse {
-          val name = s"_annindex/cb-${java.util.UUID.randomUUID()}.json"
-          val conf = spark.sparkContext.hadoopConfiguration
-          val p = new org.apache.hadoop.fs.Path(tableLoc, name)
-          val hfs = p.getFileSystem(conf)
-          val out = hfs.create(p, true)
-          try out.write(JsonMethods.compact(JsonMethods.render(JObject(payload)))
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          name
-        }
+        // fresh sidecar per tag: an extension changes the file list, so
+        // a previous sidecar is never reusable (old ones become orphans
+        // a vacuum ignores — .json, never .parquet)
+        val name = s"_annindex/cb-${java.util.UUID.randomUUID()}.json"
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(tableLoc, name)
+        val hfs = p.getFileSystem(conf)
+        val out = hfs.create(p, true)
+        try out.write(JsonMethods.compact(JsonMethods.render(JObject(payload)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         JsonMethods.compact(JsonMethods.render(
-          JObject(meta :+ ("cbRef" -> (JString(ref): JValue)))))
+          JObject(meta :+ ("cbRef" -> (JString(name): JValue)))))
       }
     TagPrefix + withPayload
   }
@@ -289,9 +297,17 @@ object AnnIndexStore {
   }
 
   /** Drift verdict for an append batch against the stored baseline:
-    * None = extend; Some(newDist) = retrain (the batch's distortion). */
+    * retrain when the batch's distortion exceeds BOTH twice the
+    * training baseline and an absolute floor of 0.25. The relative term
+    * catches distribution shift; the floor keeps the guard honest when
+    * the baseline is degenerate — a k≈sample-size codebook MEMORIZES
+    * its training residuals (baseline ~0), and without the floor any
+    * unseen same-distribution batch would "drift" (measured: ivfpq
+    * k=256 over a 400-row corpus). Distortion 0.25 is where ADC
+    * ranking genuinely degrades; below it, extension preserves the
+    * pinned recall floors. */
   private def driftExceeded(newDist: Double, baseline: Option[Double]): Boolean =
-    baseline.exists(b => newDist > 2 * b + 0.02)
+    baseline.exists(b => newDist > math.max(2 * b + 0.02, 0.25))
 
   /** `df` cast to the code TABLE's exact column types — the persisted
     * schema may differ from the encode expressions' in nested
@@ -320,7 +336,7 @@ object AnnIndexStore {
       val dist = meanDistortion(sampleVectors(emb), cb)
       val loc = persist(Pq.encodeWithNorm(emb, cb), warehouse, name, Seq.empty,
         _ => tag(spark, new java.io.File(warehouse, name).toString, "pq", fp,
-          want, sigs, dist, cb, None, None))
+          want, sigs, dist, cb, None))
       (Pq.PqIndex(cb, loc), IndexOutcome.Trained(driftFallback))
     }
     loadTag(spark, warehouse, name) match {
@@ -335,12 +351,9 @@ object AnnIndexStore {
         val newDist = meanDistortion(sampleVectors(newRows), cb)
         if (driftExceeded(newDist, dbl(j, "dist"))) retrain(driftFallback = true)
         else {
-          val reuseRef = j \ "cbRef" match {
-            case JString(r) => Some(r); case _ => None
-          }
           TxLog.append(alignedToTable(spark, loc, Pq.encodeWithNorm(newRows, cb)),
             loc, commitTag = Some(tag(spark, loc, "pq", fp, want, sigs,
-              dbl(j, "dist").getOrElse(newDist), cb, None, reuseRef)))
+              dbl(j, "dist").getOrElse(newDist), cb, None)))
           (Pq.PqIndex(cb, loc), IndexOutcome.Extended(newPaths.size))
         }
       case _ => retrain(driftFallback = false)
@@ -371,7 +384,7 @@ object AnnIndexStore {
       val codes = spark.read.parquet(built.codesPath)
       val loc = persist(codes, warehouse, name, Seq("cell"),
         _ => tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
-          fp, want, sigs, dist, built.cb, Some(cents), None))
+          fp, want, sigs, dist, built.cb, Some(cents)))
       (IvfPq.IvfPqIndex(built.cb, built.centroids, loc),
         IndexOutcome.Trained(driftFallback))
     }
@@ -392,13 +405,10 @@ object AnnIndexStore {
           idx.cb)
         if (driftExceeded(newDist, dbl(j, "dist"))) retrain(driftFallback = true)
         else {
-          val reuseRef = j \ "cbRef" match {
-            case JString(r) => Some(r); case _ => None
-          }
           TxLog.append(
             alignedToTable(spark, loc, IvfPq.encodeNewRows(newRows, idx)),
             loc, commitTag = Some(tag(spark, loc, "ivfpq", fp, want, sigs,
-              dbl(j, "dist").getOrElse(newDist), idx.cb, Some(cents), reuseRef)))
+              dbl(j, "dist").getOrElse(newDist), idx.cb, Some(cents))))
           (idx, IndexOutcome.Extended(newPaths.size))
         }
       case _ => retrain(driftFallback = false)

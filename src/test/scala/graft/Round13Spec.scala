@@ -468,6 +468,43 @@ class Round13Spec extends SparkSpec {
     assert(probe.count() == 20)
   }
 
+  test("AnnIndexStore: oversized payloads ride a sidecar — the inline tag " +
+       "stays O(1) and load/extension still round-trip") {
+    import graft.similarity.AnnIndexStore
+    import AnnIndexStore.IndexOutcome
+    val wh = tmp("r13sidewh"); val corpus = tmp("r13sidecorp")
+    val emb0 = Tables.embeddings(spark, sf)
+    emb0.filter(col("vec_id") < 400).write.mode("overwrite").parquet(corpus)
+    // k=256 byte codebooks: ~16×256×4 doubles of JSON — far above the
+    // 256 KB inline ceiling
+    val (built, o0) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "big", nCells = 16, m = 16, k = 256)
+    assert(o0 == IndexOutcome.Trained(false))
+    val loc = new java.io.File(wh, "big").toString
+    def latestTag(): String = TxLog.commitTags(spark, loc)
+      .filter(_._2.startsWith("annindex:")).maxBy(_._1)._2
+    val t1 = latestTag()
+    assert(t1.contains("\"cbRef\"") && t1.length < 4096,
+      s"tag must be O(1) with a sidecar ref, got ${t1.length} chars")
+    // load round-trips bit-exact through the sidecar
+    val (loaded, lo) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "big", nCells = 16, m = 16, k = 256)
+    assert(lo == IndexOutcome.Loaded && loaded.cb == built.cb &&
+      loaded.centroids == built.centroids)
+    // extension writes a FRESH sidecar (the file list changed) and the
+    // inline tag stays O(1)
+    emb0.filter(col("vec_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(corpus)
+    val (_, eo) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "big", nCells = 16, m = 16, k = 256)
+    assert(eo == IndexOutcome.Extended(1), s"got $eo")
+    val t2 = latestTag()
+    assert(t2.contains("\"cbRef\"") && t2.length < 4096 && t2 != t1)
+    val (_, lo2) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "big", nCells = 16, m = 16, k = 256)
+    assert(lo2 == IndexOutcome.Loaded)
+  }
+
   test("AnnIndexStore: a drifted append batch falls back to full retrain") {
     import graft.similarity.AnnIndexStore
     import AnnIndexStore.IndexOutcome
