@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, when}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** One live data file of a txlog table: table-root-relative path, parsed
   * partition values, physical size, and footer-derived column min/max
@@ -246,7 +246,8 @@ object TxLog {
                                              rows: Long, bytes: Long)
 
   private val MaintenanceOps = Set("optimize", "compactLog", "setConstraint",
-    "dropConstraint", "setBloomFilter", "renameColumn", "dropColumn", "analyze")
+    "dropConstraint", "setBloomFilter", "renameColumn", "dropColumn",
+    "addColumn", "analyze")
 
   private[graft] def commitOps(spark: SparkSession, table: String,
                                lo: Long, hi: Long): Seq[CommitMeta] = {
@@ -840,16 +841,7 @@ object TxLog {
         if (!evolveSchema) Array.empty[org.apache.spark.sql.types.StructField]
         else source.schema.fields.filterNot(f =>
           snap.meta.schema.fieldNames.contains(f.name))
-      // column-mapping safety: an evolved-in column must not land on a
-      // physical name that old files still carry (a dropped column's
-      // data, or a renamed column's pre-rename home) — reading it back
-      // would resurrect stale values
-      extras.foreach(f => require(
-        !snap.meta.droppedPhysical.contains(f.name) &&
-          !snap.meta.columnMap.values.toSet.contains(f.name),
-        s"cannot evolve column `${f.name}` into $table: old files still " +
-          "carry a physical column of that name (dropped or renamed away); " +
-          "pick a different name or rewrite the table"))
+      extras.foreach(f => requireEvolvable(snap.meta, f.name, table))
       val meta2 =
         if (extras.isEmpty) snap.meta
         else snap.meta.copy(schema = org.apache.spark.sql.types.StructType(
@@ -1517,6 +1509,41 @@ object TxLog {
         metaJson(m.copy(schema = schema2, columnMap = map2, bloomCols = blooms2)))
     }
 
+  /** Column-mapping safety, shared by every schema-widening path
+    * ([[merge]] `evolveSchema` and [[addColumn]]): a new column must not
+    * land on a physical name that old files still carry (a dropped
+    * column's data, or a renamed column's pre-rename home) — reading it
+    * back would resurrect stale values. */
+  private def requireEvolvable(m: Meta, name: String, table: String): Unit =
+    require(!m.droppedPhysical.contains(name) &&
+        !m.columnMap.values.toSet.contains(name),
+      s"cannot evolve column `$name` into $table: old files still " +
+        "carry a physical column of that name (dropped or renamed away); " +
+        "pick a different name or rewrite the table")
+
+  /** ADD COLUMN as ONE metadata commit — the widening half of the
+    * column-surgery family ([[renameColumn]], [[dropColumn]]): the new
+    * column (forced nullable — existing rows have no value) appends to
+    * the logical schema; NO file is touched. Old files back-fill typed
+    * NULLs lazily at read time through the widened read schema, exactly
+    * like [[merge]]'s `evolveSchema` path (which factored its collision
+    * check out here); time travel below this commit keeps the narrower
+    * schema. At 100 TB this is the only acceptable cost model for
+    * adding a column: O(1) metadata, never O(table). */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit =
+    retryCommit(spark, table) { snapOpt =>
+      val snap = snapOpt.getOrElse(throw new IllegalStateException(
+        s"no txlog table at $table"))
+      val m = snap.meta
+      require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column `$name` already exists in $table")
+      requireEvolvable(m, name, table)
+      Seq(commitInfoJson("addColumn"),
+        metaJson(m.copy(schema = StructType(
+          m.schema.fields :+ StructField(name, dataType, nullable = true)))))
+    }
+
   /** DROP COLUMN as ONE metadata commit: the column leaves the logical
     * schema; files keep carrying its (now invisible) physical data until
     * they are naturally rewritten. The physical name is tombstoned so a
@@ -1964,16 +1991,32 @@ object TxLog {
     val dir = new Path(checkpointDir, "offsets")
     val hfs = dir.getFileSystem(conf)
     if (!hfs.exists(dir)) return None
+    val commitsDir = new Path(checkpointDir, "commits")
     val batchFiles = hfs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
-    val offsets = batchFiles.flatMap { s =>
-      // offsets file format: "v1" \n metadata json \n one offset line per
-      // source — a single graft-table source serializes its LongOffset
-      // as the bare version number
+    // offsets file format: "v1" \n metadata json \n one offset line per
+    // source — a single graft-table source serializes its LongOffset as
+    // the bare version number
+    val planned: Map[Long, Long] = batchFiles.flatMap { s =>
       readText(hfs, s.getPath).linesIterator.toSeq.drop(2)
-        .flatMap(_.trim.toLongOption)
+        .flatMap(_.trim.toLongOption).minOption
+        .map(s.getPath.getName.toLong -> _)
+    }.toMap
+    if (planned.isEmpty) return None
+    // an offsets file records the batch's PLANNED end, written before
+    // the batch runs; only a matching commits/<id> entry proves the
+    // engine finished it. An uncommitted batch must be replayed in full
+    // on restart, so its horizon is the PREVIOUS batch's committed end
+    // (the replay range's lower bound), not its own planned end — a
+    // crash between the offsets write and the commit write would
+    // otherwise let a vacuum at the planned end delete exactly the
+    // commits the restart needs (ADVICE r13). An uncommitted batch 0
+    // has no committed progress at all: None, the caller refuses.
+    val horizons = planned.toSeq.map { case (batch, end) =>
+      if (hfs.exists(new Path(commitsDir, batch.toString))) Some(end)
+      else planned.get(batch - 1)
     }
-    if (offsets.isEmpty) None else Some(offsets.min)
+    if (horizons.exists(_.isEmpty)) None else Some(horizons.flatten.min)
   }
 
   /** Physically delete files no snapshot ≥ `retainVersion` references —
@@ -1991,6 +2034,17 @@ object TxLog {
   def vacuum(spark: SparkSession, table: String, retainVersion: Long,
              protectReaders: Seq[String] = Seq.empty,
              force: Boolean = false): Unit = {
+    // a retainVersion above the current version retains NO snapshot:
+    // `referenced` would be empty and every live data file deleted while
+    // the log still points at it — the one caller mistake this API must
+    // not honor (ADVICE r13: the SQL grammar's RETAIN 0 arithmetic
+    // produced exactly this). Not force-overridable: no operator means
+    // "make the current snapshot unreadable".
+    val cur = currentVersion(spark, table)
+    require(retainVersion <= cur,
+      s"vacuum(retainVersion=$retainVersion) on $table exceeds the current " +
+        s"version $cur — no snapshot would be retained and the live files " +
+        "would be deleted; pass retainVersion <= currentVersion")
     if (!force) protectReaders.foreach { ckpt =>
       readerSafeHorizon(spark, ckpt) match {
         case Some(h) => require(retainVersion <= h,
