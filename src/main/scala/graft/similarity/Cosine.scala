@@ -26,14 +26,16 @@ object Cosine {
 
   val Dim = 64
 
-  /** (vec_id, v: array<double>, norm). Norm via HOF is fine: O(corpus)
-    * rows, not O(pairs). */
-  def prepared(emb: DataFrame): DataFrame =
+  /** (vec_id, v: array<double>, norm [, extraCols…]). Norm via HOF is
+    * fine: O(corpus) rows, not O(pairs). `extraCols` pass through
+    * untouched (the index stores thread per-row provenance this way —
+    * see [[AnnIndexStore]]'s `src_file`). */
+  def prepared(emb: DataFrame, extraCols: Seq[String] = Seq.empty): DataFrame =
     emb
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", expr(
         "sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
-      .select("vec_id", "v", "norm")
+      .select(("vec_id" +: "v" +: "norm" +: extraCols).map(col): _*)
 
   /** Codegen-friendly dot product: sum of Dim element products, strict
     * left-to-right. */

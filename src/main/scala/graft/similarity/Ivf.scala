@@ -38,8 +38,10 @@ object Ivf {
       struct((lit(1.0) - graft.functions.GraftFunctions
         .cosine_sim(spark, col("v"), typedLit(c))).as("d"), lit(cell).as("cell"))
     }
+    // generic passthrough: every input column survives (provenance
+    // columns like AnnIndexStore's `src_file` ride along), plus `cell`
     p.withColumn("best", least(alts: _*))
-      .select(col("vec_id"), col("v"), col("norm"), col("best.cell").as("cell"))
+      .select(p.columns.map(col) :+ col("best.cell").as("cell"): _*)
   }
 
   /** Train `iters` Lloyd rounds; returns the (vec_id, v, norm, cell)

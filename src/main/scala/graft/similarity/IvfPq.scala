@@ -62,8 +62,9 @@ object IvfPq {
     * into driver-literal tables (cell norms, cell×codebook cross-dots,
     * codebook norms) — still paid once at encode time, never per probe. */
   def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 256,
-                 iters: Int = 3, sessionLifetime: Boolean = false): IvfPqIndex = {
-    val (assigned, centroids) = Ivf.train(emb, nCells, iters)
+                 iters: Int = 3, sessionLifetime: Boolean = false,
+                 extraCols: Seq[String] = Seq.empty): IvfPqIndex = {
+    val (assigned0, centroids) = Ivf.train(emb, nCells, iters)
     // the literals below index positionally (`__cents[cell]`, `__cn2[cell]`,
     // `__d2[cell]`) — guard the density contract Ivf.train now guarantees
     // (empty Lloyd cells keep their previous centroid, never drop)
@@ -71,13 +72,20 @@ object IvfPq {
       s"IVF centroids must be dense 0..${centroids.size - 1}: " +
       centroids.map(_._1).mkString(","))
     val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
+    // extra (provenance) columns: training's internal prepared frame
+    // drops them, so re-run the assignment projection keeping them — one
+    // extra map-only pass over the corpus, paid only when asked for
+    val assigned =
+      if (extraCols.isEmpty) assigned0
+      else Ivf.assignExpr(Cosine.prepared(emb, extraCols), centroids)
     // residual corpus — assigned already carries the double vector `v`
-    val resid = graft.Caching.materialize(residualFrame(assigned, cents))
+    val resid = graft.Caching.materialize(
+      residualFrame(assigned, cents, extraCols))
     val cb = Pq.train(resid, m, k, iters)
     val dir =
       if (sessionLifetime) graft.TempDirs.createSessionLifetime("ivfpqindex_keep")
       else graft.TempDirs.create("ivfpqindex")
-    codeRows(resid, cb, cents)
+    codeRows(resid, cb, cents, extraCols)
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
     IvfPqIndex(cb, centroids, dir)
   }
@@ -86,10 +94,12 @@ object IvfPq {
     * (columns `vec_id, v, cell`), shaped as the `embedding` column
     * [[Pq]] consumes. */
   private[similarity] def residualFrame(assigned: DataFrame,
-                                        cents: Seq[Seq[Double]]): DataFrame =
+                                        cents: Seq[Seq[Double]],
+                                        extraCols: Seq[String] = Seq.empty): DataFrame =
     assigned.withColumn("__cents", typedLit(cents))
-      .select(col("vec_id"), col("cell"),
-        expr("transform(v, (x, i) -> x - __cents[cell][i])").as("embedding"))
+      .select(col("vec_id") +: col("cell") +:
+        expr("transform(v, (x, i) -> x - __cents[cell][i])").as("embedding") +:
+        extraCols.map(col): _*)
 
   /** `(vec_id, codes, rnorm, cell)` code rows of a residual frame under
     * GIVEN artifacts — the write-side projection, shared by
@@ -98,7 +108,8 @@ object IvfPq {
     * `|c|² + 2·(c·r̂) + |r̂|²`, all three terms m-lookup sums into
     * driver-literal tables, paid once at encode time. */
   private[similarity] def codeRows(resid: DataFrame, cb: Pq.Codebooks,
-                                   cents: Seq[Seq[Double]]): DataFrame = {
+                                   cents: Seq[Seq[Double]],
+                                   extraCols: Seq[String] = Seq.empty): DataFrame = {
     val m = cb.size
     val d = cents.head.size
     val subd = d / m
@@ -111,13 +122,14 @@ object IvfPq {
     val rn2: Seq[Seq[Double]] = cb.map(_.map(r => r.map(x => x * x).sum))
     val crossDot = (0 until m).map(j => s"__d2[cell][$j][codes[$j]]").mkString(" + ")
     val residN2 = (0 until m).map(j => s"__rn2[$j][codes[$j]]").mkString(" + ")
-    Pq.encode(resid, cb, extraCols = Seq("cell"))
+    Pq.encode(resid, cb, extraCols = "cell" +: extraCols)
       .withColumn("__cn2", typedLit(cn2))
       .withColumn("__d2", typedLit(d2))
       .withColumn("__rn2", typedLit(rn2))
       .withColumn("rnorm",
         expr(s"sqrt(__cn2[cell] + 2 * ($crossDot) + ($residN2))"))
-      .select("vec_id", "codes", "rnorm", "cell")
+      .select(("vec_id" +: "codes" +: "rnorm" +: "cell" +: extraCols)
+        .map(col): _*)
   }
 
   /** Code rows for NEW vectors under an EXISTING index's artifacts —
@@ -125,11 +137,13 @@ object IvfPq {
     * ([[Ivf.assignExpr]] over the stored centroids), residual-encode
     * with the stored codebooks. O(new rows); the corpus is never
     * rescanned. */
-  private[similarity] def encodeNewRows(newEmb: DataFrame,
-                                        idx: IvfPqIndex): DataFrame = {
+  private[similarity] def encodeNewRows(newEmb: DataFrame, idx: IvfPqIndex,
+      extraCols: Seq[String] = Seq.empty): DataFrame = {
     val cents = idx.centroids.sortBy(_._1).map(_._2)
-    val assigned = Ivf.assignExpr(Cosine.prepared(newEmb), idx.centroids)
-    codeRows(residualFrame(assigned, cents), idx.cb, cents)
+    val assigned = Ivf.assignExpr(Cosine.prepared(newEmb, extraCols),
+      idx.centroids)
+    codeRows(residualFrame(assigned, cents, extraCols), idx.cb, cents,
+      extraCols)
   }
 
   /** The index for `key`, building it on first use (train once, probe

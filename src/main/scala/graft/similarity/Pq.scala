@@ -141,13 +141,14 @@ object Pq {
     * precomputed reconstruction norm `|x̂| = sqrt(Σ_j |c_{j,codes_j}|²)`
     * (m lookups into the squared-norm literal, query-independent so it
     * is paid once at encode time). */
-  private[similarity] def encodeWithNorm(emb: DataFrame, cb: Codebooks): DataFrame = {
+  private[similarity] def encodeWithNorm(emb: DataFrame, cb: Codebooks,
+      extraCols: Seq[String] = Seq.empty): DataFrame = {
     val m = cb.size
     val rnorm = (0 until m).map(j => s"__n2[$j][codes[$j]]").mkString(" + ")
-    encode(emb, cb)
+    encode(emb, cb, extraCols)
       .withColumn("__n2", typedLit(centroidNorm2(cb)))
       .withColumn("rnorm", expr(s"sqrt($rnorm)"))
-      .select("vec_id", "codes", "rnorm")
+      .select(("vec_id" +: "codes" +: "rnorm" +: extraCols).map(col): _*)
   }
 
   /** Per-query ADC lookup table: lut[j][c] = q_subvector_j ·
