@@ -13,14 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * All pure string expressions inside whole-stage codegen (no UDF):
   * host = the authority between `scheme://` and the first `/?#`,
-  * registrable domain = one label + the host's public suffix, where
-  * the suffix is two labels when the last two match an embedded
-  * multi-label public-suffix subset (`shop.example.co.uk` →
-  * `example.co.uk`, not `co.uk` — a two-label-only rule merges every
-  * .co.uk site into one "domain", so caps and blocklists misfire on
-  * exactly the ccTLD corpora real crawls are full of) and one label
-  * otherwise. The subset is a literal IN-chain — still pure codegen,
-  * no suffix table shipped to executors, no external dep. The
+  * registrable domain = the host's public suffix plus one label under
+  * the FULL ICANN rule set — `shop.example.co.uk` → `example.co.uk`,
+  * not `co.uk`: a two-label-only rule merges every .co.uk site into
+  * one "domain", so caps and blocklists misfire on exactly the ccTLD
+  * corpora real crawls are full of. The rule set lives process-local
+  * behind ONE native expression node
+  * ([[graft.functions.PslRegistrableDomain]]), never in the plan. The
   * blocklist is a broadcast anti-join — O(|blocklist|) driver metadata
   * at any corpus size. The cap is a per-domain `row_number` over a
   * deterministic permutation (the portable [[Mixture.lcgOrder]] — both
@@ -30,34 +29,19 @@ import org.apache.spark.sql.functions._
   * the driver. */
 object Curation {
 
-  /** Two-label public suffixes under which the registrable domain is
-    * THREE labels — since round 13, the COMPLETE two-label ASCII rule
-    * set of the Public Suffix List's ICANN section (3,614 rules;
-    * publicsuffix.org, Mozilla PSL, MPL-2.0 — public data, shipped as
-    * a classpath resource and loaded once on the driver). The round-12
-    * form embedded a 45-entry hand subset; the round-13 audit against
-    * the OS-packaged PSL measured it covering 46 of 3,614 two-label
-    * ICANN rules, so e.g. `example.com.ua` or `example.co.il` minted
-    * wrong "domains".
-    *
-    * The membership test is the native [[graft.functions.IsPslSuffix]]
-    * predicate over a process-local hash set — ONE node in the
-    * expression tree, O(1) per row, nothing shipped in the plan (the
-    * first full-PSL cut used `isin(<3,614 literals>)`; Catalyst's
-    * InSet made the ROW cost O(1) but the literal tree re-inlined at
-    * every derived-column reference and plan-time cost doubled the
-    * query — measured 0.61 → 1.19 s warm at sf0.1, reverted by the
-    * native predicate). Executors load the rule set lazily from the
-    * same classpath resource.
-    *
-    * Out of scope by design (documented trade): wildcard/exception
-    * rules (26 — `*.ck`-style, needing per-rule logic), rules of three
-    * or more labels (1,975 — mostly municipal registries), and IDN
-    * rules (285). Hosts under those resolve by the plain last-two-label
-    * rule. */
+  /** The exact two-label public suffixes — the audit surface round 13
+    * pinned (3,614 rules; publicsuffix.org, Mozilla PSL, MPL-2.0 —
+    * public data, shipped as a classpath resource and loaded once per
+    * process). Since round 14 this is a VIEW into the full ICANN ASCII
+    * rule set ([[graft.functions.PslSuffixImpl]]): 6,901 exact rules of
+    * 1–4 labels plus 18 wildcard (`*.ck`) and 8 exception (`!www.ck`)
+    * rules — the classes the round-13 cut documented out of scope now
+    * resolve by the real PSL algorithm (exception priority, longest
+    * match, default `*`). Still out of scope: IDN (non-ASCII) rules
+    * (453; the resource header documents why). */
   lazy val MultiLabelSuffixes: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    graft.functions.PslSuffixImpl.rules.asScala.toSeq.sorted
+    graft.functions.PslSuffixImpl.twoLabelExact.asScala.toSeq.sorted
   }
 
   /** The URL's HOST — the authority between `scheme://` and the first
@@ -67,7 +51,7 @@ object Curation {
     * "" domain bucket, escaping blocklists and caps), userinfo is
     * stripped (everything through the last `@`), the port is stripped
     * (everything from the first `:`), and the result is lowercased so
-    * `Example.co.uk` hits the suffix IN-chain and blocklist entries.
+    * `Example.co.uk` hits the suffix rule set and blocklist entries.
     * Still pure codegen — one regexp plus `substring_index`/`lower`
     * byte scans. Bracketed IPv6 literal hosts are out of scope (the
     * `:`-strip would truncate them); crawl corpora are name-based. */
@@ -76,29 +60,28 @@ object Curation {
     lower(substring_index(substring_index(auth, "@", -1), ":", 1))
   }
 
-  /** Registrable domain, public-suffix-aware: the host's last two
-    * dot-labels, or its last THREE when the last two are a multi-label
-    * public suffix (`cdn.docs.example.com` → `example.com`;
-    * `shop.example.co.uk` → `example.co.uk`). A bare suffix,
-    * two-label, or one-label host passes through unchanged.
+  /** Registrable domain, public-suffix-aware: the host's public suffix
+    * under the full ICANN ASCII rule set plus one label
+    * (`cdn.docs.example.com` → `example.com`; `shop.example.co.uk` →
+    * `example.co.uk`; wildcard `*.ck`: `a.foo.bar.ck` → `foo.bar.ck`;
+    * exception `!www.ck`: `a.www.ck` → `www.ck`; 3-label rule:
+    * `portal.example.k12.ak.us` → `example.k12.ak.us`). A bare suffix,
+    * or a host with no label under its suffix, passes through
+    * unchanged.
     *
-    * Cost discipline: ONE regexp (the host extraction); the label
-    * slicing is `substring_index` (a plain byte scan) and the suffix
-    * test a literal IN-chain. The derived column substitutes into
-    * several downstream operators (join key, window key, group key) and
-    * each evaluation replays the whole tree — an extra regexp per label
-    * slice measured 3.48 → 26.7 s on the sf10 domain-curation scan
-    * before this form. */
-  def registrableDomain(url: Column): Column = {
-    val h = host(url)
-    val l2 = substring_index(h, ".", -2) // = h when host has < 3 labels
-    val l3 = substring_index(h, ".", -3)
-    val isSuffix = org.apache.spark.sql.GraftPlanBridge.column(
-      graft.functions.IsPslSuffix(
-        org.apache.spark.sql.GraftPlanBridge.expression(l2)))
-    // promotion needs a third label to exist: l3 == l2 means there is none
-    when(isSuffix && l3 =!= l2, l3).otherwise(l2)
-  }
+    * Cost discipline: ONE regexp (the host extraction) and ONE native
+    * expression node running the whole PSL algorithm (backward dot
+    * scan + ≤8 hash probes per row — see
+    * [[graft.functions.PslSuffixImpl]] for why the rules must live
+    * process-local and not in the expression tree). The derived column
+    * substitutes into several downstream operators (join key, window
+    * key, group key) and each evaluation replays the whole tree — an
+    * extra regexp per label slice measured 3.48 → 26.7 s on the sf10
+    * domain-curation scan before this form. */
+  def registrableDomain(url: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.PslRegistrableDomain(
+        org.apache.spark.sql.GraftPlanBridge.expression(host(url))))
 
   /** Kept documents after blocklist + per-domain cap, with the derived
     * `domain` column. `orderCol` picks the deterministic permutation

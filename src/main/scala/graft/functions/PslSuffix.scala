@@ -3,43 +3,145 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Public-suffix membership as a native predicate (round 13).
+/** Public-suffix machinery as native expressions (rounds 13–14).
   *
-  * The first full-PSL form expressed the 3,614-rule test as
-  * `isin(<3,614 string literals>)`: Catalyst converts that to an
-  * `InSet` (O(1) per row), but the literal children live in the
-  * EXPRESSION TREE — and `Curation.registrableDomain`'s derived column
-  * is re-inlined at every reference (join key, window key, two group
-  * keys, blocked flag), so every query carrying it paid ~5 × 36 KB of
-  * tree through analysis, optimization, and plan serialization
-  * (measured: `curate_domains` warm median 0.61 → 1.19 s at sf0.1 from
-  * plan-time cost alone). This expression is ONE tree node; the rule
-  * set is process-local metadata loaded lazily from the classpath
-  * resource — executors on a real cluster load it from the same jar,
+  * Round 13 established the cost discipline: the rule set is
+  * process-local metadata loaded lazily from a classpath resource, and
+  * the test is ONE node in the expression tree. (The first full-PSL
+  * form expressed the membership test as `isin(<3,614 string
+  * literals>)`: Catalyst converts that to an `InSet` — O(1) per row —
+  * but the literal children live in the EXPRESSION TREE, and
+  * `Curation.registrableDomain`'s derived column is re-inlined at every
+  * reference (join key, window key, two group keys, blocked flag), so
+  * every query carrying it paid ~5 × 36 KB of tree through analysis,
+  * optimization, and plan serialization — measured: `curate_domains`
+  * warm median 0.61 → 1.19 s at sf0.1 from plan-time cost alone.)
+  * Executors on a real cluster load the rule set from the same jar;
   * nothing ships in the plan.
-  */
+  *
+  * Round 14 completes the RULE SET (VERDICT r13 next #6): the resource
+  * now carries the PSL ICANN section's COMPLETE ASCII rules — 6,901
+  * exact rules of 1–4 labels (round 13 shipped only the 3,614 two-label
+  * ones; `example.k12.ak.us`-style municipal-registry hosts minted
+  * wrong domains), 18 wildcard rules (`*.ck`: ANY single label under
+  * the base is part of the suffix), and 8 exception rules (`!www.ck`:
+  * prevails over every other match; the suffix is the rule minus its
+  * leftmost label, so the rule itself IS the registrable domain) — and
+  * the whole PSL ALGORITHM (exception-first, then longest match,
+  * default rule `*`) runs inside one native expression,
+  * [[PslRegistrableDomain]]. Per row: one backward scan for the last ≤5
+  * dots plus at most ~8 hash probes on suffix substrings — cheaper than
+  * the two `substring_index` byte scans + predicate it replaces. IDN
+  * (non-ASCII) rules stay out of scope (453, documented in the
+  * resource header). */
 object PslSuffixImpl {
-  /** The PSL ICANN section's two-label ASCII rules (see the resource
-    * header for provenance and the documented out-of-scope classes). */
-  lazy val rules: java.util.HashSet[String] = {
-    val in = getClass.getResourceAsStream("/graft/psl_two_label_icann.txt")
-    require(in != null, "psl_two_label_icann.txt missing from classpath")
-    val set = new java.util.HashSet[String](8192)
+
+  /** The parsed rule sets: exact rules, wildcard bases (the part after
+    * `*.`), exception rules (without `!`), and the label-count caps the
+    * matcher needs. */
+  final class Rules(val exact: java.util.HashSet[String],
+                    val wildcardBases: java.util.HashSet[String],
+                    val exceptions: java.util.HashSet[String],
+                    val maxRuleLabels: Int, val maxExceptionLabels: Int)
+
+  lazy val rules: Rules = {
+    val in = getClass.getResourceAsStream("/graft/psl_icann_ascii.txt")
+    require(in != null, "psl_icann_ascii.txt missing from classpath")
+    val exact = new java.util.HashSet[String](16384)
+    val wild = new java.util.HashSet[String](64)
+    val exc = new java.util.HashSet[String](16)
+    var maxRule = 1
+    var maxExc = 0
+    def labels(s: String): Int = s.count(_ == '.') + 1
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filterNot(l => l.isEmpty || l.startsWith("#")).foreach(set.add)
+      .filterNot(l => l.isEmpty || l.startsWith("#")).foreach { l =>
+        if (l.startsWith("!")) {
+          val r = l.substring(1); exc.add(r)
+          maxExc = math.max(maxExc, labels(r))
+        } else if (l.startsWith("*.")) {
+          val base = l.substring(2); wild.add(base)
+          maxRule = math.max(maxRule, labels(base) + 1)
+        } else {
+          exact.add(l); maxRule = math.max(maxRule, labels(l))
+        }
+      }
     finally in.close()
-    set
+    new Rules(exact, wild, exc, maxRule, maxExc)
   }
 
-  def isMultiLabelSuffix(s: UTF8String): Boolean = rules.contains(s.toString)
+  /** The exact TWO-LABEL rules — [[graft.etl.Curation.MultiLabelSuffixes]]'s
+    * audit surface and [[IsPslSuffix]]'s membership set (kept at its
+    * round-13 meaning: "is this two-label string itself a public
+    * suffix by an exact rule"). */
+  lazy val twoLabelExact: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](8192)
+    rules.exact.forEach(r => if (r.count(_ == '.') == 1) { s.add(r); () })
+    s
+  }
+
+  def isMultiLabelSuffix(s: UTF8String): Boolean =
+    twoLabelExact.contains(s.toString)
+
+  /** Registrable domain of an already-lowercased host under the full
+    * rule set — the PSL algorithm: exception rules prevail (suffix =
+    * the rule minus its leftmost label ⇒ the rule itself is the
+    * registrable domain), else the LONGEST matching exact-or-wildcard
+    * rule is the suffix, else the default rule `*` (suffix = last
+    * label); registrable = suffix + one label. A host that IS a bare
+    * suffix (or shorter) passes through unchanged — the round-12/13
+    * contract every downstream oracle pins. */
+  def registrable(h: UTF8String): UTF8String = {
+    val host = h.toString
+    val out = registrableOf(host)
+    if (out.length == host.length) h else UTF8String.fromString(out)
+  }
+
+  def registrableOf(host: String): String = {
+    if (host.isEmpty) return host
+    val r = rules
+    // positions of the last `need` dots (backward scan, O(suffix) chars)
+    val need = r.maxRuleLabels + 1
+    val dotPos = new Array[Int](need)
+    var dots = 0
+    var i = host.length - 1
+    while (i >= 0 && dots < need) {
+      if (host.charAt(i) == '.') { dotPos(dots) = i; dots += 1 }
+      i -= 1
+    }
+    // host has >= k labels iff dots >= k-1 (the scan saw the whole
+    // string whenever dots < need); lastK is only called with k <= dots+1
+    def lastK(k: Int): String =
+      if (k > dots) host else host.substring(dotPos(k - 1) + 1)
+    // exceptions first (PSL: exception rules prevail regardless of
+    // other matches' length)
+    var k = math.min(r.maxExceptionLabels, dots + 1)
+    while (k >= 2) {
+      if (r.exceptions.contains(lastK(k))) return lastK(k)
+      k -= 1
+    }
+    // longest exact-or-wildcard match; default `*` = one label
+    var suffixLen = 1
+    var found = false
+    k = math.min(r.maxRuleLabels, dots + 1)
+    while (!found && k >= 1) {
+      if (r.exact.contains(lastK(k))) { suffixLen = k; found = true }
+      else if (k >= 2 && r.wildcardBases.contains(lastK(k - 1))) {
+        suffixLen = k; found = true
+      }
+      k -= 1
+    }
+    if (dots + 1 > suffixLen) lastK(suffixLen + 1) else host
+  }
 }
 
 /** `true` iff the (already-lowercased) string is a two-label ICANN
-  * public suffix — the promotion test of
-  * [[graft.etl.Curation.registrableDomain]]. */
+  * public suffix by an exact rule — round 13's membership predicate,
+  * kept for callers that audit the two-label set;
+  * [[graft.etl.Curation.registrableDomain]] itself now runs the full
+  * algorithm through [[PslRegistrableDomain]]. */
 case class IsPslSuffix(child: Expression)
     extends UnaryExpression with Predicate {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -53,6 +155,28 @@ case class IsPslSuffix(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.PslSuffixImpl.isMultiLabelSuffix($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registrable domain of an already-lowercased host — the FULL PSL
+  * algorithm (exact + wildcard + exception rules, longest match,
+  * exception priority, default `*`) as ONE expression-tree node; see
+  * [[PslSuffixImpl]] for the plan-cost rationale and
+  * [[PslSuffixImpl.registrableOf]] for the semantics. */
+case class PslRegistrableDomain(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"psl_registrable_domain expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "psl_registrable_domain"
+  override def nullSafeEval(input: Any): Any =
+    PslSuffixImpl.registrable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PslSuffixImpl.registrable($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
