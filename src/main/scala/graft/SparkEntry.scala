@@ -2784,11 +2784,21 @@ object SparkEntry {
     * ONE shuffle (the per-domain window); blocklist and caps are
     * metadata-sized at any corpus scale. */
   def curateDomains(s: SparkSession, dir: String): DataFrame = {
-    val suffix = when(col("doc_id") % 5 === 0, lit(".com"))
-      .when(col("doc_id") % 5 === 1, lit(".co.uk"))
-      .when(col("doc_id") % 5 === 2, lit(".com.br"))
-      .when(col("doc_id") % 5 === 3, lit(".org"))
-      .otherwise(lit(".net"))
+    // suffix mix covers every rule class the PSL algorithm runs (round
+    // 14 added 5–7): plain TLD, two-label exact (.co.uk/.com.br),
+    // WILDCARD (*.ck — any label under ck is a suffix, so foo.ck is and
+    // the registrable is three labels), EXCEPTION (!www.ck — www.ck is
+    // itself registrable, so every host under it collapses into ONE
+    // domain and the cap binds hard), and a THREE-label exact rule
+    // (k12.ak.us — the municipal-registry class)
+    val suffix = when(col("doc_id") % 8 === 0, lit(".com"))
+      .when(col("doc_id") % 8 === 1, lit(".co.uk"))
+      .when(col("doc_id") % 8 === 2, lit(".com.br"))
+      .when(col("doc_id") % 8 === 3, lit(".org"))
+      .when(col("doc_id") % 8 === 4, lit(".net"))
+      .when(col("doc_id") % 8 === 5, lit(".foo.ck"))
+      .when(col("doc_id") % 8 === 6, lit(".www.ck"))
+      .otherwise(lit(".k12.ak.us"))
     val hostClean = concat(
       when(col("doc_id") % 3 === 0, lit("www."))
         .when(col("doc_id") % 3 === 1, lit("cdn.assets."))
@@ -2802,7 +2812,8 @@ object SparkEntry {
         when(col("doc_id") % 9 === 0, lit(":8443")).otherwise(lit("")),
         lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
     graft.etl.Curation.domainReport(docs, "url",
-      blocklist = Seq("src00.com", "src11.co.uk", "src192.com.br"),
+      blocklist = Seq("src00.com", "src11.co.uk", "src192.com.br",
+        "src24.foo.ck"),
       perDomainCap = 2)
   }
 
@@ -2996,11 +3007,19 @@ object SparkEntry {
     * the code table in one tagged commit; a drift guard (mean cosine
     * distortion of the batch vs the training-time baseline) falls back
     * to full retrain when the old codebooks no longer describe the new
-    * data. The probe pins: the extension outcome (codebooks kept, code
-    * table grew by exactly the batch), the recall floors over the GROWN
-    * corpus through the extended index (`ann_pq`'s floors — extension
-    * must not degrade the probe), and that the next call is a pure
-    * load. */
+    * data. Round 14 adds the DELETION leg (GDPR erasure, corpus
+    * compaction — the round-13 store full-retrained on any non-append
+    * change): physically removing a corpus file yields outcome
+    * `Shrunk(1)` — codebooks kept, the dropped file's code rows
+    * DV-deleted through `src_file` provenance (O(matched rows), no
+    * code file rewritten, nothing re-encoded) — and the NEXT call is
+    * again a pure load. The probe pins: the extension outcome
+    * (codebooks kept, code table grew by exactly the batch), the
+    * recall floors over the GROWN corpus through the extended index
+    * (`ann_pq`'s floors — extension must not degrade the probe), the
+    * pure load in between, the shrink outcome, that the code table
+    * lost EXACTLY the removed file's rows, and that no code row from
+    * the removed file survives. */
   def annIndexIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.AnnIndexStore
     val wh = tempDir("annincwh")
@@ -3030,16 +3049,172 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("sim").as("sim_q")))
     val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    val recall = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+    // recall collected to DRIVER values here: the deletion leg below
+    // physically erases a corpus file, and a lazy recall frame evaluated
+    // after it would rescan the now-smaller corpus (the inputFiles
+    // re-listing trap Round13Spec documents)
+    val recallRow = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
       .join(hits, Seq("query_id"), "left")
       .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
       .agg(count(lit(1)).as("n_queries"),
            min(col("recall")).as("minr"), avg(col("recall")).as("meanr"))
-    recall.select(col("n_queries"),
-        (col("minr") >= 0.4).as("min_recall_ok"),
-        (col("meanr") >= 0.65).as("mean_recall_ok"))
-      .withColumn("extended_without_retrain", lit(extendedOk))
-      .withColumn("code_rows_grew_by_batch", lit(rows1 == rows0 + batchRows))
+      .collect()(0)
+    // deletion leg: physically erase one corpus file (GDPR-erasure
+    // shape), maintain, verify Shrunk + exact row accounting + pure load
+    val victim = s.read.parquet(corpus).inputFiles.sorted.head
+    val victimRows = s.read.parquet(victim).count()
+    val victimName = victim.split('/').last
+    val vp = new org.apache.hadoop.fs.Path(victim)
+    vp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(vp, false)
+    val (shr, o3) = AnnIndexStore.pqIndex(s.read.parquet(corpus), wh, "emb_inc")
+    val rows2 = graft.acid.TxLog.read(s, loc).count()
+    val orphanRows = graft.acid.TxLog.read(s, loc)
+      .filter(col("src_file") === victimName).count()
+    val (_, o4) = AnnIndexStore.pqIndex(s.read.parquet(corpus), wh, "emb_inc")
+    val shrunkOk =
+      o3 == AnnIndexStore.IndexOutcome.Shrunk(1) &&
+      o4 == AnnIndexStore.IndexOutcome.Loaded &&
+      shr.cb == built.cb && orphanRows == 0L
+    import s.implicits._
+    Seq((recallRow.getLong(0), recallRow.getDouble(1) >= 0.4,
+        recallRow.getDouble(2) >= 0.65, extendedOk,
+        rows1 == rows0 + batchRows, shrunkOk,
+        rows2 == rows1 - victimRows))
+      .toDF("n_queries", "min_recall_ok", "mean_recall_ok",
+        "extended_without_retrain", "code_rows_grew_by_batch",
+        "shrunk_without_retrain", "code_rows_shrank_by_file")
+  }
+
+  /** #166 SQL read-side time travel (round 14,
+    * [[graft.analytics.GraftSql]]) — the SQL front door could WRITE
+    * history (round 13's DML) but not READ it: a SQL-only consumer (the
+    * reference's Athena persona, analysis/analytics_job.py:29-54) had
+    * no path to `versionAsOf`. Now `FROM t VERSION AS OF n` /
+    * `TIMESTAMP AS OF ts` parse through Spark's own grammar to a
+    * `RelationTimeTravel` leaf that GraftSql substitutes with the
+    * txlog's historical read, and `DESCRIBE HISTORY t` lists commits
+    * through the maintenance mini-grammar. The scenario runs SQL UPDATE
+    * then DELETE over the consumer table and reads BOTH the pre-DML
+    * snapshot (through SQL text — the oracle pins the OLD content) and
+    * the current one, joins historical-to-current in one statement
+    * implicitly via the union, pins `TIMESTAMP AS OF` at v1's commit
+    * time returning exactly the `VERSION AS OF 1` rows, and pins the
+    * history length. */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.GraftSql
+    val path = tempDir("txsqltt"); val wh = tempDir("sqlttwh")
+    graft.acid.TxLog.overwrite(consumerSlim(s, dir), path,
+      Seq("trip_type", "trip_year", "trip_month"))                   // v1
+    graft.acid.GraftCatalog.register(wh, "consumer_tt", path)
+    GraftSql.execute(s, wh,
+      "UPDATE consumer_tt SET total_amount = total_amount + 100 " +
+        "WHERE trip_type = 'purchase'")                              // v2
+    GraftSql.execute(s, wh,
+      "DELETE FROM consumer_tt WHERE total_amount < 50")             // v3
+    val nVersions = GraftSql.execute(s, wh, "DESCRIBE HISTORY consumer_tt")
+      .count()
+    val agg = "trip_type, count(*) AS n_rows, " +
+      "round(sum(total_amount), 2) AS total"
+    val v1 = GraftSql.execute(s, wh,
+      s"SELECT '1:v1' AS phase, $agg FROM consumer_tt VERSION AS OF 1 " +
+        "GROUP BY trip_type")
+    // TIMESTAMP AS OF pinned at v1's commit mtime must select the SAME
+    // snapshot as VERSION AS OF 1 (commit mtimes are monotone in
+    // version on one filesystem)
+    val conf = s.sparkContext.hadoopConfiguration
+    val commit1 = new org.apache.hadoop.fs.Path(path, f"_txlog/${1L}%020d.json")
+    val ts = new java.sql.Timestamp(commit1.getFileSystem(conf)
+      .getFileStatus(commit1).getModificationTime).toInstant.toString
+    val byTs = GraftSql.execute(s, wh,
+      s"SELECT '1:v1' AS phase, $agg FROM consumer_tt " +
+        s"TIMESTAMP AS OF '$ts' GROUP BY trip_type")
+    val tsOk = byTs.exceptAll(v1).isEmpty && v1.exceptAll(byTs).isEmpty
+    val cur = GraftSql.execute(s, wh,
+      s"SELECT '2:current' AS phase, $agg FROM consumer_tt VERSION AS OF 3 " +
+        "GROUP BY trip_type")
+    v1.unionByName(cur)
+      .withColumn("ts_matches_version", lit(tsOk))
+      .withColumn("n_versions", lit(nVersions))
+      .orderBy("phase", "trip_type")
+  }
+
+  /** #167 SQL DDL lifecycle (round 14, [[graft.analytics.GraftSql]]) —
+    * plain `CREATE TABLE (schema) PARTITIONED BY` (an empty v0 table:
+    * one metadata commit + a catalog registration, so DML can target
+    * the name before any data exists), `ALTER TABLE ADD COLUMN` (the
+    * metadata-only widen [[graft.acid.TxLog.addColumn]] — old files
+    * back-fill typed NULLs at read time, O(1) metadata at any table
+    * size), and INSERT column lists (named columns bind positionally,
+    * omitted ones back-fill NULL). The whole lifecycle — create empty →
+    * bulk insert → widen → insert wider → read back — runs through SQL
+    * TEXT; the oracle models the final state including the NULL
+    * back-fill census. */
+  def sqlDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.GraftSql
+    val wh = tempDir("sqlddlwh")
+    val srcView = s"sql_ddl_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    consumerSlim(s, dir).createOrReplaceTempView(srcView)
+    GraftSql.execute(s, wh,
+      "CREATE TABLE sql_ddl_t (event_id BIGINT, trip_type STRING, " +
+        "total_amount DOUBLE) PARTITIONED BY (trip_type)")
+    GraftSql.execute(s, wh,
+      s"INSERT INTO sql_ddl_t SELECT event_id, trip_type, total_amount " +
+        s"FROM $srcView")
+    GraftSql.execute(s, wh, "ALTER TABLE sql_ddl_t ADD COLUMN note STRING")
+    GraftSql.execute(s, wh,
+      "INSERT INTO sql_ddl_t (event_id, trip_type, note) " +
+        "VALUES (-1, 'manual', 'wide'), (-2, 'manual', 'wide')")
+    graft.acid.GraftCatalog.attachAll(s, wh)
+    GraftSql.execute(s, wh,
+      """SELECT trip_type, count(*) AS n_rows,
+        |       round(sum(coalesce(total_amount, 0)), 2) AS total,
+        |       sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS n_null_note
+        |FROM sql_ddl_t GROUP BY trip_type ORDER BY trip_type""".stripMargin)
+  }
+
+  /** #168 Merge-on-read SQL DML (round 14, VERDICT stretch #9) — with
+    * `spark.graft.dml.mergeOnRead=true` the SQL door routes UPDATE /
+    * DELETE to the deletion-vector kernels ([[graft.acid.TxLog
+    * .deleteWithDv]]/[[graft.acid.TxLog.updateWithDv]]): at 100 TB a
+    * `DELETE WHERE user_id = x` must commit kilobytes of DV sidecar,
+    * never rewrite the terabytes of files holding the matches. The
+    * probe pins, through SQL text: the DELETE added ZERO data files,
+    * the UPDATE only APPENDED post-images, and every pre-DML data file
+    * is still live under its original path (nothing was rewritten) —
+    * plus the exact end state the oracle models. */
+  def sqlDmlDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.GraftSql
+    val path = tempDir("txsqldv"); val wh = tempDir("sqldvwh")
+    graft.acid.TxLog.overwrite(consumerSlim(s, dir), path,
+      Seq("trip_type", "trip_year", "trip_month"))
+    graft.acid.GraftCatalog.register(wh, "consumer_dv", path)
+    val before = graft.acid.TxLog.livePaths(s, path)
+    // sparse row-level conditions (the GDPR-erasure / late-correction
+    // shape merge-on-read exists for): each touches a sliver of every
+    // file, never a whole file — the #109 deltaMergeDv discipline
+    s.conf.set("spark.graft.dml.mergeOnRead", "true")
+    val (delNoData, updAppendOnly) =
+      try {
+        val del = GraftSql.execute(s, wh,
+          "DELETE FROM consumer_dv WHERE total_amount >= 100 " +
+            "AND total_amount < 110").collect()(0)
+        val upd = GraftSql.execute(s, wh,
+          "UPDATE consumer_dv SET total_amount = total_amount + 1 " +
+            "WHERE trip_type = 'purchase' AND total_amount >= 150")
+          .collect()(0)
+        (del.getInt(2) == 0, upd.getInt(2) >= 1)
+      } finally s.conf.unset("spark.graft.dml.mergeOnRead")
+    // merge-on-read leaves every original file live (deletes ride DV
+    // sidecars); the update only APPENDS post-image files
+    val intact = before.subsetOf(graft.acid.TxLog.livePaths(s, path))
+    graft.acid.TxLog.read(s, path)
+      .groupBy("trip_type")
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("total_amount")), 2).as("total"))
+      .withColumn("dv_delete_wrote_no_data", lit(delNoData))
+      .withColumn("dv_update_appended_only", lit(updAppendOnly))
+      .withColumn("original_files_intact", lit(intact))
+      .orderBy("trip_type")
   }
 
   // ------------------------------------------------------------ registry
@@ -3224,6 +3399,9 @@ object SparkEntry {
     "ann_index_persist"   -> (annIndexPersist _),
     "ann_index_incremental" -> (annIndexIncremental _),
     "sql_dml"             -> (sqlDml _),
+    "sql_time_travel"     -> (sqlTimeTravel _),
+    "sql_ddl"             -> (sqlDdl _),
+    "sql_dml_dv"          -> (sqlDmlDv _),
     "dedup_semantic"      -> (dedupSemantic _),
   )
 
@@ -4668,11 +4846,16 @@ object SparkEntry {
     // append-only growth: extension (not retrain) pinned, codebooks
     // kept, code table grew by exactly the batch, next call a pure
     // load; recall floors hold over the GROWN corpus through the
-    // extended index
+    // extended index. Round 14: the deletion leg — erasing a corpus
+    // file yields Shrunk(1) (codebooks kept, the file's code rows
+    // DV-deleted, zero survivors), the code table loses EXACTLY that
+    // file's rows, and the next call is again a pure load
     "ann_index_incremental" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, true AS min_recall_ok,
         |       true AS mean_recall_ok, true AS extended_without_retrain,
-        |       true AS code_rows_grew_by_batch""".stripMargin,
+        |       true AS code_rows_grew_by_batch,
+        |       true AS shrunk_without_retrain,
+        |       true AS code_rows_shrank_by_file""".stripMargin,
 
     // #141's five-clause merge model run through SQL text, then the SQL
     // UPDATE (+1 on purchases) and SQL DELETE (< 25) applied on top —
@@ -4709,6 +4892,67 @@ object SparkEntry {
          |       round(sum(total_amount), 2) AS total
          |FROM updated WHERE total_amount >= 25
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL read-side time travel: the oracle models BOTH snapshots — v1
+    // (pre-DML) and the current one (UPDATE +100 on purchases, then
+    // DELETE < 50) — and pins that TIMESTAMP AS OF at v1's commit time
+    // selected exactly the VERSION AS OF 1 rows, plus the history length
+    "sql_time_travel" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |v2 AS (SELECT trip_type,
+         |         CASE WHEN trip_type = 'purchase' THEN total_amount + 100
+         |              ELSE total_amount END AS total_amount FROM c),
+         |v3 AS (SELECT * FROM v2 WHERE total_amount >= 50),
+         |u AS (
+         |  SELECT '1:v1' AS phase, trip_type, count(*) AS n_rows,
+         |         round(sum(total_amount), 2) AS total FROM c GROUP BY 2
+         |  UNION ALL
+         |  SELECT '2:current', trip_type, count(*),
+         |         round(sum(total_amount), 2) FROM v3 GROUP BY 2)
+         |SELECT phase, trip_type, CAST(n_rows AS BIGINT) AS n_rows, total,
+         |       true AS ts_matches_version, CAST(3 AS BIGINT) AS n_versions
+         |FROM u ORDER BY phase, trip_type""".stripMargin,
+
+    // SQL DDL lifecycle: create empty → bulk insert → ADD COLUMN widen →
+    // column-list insert of wider rows; the pre-widen rows back-fill
+    // NULL `note`, the manual rows back-fill NULL `total_amount`
+    "sql_ddl" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |allrows AS (
+         |  SELECT trip_type, total_amount, CAST(NULL AS VARCHAR) AS note
+         |  FROM c
+         |  UNION ALL SELECT 'manual', NULL, 'wide'
+         |  UNION ALL SELECT 'manual', NULL, 'wide')
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(coalesce(total_amount, 0)), 2) AS total,
+         |       CAST(sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null_note
+         |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merge-on-read DML end state must be indistinguishable from
+    // copy-on-write (the delta_merge_dv discipline): DELETE [100,110),
+    // then +1 on purchases >= 150; the no-rewrite probes ride as
+    // constant booleans
+    "sql_dml_dv" ->
+      s"""WITH c AS (
+         |  SELECT event_type AS trip_type, value AS total_amount
+         |  FROM events WHERE event_type IN ('purchase', 'view') AND $dqSql),
+         |kept AS (SELECT trip_type,
+         |           CASE WHEN trip_type = 'purchase' AND total_amount >= 150
+         |                THEN total_amount + 1 ELSE total_amount END
+         |             AS total_amount
+         |         FROM c
+         |         WHERE NOT (total_amount >= 100 AND total_amount < 110))
+         |SELECT trip_type, count(*) AS n_rows,
+         |       round(sum(total_amount), 2) AS total,
+         |       true AS dv_delete_wrote_no_data,
+         |       true AS dv_update_appended_only,
+         |       true AS original_files_intact
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_stratified" ->
       """SELECT event_type, count(*) AS n_total,
@@ -5478,18 +5722,24 @@ object SparkEntry {
     // host-extraction or public-suffix bug shifts per-domain rows —
     // e.g. a two-label rule would merge every .co.uk host into one
     // 'co.uk' domain), and mirrors the LCG permutation so kept
-    // MEMBERSHIP is exact via bit_xor
+    // MEMBERSHIP is exact via bit_xor. Round 14: the %8 cases cover
+    // wildcard (*.ck → srcXN.foo.ck stays a distinct domain), exception
+    // (!www.ck → EVERY host under it is ONE 'www.ck' domain — the
+    // oracle derives that collapse independently), and a 3-label exact
+    // rule (k12.ak.us)
     "curate_domains" ->
       """WITH d AS (SELECT doc_id,
-        |             source || CAST(doc_id % 7 AS VARCHAR) ||
-        |             CASE CAST(doc_id % 5 AS INT)
-        |               WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
-        |               WHEN 2 THEN '.com.br' WHEN 3 THEN '.org'
-        |               ELSE '.net' END AS domain
+        |             CASE WHEN doc_id % 8 = 6 THEN 'www.ck'
+        |               ELSE source || CAST(doc_id % 7 AS VARCHAR) ||
+        |                 CASE CAST(doc_id % 8 AS INT)
+        |                   WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |                   WHEN 2 THEN '.com.br' WHEN 3 THEN '.org'
+        |                   WHEN 4 THEN '.net' WHEN 5 THEN '.foo.ck'
+        |                   ELSE '.k12.ak.us' END END AS domain
         |           FROM documents),
         |allowed AS (SELECT * FROM d
-        |            WHERE domain NOT IN
-        |              ('src00.com', 'src11.co.uk', 'src192.com.br')),
+        |            WHERE domain NOT IN ('src00.com', 'src11.co.uk',
+        |              'src192.com.br', 'src24.foo.ck')),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY domain
         |             ORDER BY (doc_id * 1103515245 + 12345) % 2147483648,
         |                      doc_id) AS rk
@@ -5500,8 +5750,8 @@ object SparkEntry {
         |inv AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
         |        FROM d GROUP BY 1)
         |SELECT i.domain, i.n_docs,
-        |       i.domain IN ('src00.com', 'src11.co.uk', 'src192.com.br')
-        |         AS blocked,
+        |       i.domain IN ('src00.com', 'src11.co.uk', 'src192.com.br',
+        |         'src24.foo.ck') AS blocked,
         |       coalesce(k.n_kept, 0) AS n_kept,
         |       coalesce(k.kept_xor, 0) AS kept_xor
         |FROM inv i LEFT JOIN kept k USING (domain)
