@@ -747,8 +747,9 @@ object TxLog {
     * passing the pre-filter frame as `partitionSource` also replaces
     * partitions the filter emptied (see PartitionedSink, same contract). */
   def overwritePartitions(df: DataFrame, table: String,
-                          partitionSource: Option[DataFrame] = None): Unit = {
+                          partitionSource: Option[DataFrame] = None): MergeStats = {
     val spark = df.sparkSession
+    var stats = MergeStats(0, 0, 0)
     retryCommit(spark, table) { snapOpt =>
       val snap = snapOpt.getOrElse(throw new IllegalStateException(
         s"dynamic overwrite of non-existent table $table — overwrite first"))
@@ -762,12 +763,14 @@ object TxLog {
           c -> (if (r.isNullAt(i)) NullPartition else String.valueOf(r.get(i)))
         }.toMap).toSet
       val removes = snap.files.filter(f => replaced.contains(f.partitionValues))
+      val adds = stage(df, table, pcols,
+        bloomCols = snap.meta.bloomCols,
+        columnMap = snap.meta.columnMap)
+      stats = MergeStats(removes.size, snap.files.size, adds.size)
       commitInfoJson("overwritePartitions") +:
-        (removes.map(actionJson("remove", _)) ++
-          stage(df, table, pcols,
-            bloomCols = snap.meta.bloomCols,
-            columnMap = snap.meta.columnMap).map(actionJson("add", _)))
+        (removes.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
     }
+    stats
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCols` — Delta's
@@ -1965,12 +1968,25 @@ object TxLog {
   }
 
   /** Table history: (version, n_adds, n_removes, schema_changed) per
-    * commit — the DESCRIBE HISTORY surface. */
-  def history(spark: SparkSession, table: String): Seq[(Long, Int, Int, Boolean)] = {
+    * commit — the original programmatic surface (see [[historyFull]]
+    * for the DESCRIBE HISTORY shape). */
+  def history(spark: SparkSession, table: String): Seq[(Long, Int, Int, Boolean)] =
+    historyFull(spark, table).map(h => (h._1, h._4, h._5, h._6))
+
+  /** Table history with operation and commit time — Delta's DESCRIBE
+    * HISTORY shape: (version, commit epoch-ms, operation, n_adds,
+    * n_removes, schema_changed) per commit. The timestamp is the commit
+    * file's mtime — the same clock [[readAsOfTimestamp]] resolves
+    * against, so a timestamp read "AS OF" a history row's time always
+    * selects that row's version. */
+  def historyFull(spark: SparkSession, table: String)
+      : Seq[(Long, Long, String, Int, Int, Boolean)] = {
     val (hfs, root) = fs(spark, table)
     listVersions(hfs, root).map { case (v, p) =>
+      val st = hfs.getFileStatus(p)
       val c = parseCommit(readText(hfs, p))
-      (v, c.adds.size, c.removes.size, c.meta.isDefined)
+      (v, st.getModificationTime, c.op.getOrElse(""),
+        c.adds.size, c.removes.size, c.meta.isDefined)
     }
   }
 

@@ -99,13 +99,47 @@ object GraftSql {
         Seq(("delete", st.filesRewritten, st.filesAdded))
           .toDF("op", "files_rewritten", "files_added")
       case i: InsertIntoStatement =>
-        require(i.partitionSpec.isEmpty,
-          "graft SQL INSERT supports no PARTITION specs — partitioning " +
-            "comes from the table's declared layout")
         val loc = resolveTable(spark, warehouse, i.table)
-        val q = GraftPlanBridge.ofRows(spark, i.query)
+        val q0 = GraftPlanBridge.ofRows(spark, i.query)
         val schema = TxLog.read(spark, loc).schema
         val tableCols = schema.fieldNames.toSeq
+        // STATIC partition specs (round 14): `PARTITION (p = 'v')` pins
+        // the named partition columns to literals; the query binds the
+        // REMAINING columns positionally. Dynamic specs (`PARTITION
+        // (p)`) and combining a spec with a column list are rejected
+        // loudly — partitioning comes from the table's declared layout,
+        // and a dynamic spec adds nothing over plain INSERT.
+        val staticSpec: Map[String, String] = i.partitionSpec.map {
+          case (k, Some(v)) => canonical(tableCols, k) -> v
+          case (k, None) => throw new IllegalArgumentException(
+            s"graft SQL INSERT supports only STATIC partition specs " +
+              s"(PARTITION ($k = <value>)); dynamic columns bind like any " +
+              "other query column — drop them from the spec")
+        }
+        if (staticSpec.nonEmpty) {
+          require(i.userSpecifiedCols.isEmpty,
+            "graft SQL INSERT supports a PARTITION spec or a column " +
+              "list, not both")
+          require(!i.byName,
+            "graft SQL INSERT supports a PARTITION spec only with " +
+              "positional binding, not BY NAME")
+          val pcols = TxLog.partitionColsOf(spark, loc)
+          staticSpec.keys.foreach(k => require(pcols.contains(k),
+            s"PARTITION spec column `$k` is not a partition column of " +
+              s"the table (${pcols.mkString(", ")})"))
+        }
+        val q =
+          if (staticSpec.isEmpty) q0
+          else {
+            val rest = tableCols.filterNot(staticSpec.contains)
+            require(q0.columns.length == rest.length,
+              s"INSERT arity mismatch under PARTITION spec: query " +
+                s"produces ${q0.columns.length} columns, table needs " +
+                s"${rest.length} non-spec columns (${rest.mkString(", ")})")
+            staticSpec.foldLeft(q0.toDF(rest: _*)) { case (df, (k, v)) =>
+              df.withColumn(k, org.apache.spark.sql.functions.lit(v))
+            }.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+          }
         // SQL standard: positional unless BY NAME, then ANSI store
         // assignment (the query's output casts to the table's types —
         // a VALUES row arrives as int/decimal literals)
@@ -141,17 +175,24 @@ object GraftSql {
         val casted = aligned.select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
             .as(f.name)).toSeq: _*)
-        val before = TxLog.fileCount(spark, loc)
-        if (i.overwrite) TxLog.overwrite(casted, loc,
-          TxLog.partitionColsOf(spark, loc))
-        else TxLog.append(casted, loc)
-        val after = TxLog.fileCount(spark, loc)
         // same (op, files_rewritten, files_added) shape as every other
-        // DML verb: an overwrite logically rewrites the whole prior
-        // snapshot, an append rewrites nothing
-        Seq((if (i.overwrite) "insert_overwrite" else "insert",
-          if (i.overwrite) before else 0,
-          if (i.overwrite) after else after - before))
+        // DML verb: a full overwrite logically rewrites the whole prior
+        // snapshot, a PARTITION overwrite only the spec'd partition's
+        // files (TxLog.overwritePartitions — Delta's replaceWhere shape
+        // through SQL text), an append rewrites nothing
+        val before = TxLog.fileCount(spark, loc)
+        val (op, rewritten, added) =
+          if (i.overwrite && staticSpec.nonEmpty) {
+            val st = TxLog.overwritePartitions(casted, loc)
+            ("insert_overwrite_partition", st.filesRewritten, st.filesAdded)
+          } else if (i.overwrite) {
+            TxLog.overwrite(casted, loc, TxLog.partitionColsOf(spark, loc))
+            ("insert_overwrite", before, TxLog.fileCount(spark, loc))
+          } else {
+            TxLog.append(casted, loc)
+            ("insert", 0, TxLog.fileCount(spark, loc) - before)
+          }
+        Seq((op, rewritten, added))
           .toDF("op", "files_rewritten", "files_added")
       case c: CreateTableAsSelect =>
         val name = identifierOf(c.name, "CTAS")
@@ -325,6 +366,8 @@ object GraftSql {
       """(?:\s+PROTECT\s*\(([^)]*)\))?(\s+FORCE)?\s*$""").r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(`[^`]+`|[\w./-]+)\s*$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val QuotedStr = """'((?:[^'\\]|\\.)*)'""".r
 
   private def unquote(name: String): String =
@@ -385,10 +428,20 @@ object GraftSql {
         TxLog.vacuum(spark, loc, retain, protectReaders = readers,
           force = force != null)
         Some(Seq(("vacuum", retain)).toDF("op", "retained_from_version"))
+      case ShowTablesRe() =>
+        // the GRAFT catalog's tables, not the session catalog's — the
+        // entry point's whole contract is that `warehouse` is the
+        // namespace (Spark's own SHOW TABLES would list temp views and
+        // miss everything registered by a previous process)
+        Some(GraftCatalog.entries(warehouse)
+          .map(e => (e.name, e.location)).sortBy(_._1)
+          .toDF("name", "location"))
       case DescribeHistoryRe(name) =>
         val loc = resolveName(spark, warehouse, name)
-        Some(TxLog.history(spark, loc)
-          .toDF("version", "n_adds", "n_removes", "schema_changed")
+        Some(TxLog.historyFull(spark, loc)
+          .map(h => (h._1, new java.sql.Timestamp(h._2), h._3, h._4, h._5, h._6))
+          .toDF("version", "timestamp", "op", "n_adds", "n_removes",
+            "schema_changed")
           .orderBy(col("version")))
       case _ => None
     }

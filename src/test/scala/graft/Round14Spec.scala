@@ -278,6 +278,47 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("INSERT PARTITION (static spec) binds remaining columns " +
+       "positionally; INSERT OVERWRITE PARTITION replaces ONLY that " +
+       "partition; SHOW TABLES lists the graft catalog") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r14pswh"); val table = tmp("r14pstbl")
+    TxLog.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "grp", "v"), table, Seq("grp"))
+    graft.acid.GraftCatalog.register(wh, "tps14", table)
+    // static spec: grp pinned, (k, v) bind positionally
+    GraftSql.execute(spark, wh,
+      "INSERT INTO tps14 PARTITION (grp = 'a') VALUES (3, 3.0)")
+    assert(TxLog.read(spark, table).where(col("grp") === "a").count() == 2L)
+    // overwrite-partition: replaces grp='a' ONLY — grp='b' untouched
+    val r = GraftSql.execute(spark, wh,
+      "INSERT OVERWRITE tps14 PARTITION (grp = 'a') VALUES (9, 9.0)")
+      .collect()(0)
+    assert(r.getString(0) == "insert_overwrite_partition" &&
+      r.getInt(1) >= 1 && r.getInt(2) >= 1, r.toString)
+    assert(TxLog.read(spark, table).collect().map(_.toSeq).toSet ==
+      Set(Seq(9L, "a", 9.0), Seq(2L, "b", 2.0)))
+    // dynamic specs and spec+column-list are loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "INSERT INTO tps14 PARTITION (grp) VALUES (4, 'c', 4.0)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "INSERT INTO tps14 PARTITION (grp = 'a') (k) VALUES (4)")
+    }
+    // a non-partition column in the spec is loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "INSERT INTO tps14 PARTITION (v = '1.0') VALUES (4, 'c')")
+    }
+    // SHOW TABLES lists the GRAFT catalog (not the session catalog)
+    val tables = GraftSql.execute(spark, wh, "SHOW TABLES").collect()
+    assert(tables.map(_.getString(0)).toSeq == Seq("tps14"))
+    assert(tables(0).getString(1) == table)
+  }
+
   // ------------------------------------------ full-PSL rule classes
 
   test("PSL wildcard, exception, and ≥3-label rules resolve by the real " +
@@ -496,11 +537,21 @@ class Round14Spec extends SparkSpec {
       GraftSql.execute(spark, wh,
         "SELECT * FROM ttt14 VERSION AS OF 99").collect()
     }
-    // DESCRIBE HISTORY: one row per commit, versions ascending
-    val hist = GraftSql.execute(spark, wh, "DESCRIBE HISTORY ttt14").collect()
-    assert(hist.map(_.getLong(0)).toSeq == (0L to 3L) ||
-      hist.map(_.getLong(0)).toSeq == (1L to 3L),
+    // DESCRIBE HISTORY: one row per commit, versions ascending, with
+    // the Delta-shape op + timestamp columns
+    val histDf = GraftSql.execute(spark, wh, "DESCRIBE HISTORY ttt14")
+    assert(histDf.columns.toSeq == Seq("version", "timestamp", "op",
+      "n_adds", "n_removes", "schema_changed"))
+    val hist = histDf.collect()
+    assert(hist.map(_.getLong(0)).toSeq == (1L to 3L),
       hist.map(_.getLong(0)).mkString(","))
-    assert(hist.last.getInt(1) >= 1, "the DELETE commit adds files")
+    assert(hist.map(r => r.getString(2)).toSeq ==
+      Seq("overwrite", "update", "delete"), hist.mkString(";"))
+    assert(hist.last.getInt(3) >= 1, "the DELETE commit adds files")
+    // a history row's timestamp, read back AS OF, selects that version
+    val tsRows = hist.map(_.getTimestamp(1))
+    assert(!tsRows.contains(null) &&
+      tsRows.sliding(2).forall(p => !p(1).before(p(0))),
+      "commit timestamps must be monotone non-decreasing")
   }
 }
