@@ -83,8 +83,12 @@ object Bench {
     * normalization. */
   private[graft] def calibration(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, count, desc, sum}
+    // 30M rows ≈ 3-5 s/sample on this box: the first committed r14 pair
+    // measured the 10M form's own noise ABOVE the drift it meters (cal
+    // 1.33 vs 1.73 across two runs whose 168-query medians agreed at
+    // 1.003) — a ~1.5 s sample is jitter-dominated; ~4 s is not
     val t0 = System.nanoTime()
-    val top = spark.range(0, 10000000L, 1, 32)
+    val top = spark.range(0, 30000000L, 1, 32)
       .selectExpr("id", "(id * 2654435761) % 1000003 AS k")
       .groupBy("k").agg(count(org.apache.spark.sql.functions.lit(1)).as("c"),
         sum(col("id")).as("s"))

@@ -296,8 +296,14 @@ object GraftSql {
         // the rest of the query around it. A SQL-only consumer (the
         // reference's Athena persona) reaches every snapshot the Scala
         // API can.
-        import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-        if (plan.collectFirst { case tt: RelationTimeTravel => tt }.isEmpty)
+        import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedTableValuedFunction}
+        def isGraftTvf(t: UnresolvedTableValuedFunction): Boolean =
+          t.name.map(_.toLowerCase) == Seq("table_changes")
+        val needsSubstitution = plan.collectFirst {
+          case tt: RelationTimeTravel => tt: Any
+          case t: UnresolvedTableValuedFunction if isGraftTvf(t) => t: Any
+        }.isDefined
+        if (!needsSubstitution)
           // the read face: catalog tables attach as temp views
           // (GraftCatalog.attachAll) and plain spark.sql serves them
           spark.sql(sql)
@@ -318,11 +324,37 @@ object GraftSql {
                     s"TIMESTAMP AS OF, got: $other")
               }
               df.queryExecution.analyzed
+            // Delta's CDF table-valued function, `FROM table_changes('t',
+            // from[, to])` — routed to TxLog.readChangeFeed (explicit cdc
+            // files first, add/remove derivation otherwise; the feed
+            // never scans untouched files)
+            case t: UnresolvedTableValuedFunction if isGraftTvf(t) =>
+              val args = t.functionArgs.map(foldArg(spark, _))
+              require(args.nonEmpty && args.size <= 3,
+                "table_changes takes (table, fromVersion[, toVersion])")
+              val loc = resolveName(spark, warehouse, String.valueOf(args.head))
+              def asVersion(a: Any): Long = a match {
+                case n: Number => n.longValue()
+                case other => throw new IllegalArgumentException(
+                  s"table_changes version arguments must be integers, " +
+                    s"got `$other`")
+              }
+              require(args.size >= 2,
+                "table_changes needs a fromVersion (and optionally a " +
+                  "toVersion)")
+              TxLog.readChangeFeed(spark, loc, asVersion(args(1)),
+                args.lift(2).map(asVersion))
+                .queryExecution.analyzed
           }
           GraftPlanBridge.ofRows(spark, substituted)
         }
     }
   }
+
+  /** A TVF argument (a literal or foldable expression) folded to a
+    * plain JVM value via a one-row driver evaluation. */
+  private def foldArg(spark: SparkSession, e: Expression): Any =
+    spark.range(1).select(GraftPlanBridge.column(e)).first().get(0)
 
   /** A `TIMESTAMP AS OF` operand (a literal, cast, or foldable
     * expression — Spark hands it unevaluated) as epoch millis, under

@@ -278,6 +278,39 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("SQL CDF: table_changes(t, from[, to]) reads the change feed " +
+       "through SQL text and composes with the query around it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r14cfwh"); val table = tmp("r14cftbl")
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v"), table)                                        // v1
+    graft.acid.GraftCatalog.register(wh, "tcf14", table)
+    GraftSql.execute(spark, wh, "UPDATE tcf14 SET v = v + 1 WHERE k = 2") // v2
+    GraftSql.execute(spark, wh, "DELETE FROM tcf14 WHERE k = 3")          // v3
+    val ch = GraftSql.execute(spark, wh,
+      """SELECT _change_type, count(*) AS n
+        |FROM table_changes('tcf14', 2, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L), ch.toString)
+    // default toVersion = latest; feed columns filter like any others
+    val post = GraftSql.execute(spark, wh,
+      "SELECT v FROM table_changes('tcf14', 2) " +
+        "WHERE _change_type = 'update_postimage'").collect()
+    assert(post.map(_.getDouble(0)).toSeq == Seq(21.0))
+    // the full range includes v1's inserts
+    assert(GraftSql.execute(spark, wh,
+      "SELECT count(*) AS n FROM table_changes('tcf14', 1, 1)")
+      .collect()(0).getLong(0) == 3L)
+    // non-integer version arguments are loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "SELECT * FROM table_changes('tcf14', 'two')").collect()
+    }
+  }
+
   test("INSERT PARTITION (static spec) binds remaining columns " +
        "positionally; INSERT OVERWRITE PARTITION replaces ONLY that " +
        "partition; SHOW TABLES lists the graft catalog") {
