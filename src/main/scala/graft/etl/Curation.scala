@@ -37,8 +37,9 @@ object Curation {
     * 1–4 labels plus 18 wildcard (`*.ck`) and 8 exception (`!www.ck`)
     * rules — the classes the round-13 cut documented out of scope now
     * resolve by the real PSL algorithm (exception priority, longest
-    * match, default `*`). Still out of scope: IDN (non-ASCII) rules
-    * (453; the resource header documents why). */
+    * match, default `*`), and IDN rules ship in BOTH the PSL's Unicode
+    * spelling and their punycode (xn--) form, so hosts in either
+    * spelling resolve (the resource header records the conversion). */
   lazy val MultiLabelSuffixes: Seq[String] = {
     import scala.jdk.CollectionConverters._
     graft.functions.PslSuffixImpl.twoLabelExact.asScala.toSeq.sorted

@@ -23,20 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * nothing ships in the plan.
   *
   * Round 14 completes the RULE SET (VERDICT r13 next #6): the resource
-  * now carries the PSL ICANN section's COMPLETE ASCII rules — 6,901
-  * exact rules of 1–4 labels (round 13 shipped only the 3,614 two-label
-  * ones; `example.k12.ak.us`-style municipal-registry hosts minted
-  * wrong domains), 18 wildcard rules (`*.ck`: ANY single label under
-  * the base is part of the suffix), and 8 exception rules (`!www.ck`:
-  * prevails over every other match; the suffix is the rule minus its
-  * leftmost label, so the rule itself IS the registrable domain) — and
-  * the whole PSL ALGORITHM (exception-first, then longest match,
-  * default rule `*`) runs inside one native expression,
-  * [[PslRegistrableDomain]]. Per row: one backward scan for the last ≤5
-  * dots plus at most ~8 hash probes on suffix substrings — cheaper than
-  * the two `substring_index` byte scans + predicate it replaces. IDN
-  * (non-ASCII) rules stay out of scope (453, documented in the
-  * resource header). */
+  * now carries the PSL ICANN section's COMPLETE rules — 7,807 exact
+  * rules of 1–4 labels (round 13 shipped only the 3,614 two-label
+  * ASCII ones; `example.k12.ak.us`-style municipal-registry hosts
+  * minted wrong domains), 18 wildcard rules (`*.ck`: ANY single label
+  * under the base is part of the suffix), and 8 exception rules
+  * (`!www.ck`: prevails over every other match; the suffix is the rule
+  * minus its leftmost label, so the rule itself IS the registrable
+  * domain) — and the whole PSL ALGORITHM (exception-first, then
+  * longest match, default rule `*`) runs inside one native expression,
+  * [[PslRegistrableDomain]]. Per row: one backward scan for the last
+  * ≤5 dots plus at most ~8 hash probes on suffix substrings — cheaper
+  * than the two `substring_index` byte scans + predicate it replaces.
+  * IDN rules (453) ship in BOTH spellings — the PSL's own Unicode form
+  * and its IDNA2008/UTS46 punycode (`xn--`) form — because crawl
+  * corpora carry hosts in either: `shop.example.公司.cn` and
+  * `shop.example.xn--55qx5d.cn` both resolve to the registrable
+  * `example.<suffix>` instead of minting the SUFFIX itself as a
+  * "domain" (what the last-two-label default did). */
 object PslSuffixImpl {
 
   /** The parsed rule sets: exact rules, wildcard bases (the part after
@@ -48,8 +52,8 @@ object PslSuffixImpl {
                     val maxRuleLabels: Int, val maxExceptionLabels: Int)
 
   lazy val rules: Rules = {
-    val in = getClass.getResourceAsStream("/graft/psl_icann_ascii.txt")
-    require(in != null, "psl_icann_ascii.txt missing from classpath")
+    val in = getClass.getResourceAsStream("/graft/psl_icann.txt")
+    require(in != null, "psl_icann.txt missing from classpath")
     val exact = new java.util.HashSet[String](16384)
     val wild = new java.util.HashSet[String](64)
     val exc = new java.util.HashSet[String](16)
@@ -72,13 +76,16 @@ object PslSuffixImpl {
     new Rules(exact, wild, exc, maxRule, maxExc)
   }
 
-  /** The exact TWO-LABEL rules — [[graft.etl.Curation.MultiLabelSuffixes]]'s
-    * audit surface and [[IsPslSuffix]]'s membership set (kept at its
-    * round-13 meaning: "is this two-label string itself a public
-    * suffix by an exact rule"). */
+  /** The exact TWO-LABEL ASCII rules — [[graft.etl.Curation
+    * .MultiLabelSuffixes]]'s audit surface and [[IsPslSuffix]]'s
+    * membership set (kept at its round-13 meaning: "is this two-label
+    * ASCII string itself a public suffix by an exact rule"; round 14
+    * adds the punycode spellings of the two-label IDN rules, which are
+    * ASCII by construction). */
   lazy val twoLabelExact: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](8192)
-    rules.exact.forEach(r => if (r.count(_ == '.') == 1) { s.add(r); () })
+    rules.exact.forEach(r =>
+      if (r.count(_ == '.') == 1 && r.forall(_ < 128)) { s.add(r); () })
     s
   }
 

@@ -360,16 +360,17 @@ class Round14Spec extends SparkSpec {
     import graft.functions.PslSuffixImpl
     val spark2 = spark
     import spark2.implicits._
-    // the audit surface: the COMPLETE ICANN ASCII section (the round-13
-    // audit measured the hand subset covering 46/3,614 two-label rules;
-    // round 14 ships every ASCII rule class — IDN stays documented out)
-    assert(PslSuffixImpl.rules.exact.size == 6901,
+    // the audit surface: the COMPLETE ICANN section (the round-13 audit
+    // measured the hand subset covering 46/3,614 two-label rules; round
+    // 14 ships every rule class, with IDN rules in BOTH the PSL's
+    // Unicode spelling and the punycode form crawl hosts actually carry)
+    assert(PslSuffixImpl.rules.exact.size == 7807,
       s"exact rules: ${PslSuffixImpl.rules.exact.size}")
     assert(PslSuffixImpl.rules.wildcardBases.size == 18,
       s"wildcards: ${PslSuffixImpl.rules.wildcardBases.size}")
     assert(PslSuffixImpl.rules.exceptions.size == 8,
       s"exceptions: ${PslSuffixImpl.rules.exceptions.size}")
-    assert(Curation.MultiLabelSuffixes.size == 3614) // the round-13 pin holds
+    assert(Curation.MultiLabelSuffixes.size == 3899) // 3,614 + 285 xn--
     val cases = Seq(
       // wildcard *.ck: ANY label under ck is a suffix → bar.ck is the
       // suffix, registrable = three labels (the VERDICT's fixture)
@@ -385,6 +386,10 @@ class Round14Spec extends SparkSpec {
       // 3-label wildcard base *.kawasaki.jp (+ its city exception)
       ("https://a.b.c.kawasaki.jp/", "b.c.kawasaki.jp"),
       ("https://a.city.kawasaki.jp/", "city.kawasaki.jp"),
+      // IDN rules, in the punycode spelling crawl hosts carry
+      // (公司.cn = xn--55qx5d.cn) and the PSL's own Unicode spelling
+      ("https://shop.example.xn--55qx5d.cn/", "example.xn--55qx5d.cn"),
+      ("https://shop.example.公司.cn/", "example.公司.cn"),
       // the round-12/13 classes keep resolving identically
       ("https://shop.example.co.uk/", "example.co.uk"),
       ("https://cdn.docs.example.com?q=1", "example.com"),
