@@ -8,19 +8,23 @@ import org.apache.spark.sql.functions.{col, expr}
 
 import graft.acid.{GraftCatalog, MergeClause, TxLog}
 
-/** The SQL DML front door over cataloged txlog tables (round 13 —
+/** The SQL front door over cataloged txlog tables (rounds 13–14 —
   * VERDICT: "the reference's consumption face is SQL", made
-  * read-write): `MERGE INTO` / `UPDATE` / `DELETE` / `INSERT INTO
-  * [BY NAME]` / `INSERT OVERWRITE` / `ALTER TABLE ... RENAME|DROP
+  * read-write-DDL-complete): `MERGE INTO` / `UPDATE` / `DELETE` /
+  * `INSERT INTO [BY NAME | (cols) | PARTITION (p='v')]` / `INSERT
+  * OVERWRITE [PARTITION]` / `CREATE TABLE [(schema)] [PARTITIONED BY]
+  * [AS SELECT]` / `DROP TABLE` / `ALTER TABLE ... ADD|RENAME|DROP
   * COLUMN` statements parse through SPARK'S OWN SQL PARSER
   * (`sessionState.sqlParser.parsePlan` — the full ANSI grammar, no
   * hand-rolled parser to drift from it) and the resulting logical
-  * plans (`MergeIntoTable`, `UpdateTable`, `DeleteFromTable`,
-  * `InsertIntoStatement`, `RenameColumn`, `DropColumns`) route to the
-  * existing TxLog kernels ([[TxLog.mergeConditional]],
-  * [[TxLog.update]], [[TxLog.delete]], [[TxLog.append]]/
-  * [[TxLog.overwrite]], [[TxLog.renameColumn]], [[TxLog.dropColumn]]).
-  * Everything else (SELECT, DDL over views) falls through to
+  * plans route to the existing TxLog kernels. The READ side is
+  * complete too (round 14): `FROM t VERSION AS OF n` / `TIMESTAMP AS
+  * OF ts` and `FROM table_changes('t', from[, to])` substitute the
+  * txlog's historical read / change feed into the parse tree as
+  * analyzed subtrees, so they compose with any surrounding query; with
+  * `spark.graft.dml.mergeOnRead=true`, UPDATE/DELETE route to the
+  * deletion-vector kernels (sparse DML commits sidecars, not files).
+  * Everything else (SELECT over attached views) falls through to
   * `spark.sql` unchanged, so one entry point serves the whole
   * consumption face (reference: analysis/analytics_job.py:29-54).
   *
