@@ -69,8 +69,17 @@ object Bench {
     else s
   }
 
+  /** Rows the calibration probe aggregates. Published in BOTH output
+    * artifacts as `calibration_rows` so cross-round cal comparisons are
+    * self-describing: the r14 committed runs 1–2 ran a 10M probe and
+    * run 3 + the driver line a 30M probe — numerically incomparable,
+    * and nothing at the point of use said so (VERDICT r14 wrong #3). A
+    * future probe change bumps this constant and the artifacts say it. */
+  private[graft] val CalibrationRows = 30000000L
+
   /** The CALIBRATION probe (round 14 — VERDICT r13 directive #5): a
-    * fixed deterministic workload — 10M-row hash aggregate into ~1M
+    * fixed deterministic workload — [[CalibrationRows]]-row hash
+    * aggregate into ~1M
     * groups plus a top-100 sort, zero I/O — timed on the SAME session
     * before the cold pass and after the last warm pass. Host drift
     * (the r12→r13 bench comparison burned a full judge adjudication on
@@ -88,7 +97,7 @@ object Bench {
     // 1.33 vs 1.73 across two runs whose 168-query medians agreed at
     // 1.003) — a ~1.5 s sample is jitter-dominated; ~4 s is not
     val t0 = System.nanoTime()
-    val top = spark.range(0, 30000000L, 1, 32)
+    val top = spark.range(0, CalibrationRows, 1, 32)
       .selectExpr("id", "(id * 2654435761) % 1000003 AS k")
       .groupBy("k").agg(count(org.apache.spark.sql.functions.lit(1)).as("c"),
         sum(col("id")).as("s"))
@@ -130,7 +139,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted =
         if (keep >= ranked.size) "" else s""","queries_omitted":${ranked.size - keep}"""
-      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs$omitted,"failed":${errs.size},"errors":$errJson,"agg":"med3warm","setup_sec":${fmtSec(setupSec)},"cold_total_sec":${fmtSec(coldTotal)},"build_total_sec":${fmtSec(buildTotal)},"cal":${fmtSec(calSec)},"sf":${jsonStr(sf)}}"""
+      s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs$omitted,"failed":${errs.size},"errors":$errJson,"agg":"med3warm","setup_sec":${fmtSec(setupSec)},"cold_total_sec":${fmtSec(coldTotal)},"build_total_sec":${fmtSec(buildTotal)},"cal":${fmtSec(calSec)},"calibration_rows":$CalibrationRows,"sf":${jsonStr(sf)}}"""
     }
     var keep = ranked.size
     var out = line(keep)
@@ -287,8 +296,9 @@ object Bench {
       s""""calibration_before":${calBefore.mkString("[", ",", "]")},""" +
       s""""calibration_after":${calAfter.mkString("[", ",", "]")},""" +
       s""""calibration_sec":$calSec,""" +
+      s""""calibration_rows":$CalibrationRows,""" +
       s""""warm_above_cold":${inversions.map(jsonStr).mkString("[", ",", "]")},""" +
-      s""""agg":"per-query MEDIAN of 3 warm passes after 1 untimed cold pass; build/probe arrays are [cold,warm1,warm2,warm3]; build = eager scenario setup inside the registry fn, probe = noop-sink materialization of the returned frame; scenario tempdirs deleted after each query's probe; warm_above_cold = queries whose warm min exceeded the cold pass (machine-noise inversions, discount before comparing rounds); calibration_sec = fixed 10M-row hash-agg+sort probe (no I/O), median-of-3 before cold and after last warm, averaged — divide per-query times by it before comparing rounds (host drift divides out)",""" +
+      s""""agg":"per-query MEDIAN of 3 warm passes after 1 untimed cold pass; build/probe arrays are [cold,warm1,warm2,warm3]; build = eager scenario setup inside the registry fn, probe = noop-sink materialization of the returned frame; scenario tempdirs deleted after each query's probe; warm_above_cold = queries whose warm min exceeded the cold pass (machine-noise inversions, discount before comparing rounds); calibration_sec = fixed calibration_rows-row hash-agg+sort probe (no I/O), median-of-3 before cold and after last warm, averaged — cal values are comparable ONLY between runs with equal calibration_rows; divide per-query times by cal before comparing rounds (host drift divides out)",""" +
       s""""sf":${jsonStr(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -3106,6 +3106,16 @@ object SparkEntry {
     graft.acid.TxLog.overwrite(consumerSlim(s, dir), path,
       Seq("trip_type", "trip_year", "trip_month"))                   // v1
     graft.acid.GraftCatalog.register(wh, "consumer_tt", path)
+    // TIMESTAMP AS OF resolves ties to the LATEST eligible version: if
+    // v2's commit file lands in the same mtime tick as v1's, the probe
+    // below would read v2 and flake (ADVICE r14). Wait out the tick so
+    // v2's mtime is strictly greater — commit mtimes on this path are
+    // millisecond-granular, so this spins at most ~1ms.
+    val conf = s.sparkContext.hadoopConfiguration
+    val commit1 = new org.apache.hadoop.fs.Path(path, f"_txlog/${1L}%020d.json")
+    val v1mtime = commit1.getFileSystem(conf).getFileStatus(commit1)
+      .getModificationTime
+    while (System.currentTimeMillis() <= v1mtime) Thread.sleep(1)
     GraftSql.execute(s, wh,
       "UPDATE consumer_tt SET total_amount = total_amount + 100 " +
         "WHERE trip_type = 'purchase'")                              // v2
@@ -3120,11 +3130,9 @@ object SparkEntry {
         "GROUP BY trip_type")
     // TIMESTAMP AS OF pinned at v1's commit mtime must select the SAME
     // snapshot as VERSION AS OF 1 (commit mtimes are monotone in
-    // version on one filesystem)
-    val conf = s.sparkContext.hadoopConfiguration
-    val commit1 = new org.apache.hadoop.fs.Path(path, f"_txlog/${1L}%020d.json")
-    val ts = new java.sql.Timestamp(commit1.getFileSystem(conf)
-      .getFileStatus(commit1).getModificationTime).toInstant.toString
+    // version on one filesystem; the tick-wait above made v2's strictly
+    // greater, so v1 is the unique latest-eligible version at this ts)
+    val ts = new java.sql.Timestamp(v1mtime).toInstant.toString
     val byTs = GraftSql.execute(s, wh,
       s"SELECT '1:v1' AS phase, $agg FROM consumer_tt " +
         s"TIMESTAMP AS OF '$ts' GROUP BY trip_type")

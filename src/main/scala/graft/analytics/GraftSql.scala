@@ -253,6 +253,14 @@ object GraftSql {
               "columns append (old files back-fill typed NULLs lazily)")
           require(qc.default.isEmpty,
             "ALTER TABLE ADD COLUMN supports no DEFAULT clause")
+          // the kernel forces nullable=true (existing rows back-fill
+          // NULL) — silently accepting NOT NULL would drop the declared
+          // constraint (ADVICE r14); reject loudly like every other
+          // unsupported clause
+          require(qc.nullable,
+            s"ALTER TABLE ADD COLUMN `${qc.colName}` NOT NULL is " +
+              "unsupported: added columns must be nullable — existing " +
+              "rows back-fill NULL at read time")
           TxLog.addColumn(spark, loc, qc.colName, qc.dataType)
         }
         Seq(("add_column", colsToAdd.map(_.colName).mkString(",")))

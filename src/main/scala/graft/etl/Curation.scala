@@ -33,7 +33,7 @@ object Curation {
     * pinned (3,614 rules; publicsuffix.org, Mozilla PSL, MPL-2.0 —
     * public data, shipped as a classpath resource and loaded once per
     * process). Since round 14 this is a VIEW into the full ICANN ASCII
-    * rule set ([[graft.functions.PslSuffixImpl]]): 6,901 exact rules of
+    * rule set ([[graft.functions.PslSuffixImpl]]): 7,807 exact rules of
     * 1–4 labels plus 18 wildcard (`*.ck`) and 8 exception (`!www.ck`)
     * rules — the classes the round-13 cut documented out of scope now
     * resolve by the real PSL algorithm (exception priority, longest

@@ -170,13 +170,18 @@ object AnnIndexStore {
     * miss. */
   private def tag(spark: SparkSession, tableLoc: String, kind: String,
                   fp: String, shape: Map[String, Long], files: Seq[String],
-                  dist: Double, cb: Pq.Codebooks,
+                  dist: Option[Double], cb: Pq.Codebooks,
                   centroids: Option[Seq[Seq[Double]]],
                   census: Option[Seq[Long]] = None): String = {
+    // `dist` is OMITTED when unknown rather than written as 0.0: a 0.0
+    // baseline makes driftExceeded (2·baseline + 0.02) trip on
+    // essentially every future batch, forcing retrains forever (ADVICE
+    // r14) — an absent baseline instead disables the relative drift
+    // test until a retrain re-measures it.
     val meta = List[(String, JValue)](
       "kind" -> JString(kind), "fp" -> JString(fp),
-      "shape" -> JObject(shape.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
-      "dist" -> JDouble(dist)) ++
+      "shape" -> JObject(shape.toList.map { case (k, v) => k -> (JInt(v): JValue) })) ++
+      dist.map(d => "dist" -> (JDouble(d): JValue)) ++
       census.map(cs => "rebalance" -> (JBool(skewed(cs)): JValue))
     val payload = List[(String, JValue)](
       "files" -> JArray(files.toList.map(JString(_): JValue)),
@@ -443,7 +448,7 @@ object AnnIndexStore {
       val loc = persist(Pq.encodeWithNorm(withSrc(emb), cb, Seq(SrcCol)),
         warehouse, name, Seq.empty,
         _ => tag(spark, new java.io.File(warehouse, name).toString, "pq", fp,
-          want, sigs, dist, cb, None))
+          want, sigs, Some(dist), cb, None))
       (Pq.PqIndex(cb, loc), IndexOutcome.Trained(driftFallback))
     }
     loadTag(spark, warehouse, name) match {
@@ -455,15 +460,19 @@ object AnnIndexStore {
         val (added, removed) = diffFiles(filesOf(j).get, sigs).get
         val cb = cbOf(j \ "cb")
         lazy val newRows = newRowsFrame(spark, emb, added)
-        if (added.nonEmpty &&
-            driftExceeded(meanDistortion(sampleVectors(newRows), cb),
-              dbl(j, "dist")))
+        lazy val newDist = meanDistortion(sampleVectors(newRows), cb)
+        if (added.nonEmpty && driftExceeded(newDist, dbl(j, "dist")))
           retrain(driftFallback = true)
         else if (removed.nonEmpty && !dropRemovedRows(spark, loc, removed))
           retrain(driftFallback = false) // pre-provenance artifact
         else {
+          // baseline carry-forward: stored value if present, else the
+          // freshly measured batch distortion (never a degenerate 0.0 —
+          // ADVICE r14); a shrink-only pass with no stored baseline
+          // measures nothing, so the field stays absent
           val mkTag = tag(spark, loc, "pq", fp, want, sigs,
-            dbl(j, "dist").getOrElse(0.0), cb, None)
+            dbl(j, "dist").orElse(if (added.nonEmpty) Some(newDist) else None),
+            cb, None)
           if (added.nonEmpty)
             TxLog.append(alignedToTable(spark, loc,
               Pq.encodeWithNorm(withSrc(newRows), cb, Seq(SrcCol))),
@@ -517,7 +526,7 @@ object AnnIndexStore {
       val census = cellCounts(codes, nCells)
       val loc = persist(codes, warehouse, name, Seq("cell"),
         _ => tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
-          fp, want, sigs, dist, built.cb, Some(cents), Some(census)))
+          fp, want, sigs, Some(dist), built.cb, Some(cents), Some(census)))
       (IvfPq.IvfPqIndex(built.cb, built.centroids, loc),
         IndexOutcome.Trained(driftFallback))
     }
@@ -538,47 +547,62 @@ object AnnIndexStore {
           idx.cb)
         if (added.nonEmpty && driftExceeded(newDist, dbl(j, "dist")))
           retrain(driftFallback = true)
+        // the provenance probe runs BEFORE any src_file-referencing scan:
+        // a pre-round-14 artifact has no src_file column, and computing
+        // the removal census against it would throw UNRESOLVED_COLUMN
+        // instead of taking the intended retrain fallback (ADVICE r14,
+        // medium — the pq path already ordered this correctly)
+        else if (removed.nonEmpty &&
+            !TxLog.read(spark, loc).columns.contains(SrcCol))
+          retrain(driftFallback = false) // pre-provenance artifact
         else {
+          // actual cell count may exceed the DECLARED nCells after a
+          // [[rebalanceCells]] split appended sub-cell centroids — every
+          // census computation sizes to the centroid list, never the
+          // shape parameter
+          val nActual = cents.size
           val storedCensus = censusOf(j)
           // census delta for removals: the matched rows' per-cell counts,
-          // read BEFORE the delete (same candidate-file scan magnitude
-          // the delete itself pays; never O(table) on the extend leg)
+          // read BEFORE the DV delete erases them (same candidate-file
+          // scan magnitude the delete itself pays; never O(table) on the
+          // extend leg)
           val removedCounts =
-            if (removed.isEmpty) Seq.fill(nCells)(0L)
+            if (removed.isEmpty) Seq.fill(nActual)(0L)
             else {
               val names = removed.map(p => p.split('/').last)
               cellCounts(TxLog.read(spark, loc)
-                .filter(col(SrcCol).isin(names: _*)), nCells)
+                .filter(col(SrcCol).isin(names: _*)), nActual)
             }
-          if (removed.nonEmpty && !dropRemovedRows(spark, loc, removed))
-            retrain(driftFallback = false) // pre-provenance artifact
-          else {
-            val encoded =
-              if (added.isEmpty) None
-              else Some(IvfPq.encodeNewRows(withSrc(newRows), idx, Seq(SrcCol)))
-            val addedCounts = encoded.map(cellCounts(_, nCells))
-              .getOrElse(Seq.fill(nCells)(0L))
-            val base =
-              if (storedCensus.size == nCells) storedCensus
-              else Seq.fill(nCells)(0L) // pre-census tag: counts restart
-            val census = (0 until nCells).map(c =>
-              math.max(0L, base(c) - removedCounts(c) + addedCounts(c)))
-            val mkTag = tag(spark, loc, "ivfpq", fp, want, sigs,
-              dbl(j, "dist").getOrElse(0.0), idx.cb, Some(cents), Some(census))
-            encoded match {
-              case Some(rows) =>
-                TxLog.append(alignedToTable(spark, loc, rows), loc,
-                  commitTag = Some(mkTag))
-              case None =>
-                TxLog.append(TxLog.read(spark, loc).limit(0), loc,
-                  commitTag = Some(mkTag))
-            }
-            val outcome =
-              if (removed.isEmpty) IndexOutcome.Extended(added.size)
-              else if (added.isEmpty) IndexOutcome.Shrunk(removed.size)
-              else IndexOutcome.Maintained(added.size, removed.size)
-            (idx, outcome)
+          if (removed.nonEmpty) {
+            val dropped = dropRemovedRows(spark, loc, removed)
+            assert(dropped, s"src_file column vanished from $loc mid-call")
           }
+          val encoded =
+            if (added.isEmpty) None
+            else Some(IvfPq.encodeNewRows(withSrc(newRows), idx, Seq(SrcCol)))
+          val addedCounts = encoded.map(cellCounts(_, nActual))
+            .getOrElse(Seq.fill(nActual)(0L))
+          val base =
+            if (storedCensus.size == nActual) storedCensus
+            else Seq.fill(nActual)(0L) // pre-census tag: counts restart
+          val census = (0 until nActual).map(c =>
+            math.max(0L, base(c) - removedCounts(c) + addedCounts(c)))
+          val mkTag = tag(spark, loc, "ivfpq", fp, want, sigs,
+            dbl(j, "dist").orElse(if (added.nonEmpty) Some(newDist) else None),
+            idx.cb, Some(cents), Some(census))
+          encoded match {
+            case Some(rows) =>
+              TxLog.append(alignedToTable(spark, loc, rows), loc,
+                commitTag = Some(mkTag))
+            case None =>
+              TxLog.append(TxLog.read(spark, loc).limit(0), loc,
+                commitTag = Some(mkTag))
+          }
+          val outcome =
+            if (removed.isEmpty) IndexOutcome.Extended(added.size)
+            else if (added.isEmpty) IndexOutcome.Shrunk(removed.size)
+            else IndexOutcome.Maintained(added.size, removed.size)
+          (idx, outcome)
         }
       case _ => retrain(driftFallback = false)
     }
