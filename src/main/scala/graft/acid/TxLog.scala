@@ -2258,6 +2258,37 @@ object TxLog {
   def fileCount(spark: SparkSession, table: String): Int =
     snapshot(spark, table, None).map(_.files.size).getOrElse(0)
 
+  /** The table's declared generated-column specs (SQL INSERT binding
+    * must know which columns the WRITE computes, so a query omitting
+    * them binds to the remaining columns instead of arity-failing). */
+  private[graft] def generatedColsOf(spark: SparkSession,
+                                     table: String): Map[String, String] =
+    snapshot(spark, table, None).map(_.meta.generatedCols).getOrElse(Map.empty)
+
+  /** The live partition inventory — each distinct partition-value tuple
+    * of the current snapshot, from log metadata alone (Delta's SHOW
+    * PARTITIONS shape: O(partitions) driver rows, zero data I/O). */
+  private[graft] def partitionInventory(spark: SparkSession, table: String)
+      : (Seq[String], Seq[Seq[String]]) = {
+    val snap = snapshot(spark, table, None).getOrElse(
+      throw new IllegalStateException(s"no txlog table at $table"))
+    val pcols = snap.meta.partitionCols
+    require(pcols.nonEmpty, s"$table is not partitioned")
+    (pcols, snap.files.map(f => pcols.map(c => f.partitionValues.getOrElse(c, "")))
+      .distinct.sortBy(_.mkString(" ")))
+  }
+
+  /** Driver-metadata table detail (Delta's DESCRIBE DETAIL shape):
+    * (version, numFiles, sizeInBytes, partitionColumns, numDvRows). */
+  private[graft] def detail(spark: SparkSession, table: String)
+      : (Long, Long, Long, Seq[String], Long) = {
+    val snap = snapshot(spark, table, None).getOrElse(
+      throw new IllegalStateException(s"no txlog table at $table"))
+    (snap.version, snap.files.size.toLong,
+      snap.files.map(f => math.max(0L, f.size)).sum,
+      snap.meta.partitionCols, snap.files.map(_.dvRows).sum)
+  }
+
   /** Live files under `maxBytes` (auto-compaction observability: the
     * sink lifecycle's invariant is that this never accumulates past
     * the compaction trigger, whatever the data scale). */

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.acid.TxLog
+import graft.analytics.GraftSql
+
+/** Round-15 laws: the SQL door made composable and case-robust —
+  * historical reads (`VERSION AS OF` / `table_changes()`) reach DML
+  * SOURCES (the CDC backfill/repair shape), table names resolve
+  * case-insensitively like columns, the last Scala-only lifecycle verbs
+  * (RESTORE / SHALLOW CLONE / CONVERT / ANALYZE) and the observability
+  * verbs (SHOW PARTITIONS / DESCRIBE DETAIL) run through SQL text,
+  * GENERATED ALWAYS AS reaches CREATE TABLE, and the ANN rebalance
+  * signal gets its ACTION (hot-cell split, O(hot cell)). */
+class Round15Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------ case-insensitive table names
+
+  test("SQL table names resolve case-insensitively (like columns); a " +
+       "catalog holding two spellings rejects loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15ciwh"); val table = tmp("r15citbl")
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), table)
+    graft.acid.GraftCatalog.register(wh, "consumer_tt", table)
+    // VERDICT r14 #2: this rejected as not-in-catalog while `UPDATE
+    // consumer_tt SET V = ...` resolved the COLUMN case-insensitively —
+    // the same statement text behaved differently per identifier kind
+    GraftSql.execute(spark, wh, "UPDATE Consumer_TT SET v = v + 1")
+    assert(TxLog.read(spark, table).agg(sum("v")).collect()(0).getDouble(0)
+      == 32.0)
+    // maintenance grammar path too
+    assert(GraftSql.execute(spark, wh, "DESCRIBE HISTORY CONSUMER_TT")
+      .count() == 2L)
+    // re-registering a different spelling REPLACES (never creates the
+    // ambiguous pair)
+    graft.acid.GraftCatalog.register(wh, "CONSUMER_TT", table)
+    assert(graft.acid.GraftCatalog.entries(wh).size == 1)
+    // a hand-edited (pre-round-15) catalog with both spellings is
+    // ambiguous under case-insensitive resolution: reject, never pick
+    val f = java.nio.file.Paths.get(wh, "catalog.jsonl")
+    val line = new String(java.nio.file.Files.readAllBytes(f))
+      .linesIterator.next().replace("CONSUMER_TT", "Consumer_Tt")
+    java.nio.file.Files.write(f, ("\n" + line).getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh, "UPDATE consumer_tt SET v = v + 1")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMN ... NOT NULL rejects loudly (the kernel " +
+       "back-fills NULL; silently dropping the constraint is worse)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15nnwh"); val table = tmp("r15nntbl")
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "s"), table)
+    graft.acid.GraftCatalog.register(wh, "nn15", table)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "ALTER TABLE nn15 ADD COLUMN x INT NOT NULL")
+    }
+    assert(e.getMessage.contains("nullable"), e.getMessage)
+    // the legal form still widens
+    GraftSql.execute(spark, wh, "ALTER TABLE nn15 ADD COLUMN x INT")
+    assert(TxLog.read(spark, table).columns.contains("x"))
+  }
+
+  // --------------------------- historical reads inside DML sources
+
+  test("INSERT INTO ... SELECT FROM t VERSION AS OF n and MERGE USING " +
+       "table_changes(...) compose — the CDC backfill/repair shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15dmlwh")
+    val fact = tmp("r15fact"); val dim = tmp("r15dim")
+    TxLog.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v"), fact)                                   // v1
+    TxLog.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v"), dim)
+    graft.acid.GraftCatalog.register(wh, "fact15", fact)
+    graft.acid.GraftCatalog.register(wh, "dim15", dim)
+    GraftSql.execute(spark, wh,
+      "UPDATE fact15 SET v = v + 100 WHERE k <= 2")                   // v2
+    // MERGE the change feed's post-images into the dim — Delta's
+    // MERGE-from-CDF repair pattern, through SQL text (round 14 handed
+    // the source subtree straight to ofRows and this failed to analyze)
+    GraftSql.execute(spark, wh,
+      """MERGE INTO dim15 t
+        |USING (SELECT k, tag, v FROM table_changes('fact15', 2)
+        |       WHERE _change_type = 'update_postimage') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(TxLog.read(spark, dim).orderBy("k").collect().map(_.getDouble(2))
+      .toSeq == Seq(110.0, 120.0, 30.0))
+    // INSERT from a historical snapshot — the snapshot-restore shape
+    GraftSql.execute(spark, wh,
+      "INSERT INTO dim15 SELECT k, tag, v FROM fact15 VERSION AS OF 1 " +
+        "WHERE k = 3")
+    assert(TxLog.read(spark, dim).count() == 4L)
+    assert(TxLog.read(spark, dim).filter(col("k") === 3L).count() == 2L)
+  }
+
+  // ------------------------------------------ SQL lifecycle verbs
+
+  test("RESTORE TABLE ... TO VERSION AS OF rolls back a bad reprocess " +
+       "through SQL text; the restore is itself a version") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15rswh"); val table = tmp("r15rstbl")
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), table) // v1
+    graft.acid.GraftCatalog.register(wh, "rs15", table)
+    GraftSql.execute(spark, wh, "INSERT INTO rs15 VALUES (3, 30.0)")   // v2
+    // the bad reprocess: an overwrite that replaced everything
+    GraftSql.execute(spark, wh,
+      "INSERT OVERWRITE rs15 VALUES (99, 0.0)")                       // v3
+    assert(TxLog.read(spark, table).count() == 1L)
+    val r = GraftSql.execute(spark, wh,
+      "RESTORE TABLE rs15 TO VERSION AS OF 2").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L, r.toString)
+    assert(TxLog.read(spark, table).orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE registers a zero-copy clone; " +
+       "CONVERT TO GRAFT + ANALYZE TABLE absorb foreign parquet; SHOW " +
+       "PARTITIONS / DESCRIBE DETAIL read driver metadata") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15clwh"); val table = tmp("r15cltbl")
+    TxLog.overwrite(Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("k", "p", "v"),
+      table, Seq("p"))
+    graft.acid.GraftCatalog.register(wh, "src15", table)
+    val c = GraftSql.execute(spark, wh,
+      "CREATE TABLE clone15 SHALLOW CLONE src15").collect()(0)
+    assert(c.getString(0) == "shallow_clone" && c.getInt(2) == 2, c.toString)
+    // clone reads the source's rows; a write to the source after the
+    // clone is invisible (pinned as-of clone time)
+    GraftSql.execute(spark, wh, "INSERT INTO src15 VALUES (3, 'x', 30.0)")
+    assert(GraftSql.execute(spark, wh, "SELECT count(*) AS n FROM clone15 " +
+      "VERSION AS OF 1").collect()(0).getLong(0) == 2L)
+    val cloneLoc = graft.acid.GraftCatalog.find(wh, "clone15").get.location
+    assert(TxLog.read(spark, cloneLoc).count() == 2L)
+    // clone target collision rejects
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh, "CREATE TABLE clone15 SHALLOW CLONE src15")
+    }
+    // CONVERT absorbs a foreign hive-partitioned dir in place; ANALYZE
+    // restores stats (second ANALYZE is a no-op commit-wise)
+    val foreign = tmp("r15conv")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(foreign)
+    val cv = GraftSql.execute(spark, wh,
+      s"CONVERT TO GRAFT '$foreign' PARTITIONED BY (p)").collect()(0)
+    assert(cv.getString(0) == "convert" && cv.getInt(1) >= 2, cv.toString)
+    val an = GraftSql.execute(spark, wh,
+      s"ANALYZE TABLE `$foreign` COMPUTE STATISTICS").collect()(0)
+    assert(an.getInt(1) >= 2, an.toString)
+    assert(GraftSql.execute(spark, wh,
+      s"ANALYZE TABLE `$foreign`").collect()(0).getInt(1) == 0)
+    // observability: SHOW PARTITIONS lists the live inventory from log
+    // metadata; DESCRIBE DETAIL the snapshot stats
+    val parts = GraftSql.execute(spark, wh, "SHOW PARTITIONS src15")
+    assert(parts.columns.toSeq == Seq("p") &&
+      parts.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    val det = GraftSql.execute(spark, wh, "DESCRIBE DETAIL src15").collect()(0)
+    assert(det.getString(0) == "graft" &&
+      det.getLong(3) == TxLog.fileCount(spark, table).toLong &&
+      det.getString(5) == "p", det.toString)
+  }
+
+  // --------------------------------- GENERATED ALWAYS AS through DDL
+
+  test("CREATE TABLE with GENERATED ALWAYS AS declares a generated " +
+       "partition column: INSERTs omit it, the write computes it, reads " +
+       "derive partition predicates from the source column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15genwh")
+    GraftSql.execute(spark, wh,
+      "CREATE TABLE gen15 (k BIGINT, ts TIMESTAMP, v DOUBLE, " +
+        "d DATE GENERATED ALWAYS AS (date(ts))) PARTITIONED BY (d)")
+    val loc = graft.acid.GraftCatalog.find(wh, "gen15").get.location
+    // positional INSERT omitting the generated column: the write
+    // computes it (VALUES arity = 3 of 4 declared columns)
+    GraftSql.execute(spark, wh,
+      "INSERT INTO gen15 VALUES " +
+        "(1, TIMESTAMP '2024-01-05 10:00:00', 1.0), " +
+        "(2, TIMESTAMP '2024-01-06 11:00:00', 2.0), " +
+        "(3, TIMESTAMP '2024-02-01 09:00:00', 3.0)")
+    assert(TxLog.read(spark, loc).filter(col("d") === lit("2024-01-05"))
+      .count() == 1L)
+    // a filter on the SOURCE column alone prunes partitions (the
+    // GeneratedPartitionFilters rule, now reachable from SQL DDL)
+    val (table2, idx) = TxLog.readWithSkipInfo(spark, loc)
+    assert(table2.filter(col("ts") < lit("2024-01-07 00:00:00")).count() == 2L)
+    val (sel, tot) = idx.lastListing.get
+    assert(sel < tot, s"expected partition pruning, listed $sel of $tot")
+    assert(idx.lastPartitionFilters.exists(_.contains("d")),
+      s"no derived partition filter: ${idx.lastPartitionFilters}")
+    // a PROVIDED generated column that disagrees rejects (would corrupt
+    // derived pruning)
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "INSERT INTO gen15 VALUES " +
+          "(4, TIMESTAMP '2024-03-01 00:00:00', 4.0, DATE '1999-01-01')")
+    }
+    // an unsupported (non-monotone) generation expression rejects at DDL
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "CREATE TABLE gen15b (k BIGINT, ts TIMESTAMP, " +
+          "m INT GENERATED ALWAYS AS (month(ts))) PARTITIONED BY (m)")
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+}
