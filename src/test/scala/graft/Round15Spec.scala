@@ -218,4 +218,103 @@ class Round15Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
+
+  // -------------------------------------- ANN cell rebalance ACTION
+
+  test("rebalanceCells splits a flagged hot cell in place — O(hot cell): " +
+       "flag clears, the ex-hot partition shrinks, the next index call " +
+       "is a pure load of the rebalanced layout") {
+    import graft.similarity.AnnIndexStore
+    import AnnIndexStore.{IndexOutcome, RebalanceOutcome}
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = tmp("r15rbwh"); val corpus = tmp("r15rbcorp")
+    val emb0 = Tables.embeddings(spark, sf)
+    emb0.filter(col("vec_id") < 400).repartition(2)
+      .write.mode("overwrite").parquet(corpus)
+    val (_, o0) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "rb", nCells = 16, m = 16, k = 256)
+    assert(o0 == IndexOutcome.Trained(false))
+    // a rebalance of a balanced index is a observable no-op
+    assert(AnnIndexStore.rebalanceCells(spark, wh, "rb")
+      == RebalanceOutcome.Balanced)
+    // skewed extension: 4 SEPARABLE sub-clusters around one corpus
+    // vector (groups perturbed along different basis dims, ±0.5·‖v‖ —
+    // all still nearest v0's centroid, so they land in ONE cell; unlike
+    // Round14Spec's bit-identical copies, these CAN be re-clustered)
+    val v0 = emb0.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val nrm = math.sqrt(v0.map(x => x.toDouble * x).sum).toFloat
+    val skewRows = (0 until 400).map { i =>
+      val g = i % 4
+      val v = v0.toArray.clone()
+      v(g * 4) += 0.5f * nrm
+      v(32 + g) += 0.02f * nrm * ((i / 4 % 7) - 3) / 3f // within-group jitter
+      (100000L + i, v.toSeq)
+    }
+    skewRows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val (_, o1) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "rb", nCells = 16, m = 16, k = 256)
+    assert(o1 == IndexOutcome.Extended(1), s"got $o1")
+    val (census1, flag1) = AnnIndexStore.cellHealth(spark, wh, "rb").get
+    assert(flag1, s"400 clustered rows must flag rebalance: $census1")
+    val hot = census1.indices.maxBy(census1)
+    val loc = graft.acid.GraftCatalog.find(wh, "rb").get.location
+    val hotRowsBefore = TxLog.read(spark, loc)
+      .filter(col("cell") === hot).count()
+    val out = AnnIndexStore.rebalanceCells(spark, wh, "rb")
+    out match {
+      case RebalanceOutcome.Split(splits) =>
+        assert(splits.contains(hot) && splits(hot) >= 2, splits.toString)
+      case other => fail(s"expected Split, got $other")
+    }
+    val (census2, flag2) = AnnIndexStore.cellHealth(spark, wh, "rb").get
+    assert(census2.size > census1.size,
+      s"split must append sub-cell centroids: ${census1.size} -> ${census2.size}")
+    assert(census2.sum == census1.sum,
+      s"rebalance must move rows, never drop them: $census1 -> $census2")
+    assert(!flag2, s"flag must clear after the split: $census2")
+    // the ex-hot partition physically shrank — probes over it read less
+    val hotRowsAfter = TxLog.read(spark, loc)
+      .filter(col("cell") === hot).count()
+    assert(hotRowsAfter < hotRowsBefore,
+      s"ex-hot cell must shrink: $hotRowsBefore -> $hotRowsAfter")
+    assert(census2.sum == TxLog.read(spark, loc).count(),
+      "census must account for every live code row")
+    // same corpus, same declared shape → pure load of the rebalanced
+    // layout (centroid list, not the nCells parameter, carries truth)
+    val (idx2, o2) = AnnIndexStore.ivfPqIndex(
+      spark.read.parquet(corpus), wh, "rb", nCells = 16, m = 16, k = 256)
+    assert(o2 == IndexOutcome.Loaded, s"got $o2")
+    assert(idx2.centroids.size == census2.size)
+    // recall floors hold through the double quantization of moved rows
+    // — measured over the queries whose neighborhoods are REAL corpus
+    // structure. Query 0 is excluded BY DESIGN: its true top-10 are 10
+    // of the 400 near-duplicate skew rows, whose mutual differences sit
+    // below PQ quantization resolution (all 400 decode to near-identical
+    // codes), so ANY shortlist smaller than the cluster is a coin flip
+    // among ADC ties — before the rebalance as after it (measured: 0.0
+    // on the UNREBALANCED extended index too). Near-dup-flooded
+    // neighborhoods are dedup's job (#98/#158), not ANN's; what this
+    // test pins is that the REBALANCE did not degrade the honest
+    // queries.
+    val emb2 = spark.read.parquet(corpus)
+    val brute = graft.Caching.materialize(
+      graft.similarity.Cosine.bruteTopK(emb2, nQueries = 8, k = 10)
+        .select(col("query_id"), col("neighbor_id")))
+    val got = graft.Caching.materialize(
+      graft.similarity.IvfPq.probe(emb2, idx2, nQueries = 8, kNeighbors = 10)
+        .select(col("query_id"), col("neighbor_id")))
+    val hits = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val recalls = brute.groupBy("query_id").agg(count(lit(1)).as("nb"))
+      .join(hits, Seq("query_id"), "left")
+      .filter(col("query_id") >= 1)
+      .select((coalesce(col("hits"), lit(0)) / col("nb")).as("recall"))
+      .collect().map(_.getDouble(0))
+    assert(recalls.length == 7 && recalls.min >= 0.4 &&
+      recalls.sum / recalls.length >= 0.6,
+      s"recall floors violated after rebalance: ${recalls.toSeq}")
+  }
 }
