@@ -3395,7 +3395,7 @@ object SparkEntry {
     emb0.filter(col("vec_id") < 400).repartition(2)
       .write.mode("overwrite").parquet(corpus)
     val (_, o0) = AnnIndexStore.ivfPqIndex(
-      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 256)
+      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 64)
     val v0 = emb0.filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val nrm = math.sqrt(v0.map(x => x.toDouble * x).sum).toFloat
@@ -3410,7 +3410,7 @@ object SparkEntry {
     skewRows.toDF("vec_id", "embedding")
       .coalesce(1).write.mode("append").parquet(corpus)
     val (_, o1) = AnnIndexStore.ivfPqIndex(
-      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 256)
+      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 64)
     val (census1, flag1) = AnnIndexStore.cellHealth(s, wh, "emb_rb").get
     val hot = census1.indices.maxBy(census1)
     val loc = graft.acid.GraftCatalog.find(wh, "emb_rb").get.location
@@ -3425,7 +3425,7 @@ object SparkEntry {
     val hotAfter = graft.acid.TxLog.read(s, loc)
       .filter(col("cell") === hot).count()
     val (idx2, o2) = AnnIndexStore.ivfPqIndex(
-      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 256)
+      s.read.parquet(corpus), wh, "emb_rb", nCells = 16, m = 16, k = 64)
     val emb2 = s.read.parquet(corpus)
     val brute = graft.Caching.materialize(
       Cosine.bruteTopK(emb2, nQueries = 8, k = 10)

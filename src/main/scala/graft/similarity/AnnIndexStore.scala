@@ -658,10 +658,15 @@ object AnnIndexStore {
     *     codebook distortion of the original, and the new residual is
     *     no larger than the old one: the sub-centroid is nearer), so
     *     the pinned recall floors hold, re-verified by spec;
-    *  4. one DV delete drops the hot cells' old rows (full-partition
-    *     match — the files drop outright), one tagged append lands the
-    *     re-encoded rows under their new `cell=` directories, with the
-    *     tag carrying the grown centroid list + recomputed census.
+    *  4. the WHOLE loop runs on one cached in-memory frame (rows only
+    *     ever move OUT of hot cells INTO their sub-cells, so the
+    *     initially-hot rows are the complete working set) and the code
+    *     table takes exactly ONE DV delete (full-partition match — the
+    *     files drop outright) plus ONE tagged append at the end,
+    *     however many rounds ran, with the tag carrying the grown
+    *     centroid list + recomputed census. (The first cut committed
+    *     per round: the commit machinery, not the clustering,
+    *     dominated — 51 s for a 425-row split at sf0.1.)
     *
     * The DECLARED shape (`nCells`) in the tag is unchanged — a
     * subsequent [[ivfPqIndex]] call with the same parameters is a pure
@@ -671,86 +676,117 @@ object AnnIndexStore {
     * cannot be separated by any clustering, so the flag may survive
     * `maxRounds` — the census stays honest either way. */
   def rebalanceCells(spark: SparkSession, warehouse: String, name: String,
-                     maxRounds: Int = 6, iters: Int = 5): RebalanceOutcome = {
-    var splits = Map.empty[Int, Int]
-    var rounds = 0
-    while (rounds < maxRounds) {
-      splitHotCellsOnce(spark, warehouse, name, iters) match {
-        case None =>
-          return if (splits.isEmpty) RebalanceOutcome.Balanced
-                 else RebalanceOutcome.Split(splits)
-        case Some(cells) =>
-          cells.foreach(c => splits += c -> (splits.getOrElse(c, 1) + 1))
-          rounds += 1
-      }
-    }
-    RebalanceOutcome.Split(splits)
-  }
-
-  /** One bisection round: every cell above the skew threshold splits in
-    * two (see [[rebalanceCells]]). None = census already balanced (or
-    * absent); Some(ids) = the cells that were split, tag + code table
-    * committed. */
-  private def splitHotCellsOnce(spark: SparkSession, warehouse: String,
-                                name: String, iters: Int): Option[Seq[Int]] = {
+                     maxRounds: Int = 6, iters: Int = 3): RebalanceOutcome = {
     val (loc, j) = loadTag(spark, warehouse, name).getOrElse(
       throw new IllegalArgumentException(
         s"no ANN index named `$name` in the catalog at $warehouse"))
     require(str(j, "kind") == "ivfpq",
       s"rebalanceCells applies to ivfpq indexes, `$name` is ${str(j, "kind")}")
-    val census = censusOf(j)
-    if (!skewed(census)) return None
+    val census0 = censusOf(j)
+    if (!skewed(census0)) return RebalanceOutcome.Balanced
     val cb = cbOf(j \ "cb")
     val cents0 = centroidsOf(j \ "centroids").sortBy(_._1).map(_._2)
-    require(census.size == cents0.size,
-      s"census size ${census.size} != centroid count ${cents0.size}")
-    val total = census.sum
-    val mean = total.toDouble / census.size
-    val hots = census.indices.filter(c => census(c) > RebalanceSkew * mean)
+    require(census0.size == cents0.size,
+      s"census size ${census0.size} != centroid count ${cents0.size}")
+    val total = census0.sum
+    val initialHots = census0.indices
+      .filter(c => census0(c) > RebalanceSkew * (total.toDouble / census0.size))
     val d = cents0.head.size
     val m = cb.size
     val subd = d / m
-    val table = TxLog.read(spark, loc)
-    // sub-centroids accumulate across hot cells; each split's ids are
-    // (hot, nextFree) so `allCents` stays dense — the positional-index
-    // contract every probe-side literal relies on
-    val allCents = scala.collection.mutable.ArrayBuffer(cents0: _*)
-    val movedParts = hots.map { hot =>
-      // partition-pruned: only cell=<hot>/ files are opened
-      val recon = table.filter(col("cell") === hot)
-        .withColumn("__c", typedLit(cents0(hot)))
+    // reconstruct the initially-hot cells' rows ONCE (partition-pruned:
+    // only their cell=<c>/ directories are opened) and run the WHOLE
+    // bisection loop on the cached frame — rows only ever move OUT of
+    // hot cells INTO their sub-cells, so the working set never grows,
+    // and the code table takes exactly ONE delete + ONE tagged append
+    // however many rounds the loop runs (the first cut committed per
+    // round and the commit machinery, not the clustering, dominated:
+    // 51 s for a 425-row split at sf0.1)
+    // localCheckpoint, not persist: the decode expression carries the
+    // codebooks as an m×k×subd nested literal (16,384 doubles at the
+    // default shape), and a persisted frame's LOGICAL plan still hauls
+    // that literal through analysis + cache-lookup comparison on every
+    // one of the loop's ~10 actions per round (the r13 isin lesson in a
+    // new costume — measured: 28 s of driver plan time for a 425-row
+    // split). Checkpointing truncates the plan to an opaque RDD scan;
+    // the loop's derived plans are then tiny. Recompute-on-executor-loss
+    // is not a concern: the commit happens only at the end, so a lost
+    // block just fails the call and a retry re-runs it idempotently.
+    var assigned = {
+      TxLog.read(spark, loc).filter(col("cell").isin(initialHots: _*))
+        .withColumn("__cents", typedLit(cents0))
         .withColumn("__cb", typedLit(cb))
         .select(col("vec_id"),
-          expr(s"transform(sequence(0, ${d - 1}), i -> __c[i] + " +
-            s"__cb[i div $subd][codes[i div $subd]][i % $subd])")
-            .as("embedding"),
-          col(SrcCol))
-      val (_, subCents) = Ivf.train(recon, 2, iters)
-      // assignExpr emits the centroid's OWN id as `cell`, so handing it
-      // globally-numbered centroids yields globally-numbered assignments
-      val globalSubs = Seq((hot, subCents(0)._2),
-        (allCents.size, subCents(1)._2))
-      allCents(hot) = globalSubs.head._2
-      allCents += globalSubs(1)._2
-      Ivf.assignExpr(Cosine.prepared(recon, Seq(SrcCol)), globalSubs)
+          expr(s"transform(sequence(0, ${d - 1}), i -> __cents[cell][i] + " +
+            s"__cb[i div $subd][codes[i div $subd]][i % $subd])").as("v"),
+          col(SrcCol), col("cell"))
+        .localCheckpoint() }
+    val centsBuf = scala.collection.mutable.ArrayBuffer(cents0: _*)
+    val censusBuf = scala.collection.mutable.ArrayBuffer(census0: _*)
+    // cells whose rows live in `assigned` — the only ones this call can
+    // split; an untouched cell drifting over the (shrinking) mean is
+    // the NEXT call's work, never silently miscounted
+    val working = scala.collection.mutable.HashSet(initialHots: _*)
+    var splits = Map.empty[Int, Int]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val mean = total.toDouble / censusBuf.size
+      val hots = censusBuf.indices
+        .filter(c => censusBuf(c) > RebalanceSkew * mean && working.contains(c))
+      if (hots.isEmpty || !skewed(censusBuf.toSeq)) done = true
+      else {
+        val parts = hots.map { hot =>
+          val sub = assigned.filter(col("cell") === hot)
+            .select(col("vec_id"), col("v").as("embedding"), col(SrcCol))
+          val (_, subCents) = Ivf.train(sub, 2, iters)
+          // assignExpr emits the centroid's OWN id as `cell`: handing it
+          // globally-numbered centroids yields global assignments
+          val globalSubs = Seq((hot, subCents(0)._2),
+            (centsBuf.size, subCents(1)._2))
+          centsBuf(hot) = globalSubs.head._2
+          centsBuf += globalSubs(1)._2
+          working += globalSubs(1)._1
+          splits += hot -> (splits.getOrElse(hot, 1) + 1)
+          Ivf.assignExpr(Cosine.prepared(sub, Seq(SrcCol)), globalSubs)
+            .select(col("vec_id"), col("v"), col(SrcCol), col("cell"))
+        }
+        val next = (assigned.filter(!col("cell").isin(hots: _*))
+          +: parts).reduce(_ unionByName _).localCheckpoint()
+        val counts = next.groupBy(col("cell")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        while (censusBuf.size < centsBuf.size) censusBuf += 0L
+        censusBuf.indices.foreach(c =>
+          if (working.contains(c)) censusBuf(c) = counts.getOrElse(c, 0L))
+        assigned.unpersist()
+        assigned = next
+        rounds += 1
+      }
     }
-    val cents = allCents.toSeq
-    val moved = movedParts.reduce(_ unionByName _)
-    // re-encode residuals vs the new sub-centroids, same codebooks; the
-    // moved rows are materialized BEFORE the delete below — a lazy frame
-    // evaluated after it would scan already-dropped files
-    val newRows = graft.Caching.materialize(
-      IvfPq.codeRows(IvfPq.residualFrame(moved, cents, Seq(SrcCol)),
-        cb, cents, Seq(SrcCol)))
+    if (splits.isEmpty) { assigned.unpersist(); return RebalanceOutcome.Balanced }
+    val cents = centsBuf.toSeq
+    // ONE encode of the final assignment, ONE DV delete of the original
+    // hot partitions (full-partition match: the files drop outright),
+    // ONE tagged append — materialized BEFORE the delete (a lazy frame
+    // evaluated after it would scan already-dropped files)
+    // localCheckpoint again, same rationale: codeRows' ADC tables ride
+    // the plan as an nCells x m x k literal (~78k doubles at this shape)
+    // and every downstream action (census count, constraint check,
+    // stage write) would re-analyze and cache-compare it — measured 8 s
+    // of plan time for an 850-row encode; checkpointed, 0.2 s.
+    val newRows =
+      IvfPq.codeRows(IvfPq.residualFrame(assigned, cents, Seq(SrcCol)),
+        cb, cents, Seq(SrcCol)).localCheckpoint()
     val movedCounts = cellCounts(newRows, cents.size)
     val newCensus = (0 until cents.size).map(c =>
-      if (hots.contains(c) || c >= census.size) movedCounts(c) else census(c))
-    TxLog.deleteWithDv(spark, loc, col("cell").isin(hots: _*))
+      if (working.contains(c)) movedCounts(c) else censusBuf(c))
+    TxLog.deleteWithDv(spark, loc, col("cell").isin(initialHots: _*))
     val mkTag = tag(spark, loc, "ivfpq", str(j, "fp"), shapeOf(j),
       filesOf(j).getOrElse(Seq.empty), dbl(j, "dist"), cb, Some(cents),
       Some(newCensus))
     TxLog.append(alignedToTable(spark, loc, newRows), loc,
       commitTag = Some(mkTag))
-    Some(hots)
+    assigned.unpersist()
+    RebalanceOutcome.Split(splits)
   }
 }
