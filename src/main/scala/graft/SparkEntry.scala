@@ -3115,7 +3115,14 @@ object SparkEntry {
     val commit1 = new org.apache.hadoop.fs.Path(path, f"_txlog/${1L}%020d.json")
     val v1mtime = commit1.getFileSystem(conf).getFileStatus(commit1)
       .getModificationTime
-    while (System.currentTimeMillis() <= v1mtime) Thread.sleep(1)
+    // bounded: on a filesystem with server-assigned or coarse mtimes
+    // (NFS, object-store shims) — or after a backward clock step — the
+    // local clock may sit arbitrarily far behind the commit's mtime,
+    // and an unbounded spin would hang (ADVICE r15). ~2s covers every
+    // sane granularity; past it, proceed and let the ts probe decide.
+    val spinDeadline = System.currentTimeMillis() + 2000L
+    while (System.currentTimeMillis() <= v1mtime &&
+           System.currentTimeMillis() < spinDeadline) Thread.sleep(1)
     GraftSql.execute(s, wh,
       "UPDATE consumer_tt SET total_amount = total_amount + 100 " +
         "WHERE trip_type = 'purchase'")                              // v2

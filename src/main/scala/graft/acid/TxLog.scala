@@ -745,9 +745,15 @@ object TxLog {
     * keys): replaces every partition present in `partitionSource`
     * (default: the written frame) with the matching rows of `df` —
     * passing the pre-filter frame as `partitionSource` also replaces
-    * partitions the filter emptied (see PartitionedSink, same contract). */
+    * partitions the filter emptied (see PartitionedSink, same contract).
+    * `commitTag` rides the commit's tag channel like [[append]]'s — a
+    * caller whose metadata must move ATOMICALLY with a partition
+    * rewrite (the ANN rebalance: new centroid list + census alongside
+    * the re-coded cells) gets one commit, no window where data and tag
+    * disagree (ADVICE r15). */
   def overwritePartitions(df: DataFrame, table: String,
-                          partitionSource: Option[DataFrame] = None): MergeStats = {
+                          partitionSource: Option[DataFrame] = None,
+                          commitTag: Option[String] = None): MergeStats = {
     val spark = df.sparkSession
     var stats = MergeStats(0, 0, 0)
     retryCommit(spark, table) { snapOpt =>
@@ -767,7 +773,7 @@ object TxLog {
         bloomCols = snap.meta.bloomCols,
         columnMap = snap.meta.columnMap)
       stats = MergeStats(removes.size, snap.files.size, adds.size)
-      commitInfoJson("overwritePartitions") +:
+      commitInfoJson("overwritePartitions", commitTag) +:
         (removes.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
     }
     stats

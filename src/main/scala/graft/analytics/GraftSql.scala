@@ -212,7 +212,14 @@ object GraftSql {
                 s"${extra.mkString(", ")} (table: ${tableCols.mkString(", ")})")
             val bound = tableCols.filterNot(c => genCols.contains(c) &&
               !q.columns.exists(_.equalsIgnoreCase(c)))
-            q.select(bound.map(org.apache.spark.sql.functions.col): _*)
+            // alias each selection to the TABLE's spelling: col(c)
+            // resolves case-insensitively but keeps the SOURCE's
+            // spelling as the output name, and the casted projection
+            // below filters on exact table spellings — a source column
+            // differing only in case would silently drop out of it and
+            // fail requireCompatible (ADVICE r15)
+            q.select(bound.map(c =>
+              org.apache.spark.sql.functions.col(c).as(c)): _*)
           } else {
             val insertable = tableCols.filterNot(genCols.contains)
             if (genCols.nonEmpty && q.columns.length == insertable.length)
@@ -548,6 +555,19 @@ object GraftSql {
       }
   }
 
+  /** Whether `name0` resolves to a graft target at all — catalog entry
+    * or txlog path. ANALYZE TABLE / SHOW PARTITIONS are also ENGINE
+    * verbs: intercepting them for a name graft does not own would
+    * break them against plain Spark temp views / session-catalog
+    * tables (ADVICE r15), so those two cases guard on this and fall
+    * through to `spark.sql` otherwise. Ambiguity inside the graft
+    * catalog still rejects loudly ([[GraftCatalog.find]] throws). */
+  private def resolvesToGraft(spark: SparkSession, warehouse: String,
+                              name0: String): Boolean = {
+    val name = unquote(name0)
+    GraftCatalog.find(warehouse, name).isDefined || TxLog.exists(spark, name)
+  }
+
   /** The maintenance mini-grammar — Some(result) when `sql` is one of
     * the documented verbs, None to rethrow the engine's parse error. */
   private def maintenance(spark: SparkSession, warehouse: String,
@@ -641,16 +661,20 @@ object GraftSql {
           _.split(",").map(c => unquote(c.trim)).filter(_.nonEmpty))
         val n = TxLog.convert(spark, dir, pcols)
         Some(Seq(("convert", n)).toDF("op", "files_converted"))
-      case AnalyzeRe(name) =>
+      case AnalyzeRe(name) if resolvesToGraft(spark, warehouse, name) =>
         // stats recompute for live files missing them (fresh converts):
         // distributed footer reads, one metadata commit, no-op when
-        // every file already carries stats
+        // every file already carries stats. Guarded: ANALYZE TABLE is
+        // also a Spark verb — a non-graft target falls through to the
+        // engine instead of failing in resolveName (ADVICE r15)
         val loc = resolveName(spark, warehouse, name)
         Some(Seq(("analyze", TxLog.analyze(spark, loc)))
           .toDF("op", "files_analyzed"))
-      case ShowPartitionsRe(name) =>
+      case ShowPartitionsRe(name) if resolvesToGraft(spark, warehouse, name) =>
         // live partition inventory from log metadata alone — Delta's
-        // SHOW PARTITIONS shape (O(partitions) driver rows, no data I/O)
+        // SHOW PARTITIONS shape (O(partitions) driver rows, no data
+        // I/O). Guarded like ANALYZE: a non-graft target keeps Spark's
+        // own SHOW PARTITIONS behavior (ADVICE r15)
         val loc = resolveName(spark, warehouse, name)
         val (pcols, values) = TxLog.partitionInventory(spark, loc)
         val rows = values.map(org.apache.spark.sql.Row.fromSeq)

@@ -661,12 +661,19 @@ object AnnIndexStore {
     *  4. the WHOLE loop runs on one cached in-memory frame (rows only
     *     ever move OUT of hot cells INTO their sub-cells, so the
     *     initially-hot rows are the complete working set) and the code
-    *     table takes exactly ONE DV delete (full-partition match — the
-    *     files drop outright) plus ONE tagged append at the end,
-    *     however many rounds ran, with the tag carrying the grown
-    *     centroid list + recomputed census. (The first cut committed
-    *     per round: the commit machinery, not the clustering,
-    *     dominated — 51 s for a 425-row split at sf0.1.)
+    *     table takes exactly ONE partition-overwrite commit at the end
+    *     — the ex-hot partitions' files drop and the re-coded rows land
+    *     in the SAME commit that carries the new centroid list + census
+    *     tag, however many rounds ran. ATOMIC by construction: the
+    *     round-15 form committed a DV delete and a tagged append
+    *     separately, and a crash between them left the index missing
+    *     every hot-cell row while the latest tag still fingerprint-
+    *     matched, so the next ivfPqIndex call silently Loaded the
+    *     corrupted table (ADVICE r15, medium). Now a crash anywhere
+    *     leaves the PRIOR index fully intact and a retry re-runs
+    *     idempotently. (The first cut committed per round: the commit
+    *     machinery, not the clustering, dominated — 51 s for a 425-row
+    *     split at sf0.1.)
     *
     * The DECLARED shape (`nCells`) in the tag is unchanged — a
     * subsequent [[ivfPqIndex]] call with the same parameters is a pure
@@ -689,8 +696,14 @@ object AnnIndexStore {
     require(census0.size == cents0.size,
       s"census size ${census0.size} != centroid count ${cents0.size}")
     val total = census0.sum
+    // a 1-row "hot" cell (possible on tiny censuses where the mean sits
+    // below 1/RebalanceSkew) has nothing to bisect — Ivf.train would
+    // seed a single centroid and subCents(1) would throw (ADVICE r15);
+    // skip it to the documented best-effort path instead
     val initialHots = census0.indices
-      .filter(c => census0(c) > RebalanceSkew * (total.toDouble / census0.size))
+      .filter(c => census0(c) > RebalanceSkew * (total.toDouble / census0.size) &&
+        census0(c) >= 2L)
+    if (initialHots.isEmpty) return RebalanceOutcome.Balanced
     val d = cents0.head.size
     val m = cb.size
     val subd = d / m
@@ -733,7 +746,8 @@ object AnnIndexStore {
     while (!done && rounds < maxRounds) {
       val mean = total.toDouble / censusBuf.size
       val hots = censusBuf.indices
-        .filter(c => censusBuf(c) > RebalanceSkew * mean && working.contains(c))
+        .filter(c => censusBuf(c) > RebalanceSkew * mean &&
+          working.contains(c) && censusBuf(c) >= 2L)
       if (hots.isEmpty || !skewed(censusBuf.toSeq)) done = true
       else {
         val parts = hots.map { hot =>
@@ -765,10 +779,16 @@ object AnnIndexStore {
     }
     if (splits.isEmpty) { assigned.unpersist(); return RebalanceOutcome.Balanced }
     val cents = centsBuf.toSeq
-    // ONE encode of the final assignment, ONE DV delete of the original
-    // hot partitions (full-partition match: the files drop outright),
-    // ONE tagged append — materialized BEFORE the delete (a lazy frame
-    // evaluated after it would scan already-dropped files)
+    // ONE encode of the final assignment, then ONE ATOMIC commit: a
+    // dynamic partition overwrite whose replaced set is the initially-
+    // hot partitions (partitionSource forces replacement even of an
+    // ex-hot cell the bisection emptied) and whose commitTag carries
+    // the grown centroid list + census — data and metadata can never
+    // disagree across a crash (ADVICE r15: the delete-then-append form
+    // had a window where every hot-cell row was gone while the old tag
+    // still fingerprint-matched, so the next call silently Loaded a
+    // corrupted index; now a crash before the commit leaves the prior
+    // index intact, a crash after it is simply done).
     // localCheckpoint again, same rationale: codeRows' ADC tables ride
     // the plan as an nCells x m x k literal (~78k doubles at this shape)
     // and every downstream action (census count, constraint check,
@@ -780,12 +800,15 @@ object AnnIndexStore {
     val movedCounts = cellCounts(newRows, cents.size)
     val newCensus = (0 until cents.size).map(c =>
       if (working.contains(c)) movedCounts(c) else censusBuf(c))
-    TxLog.deleteWithDv(spark, loc, col("cell").isin(initialHots: _*))
     val mkTag = tag(spark, loc, "ivfpq", str(j, "fp"), shapeOf(j),
       filesOf(j).getOrElse(Seq.empty), dbl(j, "dist"), cb, Some(cents),
       Some(newCensus))
-    TxLog.append(alignedToTable(spark, loc, newRows), loc,
-      commitTag = Some(mkTag))
+    import spark.implicits._
+    val replaced = alignedToTable(spark, loc, newRows).select(col("cell"))
+      .union(initialHots.toDF("cell")
+        .select(col("cell").cast(TxLog.read(spark, loc).schema("cell").dataType)))
+    TxLog.overwritePartitions(alignedToTable(spark, loc, newRows), loc,
+      partitionSource = Some(replaced), commitTag = Some(mkTag))
     assigned.unpersist()
     RebalanceOutcome.Split(splits)
   }
