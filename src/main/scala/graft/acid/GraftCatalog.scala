@@ -145,6 +145,12 @@ object GraftCatalog {
     * the caller's spelling. */
   def register(warehouse: String, name: String, location: String): Unit =
     withCatalogLock(warehouse) {
+      // symmetric with registerView's guard: one namespace, two kinds —
+      // a table landing on a view's name would shadow the view (tables
+      // resolve first in the SQL door), so the collision rejects loudly
+      require(findView(warehouse, name).isEmpty,
+        s"`$name` is a registered VIEW in the catalog at $warehouse — " +
+          "drop the view first (DROP VIEW) to reuse the name for a table")
       writeEntries(warehouse,
         entries(warehouse).filterNot(_.name.equalsIgnoreCase(name)) :+
           Entry(name, location))
@@ -165,5 +171,78 @@ object GraftCatalog {
   def attachAll(spark: SparkSession, warehouse: String): Unit =
     entries(warehouse).foreach { e =>
       TxLog.read(spark, e.location).createOrReplaceTempView(e.name)
+    }
+
+  // ------------------------------------------------------------- views
+
+  /** A persisted SQL VIEW: a name bound to QUERY TEXT, nothing else —
+    * the consumption-layer indirection the reference's reporting reads
+    * sit behind (analysis/analytics_job.py:29-54 reads named report
+    * tables; conventionally those names are views, so schema changes
+    * and filters live in ONE place instead of every consumer's query).
+    * Views live in their own `views.jsonl` beside the table catalog
+    * (same tolerant line format, same lock, same atomic-move write) so
+    * a pre-view reader of `catalog.jsonl` never sees an entry kind it
+    * does not understand. Expansion happens at READ time in the SQL
+    * door (GraftSql substitutes the parsed text wherever the name
+    * appears — through time travel, `table_changes()`, and nested
+    * views alike), so a view is never stale: it always reads the
+    * CURRENT snapshot of its underlying tables. */
+  final case class ViewEntry(name: String, sql: String)
+
+  private def viewsFile(warehouse: String) = Paths.get(warehouse, "views.jsonl")
+
+  /** All registered views (empty if none yet). */
+  def viewEntries(warehouse: String): Seq[ViewEntry] = {
+    val f = viewsFile(warehouse)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.flatMap {
+      case Line(n, s) => Try(ViewEntry(unq(n), unq(s))).toOption
+      case _ => None
+    }
+  }
+
+  private def fmtView(e: ViewEntry): String =
+    s"""{"name":${q(e.name)},"location":${q(e.sql)}}"""
+
+  private def writeViews(warehouse: String, next: Seq[ViewEntry]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    val tmp = Files.createTempFile(Paths.get(warehouse), ".views", ".tmp")
+    Files.write(tmp, next.map(fmtView).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, viewsFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `name` resolved among views, case-insensitively, with the same
+    * loud-ambiguity contract as [[find]]. */
+  def findView(warehouse: String, name: String): Option[ViewEntry] = {
+    val hits = viewEntries(warehouse).filter(_.name.equalsIgnoreCase(name))
+    require(hits.size <= 1,
+      s"view name `$name` is ambiguous in the catalog at $warehouse: " +
+        s"${hits.map(_.name).sorted.mkString(", ")} differ only by case")
+    hits.headOption
+  }
+
+  /** Upsert view `name` → `sql` (case-insensitive replacement, caller's
+    * spelling kept — [[register]]'s contract). A view may not shadow a
+    * registered TABLE name: the SQL door resolves tables first and the
+    * view would be silently unreachable. */
+  def registerView(warehouse: String, name: String, sql: String): Unit =
+    withCatalogLock(warehouse) {
+      require(find(warehouse, name).isEmpty,
+        s"`$name` is a registered TABLE in the catalog at $warehouse — " +
+          "a view of that name would be unreachable (tables resolve first)")
+      writeViews(warehouse,
+        viewEntries(warehouse).filterNot(_.name.equalsIgnoreCase(name)) :+
+          ViewEntry(name, sql))
+    }
+
+  /** Remove view `name`, case-insensitively (metadata only, like every
+    * catalog drop). */
+  def dropView(warehouse: String, name: String): Unit =
+    withCatalogLock(warehouse) {
+      writeViews(warehouse,
+        viewEntries(warehouse).filterNot(_.name.equalsIgnoreCase(name)))
     }
 }

@@ -1613,7 +1613,17 @@ object TxLog {
     * object store that adjustment belongs in the commit-coordination
     * service, like the rename primitive itself. */
   def readAsOfTimestamp(spark: SparkSession, table: String,
-                        tsMillis: Long): DataFrame = {
+                        tsMillis: Long): DataFrame =
+    read(spark, table, versionAsOf = Some(versionAsOfTimestamp(spark, table, tsMillis)))
+
+  /** The LATEST version whose commit file landed at or before
+    * `tsMillis` — `TIMESTAMP AS OF`'s resolution rule, factored out
+    * (round 16) so `RESTORE ... TO TIMESTAMP AS OF` and the change
+    * feed's ENDING-timestamp bound resolve through the same
+    * commit-mtime machinery as the read path, never a second rule to
+    * drift. */
+  def versionAsOfTimestamp(spark: SparkSession, table: String,
+                           tsMillis: Long): Long = {
     val (hfs, root) = fs(spark, table)
     val versions = listVersions(hfs, root)
     require(versions.nonEmpty, s"no txlog table at $table")
@@ -1622,7 +1632,28 @@ object TxLog {
     require(eligible.nonEmpty,
       s"no commit in $table at or before epoch-ms $tsMillis " +
         s"(earliest: ${hfs.getFileStatus(versions.head._2).getModificationTime})")
-    read(spark, table, versionAsOf = Some(eligible.last._1))
+    eligible.last._1
+  }
+
+  /** The EARLIEST version whose commit file landed at or after
+    * `tsMillis` — Delta's CDF STARTING-timestamp rule (a start bound
+    * asks "changes since <ts>", so it snaps FORWARD to the first
+    * commit the timestamp can have observed; the end bound snaps
+    * backward via [[versionAsOfTimestamp]], exactly like time
+    * travel). A timestamp past the last commit rejects loudly — there
+    * are no changes to read and Delta's `table_changes` errors the
+    * same way. */
+  def versionSinceTimestamp(spark: SparkSession, table: String,
+                            tsMillis: Long): Long = {
+    val (hfs, root) = fs(spark, table)
+    val versions = listVersions(hfs, root)
+    require(versions.nonEmpty, s"no txlog table at $table")
+    val eligible = versions.filter { case (_, p) =>
+      hfs.getFileStatus(p).getModificationTime >= tsMillis }
+    require(eligible.nonEmpty,
+      s"no commit in $table at or after epoch-ms $tsMillis " +
+        s"(latest: ${hfs.getFileStatus(versions.last._2).getModificationTime})")
+    eligible.head._1
   }
 
   /** [[read]] plus the backing file index, whose `lastListing` exposes
@@ -2081,6 +2112,28 @@ object TxLog {
       }
     }
     val (hfs, root) = fs(spark, table)
+    reclaimablePaths(spark, table, retainVersion)
+      .foreach(rel => hfs.delete(new Path(root, rel), false))
+  }
+
+  /** The relative paths a `vacuum(retainVersion)` WOULD physically
+    * delete — the shared horizon computation, factored (round 16) so
+    * `VACUUM ... DRY RUN` (Delta's operational safety idiom: see what
+    * a vacuum reclaims BEFORE running it) is exactly the real vacuum's
+    * candidate list, never a second rule to drift. One driver listing,
+    * zero deletion, zero data I/O. */
+  def vacuumDryRun(spark: SparkSession, table: String,
+                   retainVersion: Long): Seq[String] = {
+    val cur = currentVersion(spark, table)
+    require(retainVersion <= cur,
+      s"vacuum dry run(retainVersion=$retainVersion) on $table exceeds the " +
+        s"current version $cur — a real vacuum would refuse too")
+    reclaimablePaths(spark, table, retainVersion)
+  }
+
+  private def reclaimablePaths(spark: SparkSession, table: String,
+                               retainVersion: Long): Seq[String] = {
+    val (hfs, root) = fs(spark, table)
     val versions = listVersions(hfs, root)
     val referenced = versions.map(_._1).filter(_ >= retainVersion)
       .flatMap(v => snapshot(spark, table, Some(v)).toSeq.flatMap(_.files
@@ -2089,9 +2142,7 @@ object TxLog {
       // cdc files of retained commits stay readable via the change feed
       versions.filter(_._1 >= retainVersion)
         .flatMap { case (_, p) => parseCommit(readText(hfs, p)).cdcs }
-    val all = snapshotAllPaths(hfs, root)
-    all.filterNot(referenced.contains)
-      .foreach(rel => hfs.delete(new Path(root, rel), false))
+    snapshotAllPaths(hfs, root).filterNot(referenced.contains).sorted
   }
 
   private def snapshotAllPaths(hfs: FileSystem, root: Path): Seq[String] = {
@@ -2156,6 +2207,58 @@ object TxLog {
       overwriteImpl(current.repartition(pcols.map(col): _*)
           .sortWithinPartitions((pcols ++ clusterBy).map(col): _*),
         table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
+  }
+
+  /** Partition-scoped OPTIMIZE (round 16 — Delta's `OPTIMIZE t WHERE
+    * part = v`): compact (optionally ZORDER) ONLY the partitions
+    * matching `spec`, a conjunction of partition-column equalities. At
+    * 100 TB a table-wide [[optimize]] is not a viable maintenance unit
+    * — the operational shape is "yesterday's partition landed, compact
+    * and cluster IT"; this bounds the rewrite to the matched
+    * partitions' files (selected from log metadata — no data I/O
+    * decides the scope) and leaves every other partition's file list
+    * byte-identical. One ACID commit, same `optimize` op the change
+    * feed ignores. DV-carrying matched files rewrite THROUGH their DV
+    * filter (live rows unchanged, sidecars materialized away).
+    * Returns (filesRewritten = matched, filesBefore, filesAdded);
+    * a spec matching nothing writes NO commit. */
+  def optimizePartitions(spark: SparkSession, table: String,
+                         spec: Map[String, String],
+                         zorderBy: Seq[String] = Seq.empty): MergeStats = {
+    require(spec.nonEmpty, "optimizePartitions needs a partition predicate")
+    val (hfs, root) = fs(spark, table)
+    var attempts = 0
+    while (attempts < 10) {
+      val snap = snapshot(spark, table, None).getOrElse(
+        throw new IllegalStateException(s"no txlog table at $table"))
+      val pcols = snap.meta.partitionCols
+      require(pcols.nonEmpty, s"$table is not partitioned")
+      spec.keys.foreach(k => require(pcols.contains(k),
+        s"OPTIMIZE WHERE column `$k` is not a partition column of $table " +
+          s"(${pcols.mkString(", ")}) — a data-column predicate cannot " +
+          "bound a rewrite to whole partitions"))
+      val matched = snap.files.filter(f =>
+        spec.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      if (matched.isEmpty) return MergeStats(0, snap.files.size, 0)
+      val rows = relationFor(spark, table, snap.meta, matched)._1
+      val shaped =
+        if (zorderBy.nonEmpty)
+          // same layout contract as table-wide optimize: one file per
+          // partition dir, Morton-ordered rows inside it
+          rows.withColumn("__z", ZOrder.zvalue(rows, zorderBy))
+            .repartition(pcols.map(col): _*)
+            .sortWithinPartitions((pcols :+ "__z").map(col): _*).drop("__z")
+        else rows.repartition(pcols.map(col): _*)
+      val adds = stage(shaped, table, pcols, rearrange = false,
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+      val lines = commitInfoJson("optimize") +:
+        (matched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)))
+      if (tryCommit(hfs, root, snap.version, lines))
+        return MergeStats(matched.size, snap.files.size, adds.size)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txlog optimizePartitions on $table lost $attempts optimistic races; giving up")
   }
 
   /** DV-aware OPTIMIZE: rewrite ONLY the files whose outstanding

@@ -523,7 +523,11 @@ object AnnIndexStore {
           Ivf.assignExpr(Cosine.prepared(emb), built.centroids), cents)),
         built.cb)
       val codes = spark.read.parquet(built.codesPath)
-      val census = cellCounts(codes, nCells)
+      // sized to the ACTUAL centroid list, not the shape parameter: a
+      // degenerate corpus (fewer distinct rows than nCells) trains
+      // fewer centroids, and a 16-entry census over 2 centroids made
+      // every later census/centroid alignment check throw (round 16)
+      val census = cellCounts(codes, built.centroids.size)
       val loc = persist(codes, warehouse, name, Seq("cell"),
         _ => tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
           fp, want, sigs, Some(dist), built.cb, Some(cents), Some(census)))

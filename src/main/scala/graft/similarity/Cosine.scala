@@ -201,6 +201,31 @@ object Cosine {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force cosine top-k WITHIN a candidate predicate (round 16 —
+    * the exact oracle for filtered ANN): queries are `vec_id <
+    * nQueries` from the FULL frame (any document may ask), candidates
+    * only the rows matching `candidateFilter` — the answer-set shape
+    * of `IvfPq.probeFiltered`, computed exactly. Same plan shape as
+    * [[bruteTopK]]: one filtered corpus scan against a broadcast query
+    * set, no shuffle of the big side. */
+  def bruteTopKFiltered(emb: DataFrame, candidateFilter: Column,
+                        nQueries: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val p = prepared(emb.filter(candidateFilter))
+    val q = prepared(emb).filter(col("vec_id") < nQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rawsim").desc, col("neighbor_id"))
+    p.as("c").join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+              graft.functions.GraftFunctions
+                .cosine_sim(spark, col("q.v"), col("c.v")).as("rawsim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("rawsim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------- LSH ANN
 
   /** Sign-bit bucket ids per table via the native

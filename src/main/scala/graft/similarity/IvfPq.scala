@@ -151,10 +151,13 @@ object IvfPq {
     * key carries the source files' content fingerprint so regenerated
     * testdata invalidates instead of serving stale codes. */
   def indexFor(emb: DataFrame, key: String, nCells: Int = 16, m: Int = 16,
-               k: Int = 256, iters: Int = 3): IvfPqIndex =
+               k: Int = 256, iters: Int = 3,
+               extraCols: Seq[String] = Seq.empty): IvfPqIndex =
     indexStore.computeIfAbsent(
-      s"$key|fp=${Pq.contentFingerprint(emb)}|c=$nCells|m=$m|k=$k|i=$iters",
-      _ => buildIndex(emb, nCells, m, k, iters, sessionLifetime = true))
+      s"$key|fp=${Pq.contentFingerprint(emb)}|c=$nCells|m=$m|k=$k|i=$iters" +
+        s"|x=${extraCols.mkString(",")}",
+      _ => buildIndex(emb, nCells, m, k, iters, sessionLifetime = true,
+        extraCols = extraCols))
 
   /** IVF×PQ top-k: (1) per query, rank the IVF centroids on the driver
     * and keep the `nprobe` nearest cells; (2) ADC-scan ONLY those
@@ -175,7 +178,66 @@ object IvfPq {
     * catalog load — [[AnnIndexStore]]); cell partition pruning applies
     * either way. */
   def probe(emb: DataFrame, idx: IvfPqIndex, nQueries: Int, kNeighbors: Int,
-            nprobe: Int = 10, shortlist: Int = 50): DataFrame = {
+            nprobe: Int = 10, shortlist: Int = 50): DataFrame =
+    probeImpl(emb, idx, nQueries, kNeighbors, nprobe, shortlist, None)
+
+  /** PREDICATE-FILTERED top-k (round 16 — the retrieval/curation shape
+    * every production vector stack serves: "nearest neighbors WITHIN
+    * `source = 'web' AND quality > q`"): `filter` references attribute
+    * columns stored IN the code table (pass them as `extraCols` at
+    * build time — the Milvus/FAISS scalar-field discipline), and the
+    * probe applies it to the code scan BEFORE ADC ranking:
+    *
+    *   - PRE-filtering, not post-: a post-filter of an unfiltered
+    *     top-`shortlist` starves recall whenever the filter is
+    *     selective (k matching survivors of 50 candidates ≈ k·sel);
+    *     here every ADC-ranked candidate already matches, so the
+    *     shortlist budget spends entirely inside the answer set;
+    *   - the predicate lands in the SAME parquet scan as the cell
+    *     pruning — directory-level `cell IN (probed…)` outside,
+    *     pushed-down attribute filter inside (row-group stats + pages),
+    *     still ~16 B/row over probed cells, zero extra passes;
+    *   - BOTH probe knobs widen by the filter's measured selectivity
+    *     (the FAISS discipline under selective filters): `nprobe` →
+    *     `min(nCells, ⌈nprobe/sel⌉)` and `shortlist` →
+    *     `min(16×, ⌈shortlist/sel⌉)`. A selective filter thins every
+    *     cell's ELIGIBLE rows, so the true k-th filtered neighbor is
+    *     farther — its cell is more often outside a fixed horizon, and
+    *     no shortlist can recover a never-scanned cell (measured:
+    *     min-recall collapsed with nprobe kept at 10 under a 0.3
+    *     filter). The budget argument is exact: scanned rows ≈
+    *     (nprobe/sel / nCells) · corpus · sel = the UNFILTERED probe's
+    *     row budget — the filter pays for the extra cells, so recall
+    *     is restored at the same ~16 B/row scan cost. Selectivity is
+    *     measured once per call by a column-pruned count over the code
+    *     table (the filter columns only — bytes/row of metadata, never
+    *     the corpus; a production caller with a known selectivity can
+    *     precompute and cache it).
+    *
+    * Queries come UNFILTERED from `emb` (any document may ask; the
+    * predicate bounds the ANSWER set), and the exact re-rank runs over
+    * the shortlist's already-filtered survivors. */
+  def probeFiltered(emb: DataFrame, idx: IvfPqIndex, nQueries: Int,
+                    kNeighbors: Int, filter: org.apache.spark.sql.Column,
+                    nprobe: Int = 10, shortlist: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val codes = Pq.codesFrame(spark, idx.codesPath)
+    val total = codes.count() // footer metadata, no column read
+    val kept = codes.filter(filter).count() // filter columns only
+    require(kept > 0, s"ANN filter matches no indexed row: $filter")
+    val sel = kept.toDouble / math.max(1L, total)
+    val widened = math.min(
+      math.max(shortlist, math.ceil(shortlist / sel).toInt),
+      shortlist * 16)
+    val probeWide = math.min(idx.centroids.size,
+      math.max(nprobe, math.ceil(nprobe / sel).toInt))
+    probeImpl(emb, idx, nQueries, kNeighbors, probeWide, widened, Some(filter))
+  }
+
+  private def probeImpl(emb: DataFrame, idx: IvfPqIndex, nQueries: Int,
+                        kNeighbors: Int, nprobe: Int, shortlist: Int,
+                        candidateFilter: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val m = idx.cb.size
@@ -208,9 +270,12 @@ object IvfPq {
       probeRows.toDF("query_id", "cell", "__lut", "__qnorm", "__off"))
     val allProbed = probeRows.map(_._2).distinct
     // cell IN (...) is partition pruning on the cell-partitioned layout:
-    // non-probed cells' files are never opened
-    val scored = Pq.codesFrame(spark, idx.codesPath)
-      .filter(col("cell").isin(allProbed: _*))
+    // non-probed cells' files are never opened; the attribute filter
+    // (if any) rides the SAME scan, applied before the probe join so
+    // ADC only ever ranks matching candidates
+    val scored = candidateFilter
+      .foldLeft(Pq.codesFrame(spark, idx.codesPath)
+        .filter(col("cell").isin(allProbed: _*)))((df, f) => df.filter(f))
       .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
