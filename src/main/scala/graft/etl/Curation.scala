@@ -33,13 +33,14 @@ object Curation {
     * pinned (3,614 rules; publicsuffix.org, Mozilla PSL, MPL-2.0 —
     * public data, shipped as a classpath resource and loaded once per
     * process). Since round 14 this is a VIEW into the full ICANN ASCII
-    * rule set ([[graft.functions.PslSuffixImpl]]): 7,807 exact rules of
+    * rule set ([[graft.functions.PslSuffixImpl]]): 7,354 exact rules of
     * 1–4 labels plus 18 wildcard (`*.ck`) and 8 exception (`!www.ck`)
     * rules — the classes the round-13 cut documented out of scope now
     * resolve by the real PSL algorithm (exception priority, longest
-    * match, default `*`), and IDN rules ship in BOTH the PSL's Unicode
-    * spelling and their punycode (xn--) form, so hosts in either
-    * spelling resolve (the resource header records the conversion). */
+    * match, default `*`). IDN rules carry only their punycode (xn--)
+    * spelling since round 16: every probed host IDNA-normalizes first,
+    * so hosts in either spelling still resolve to the one canonical
+    * punycode domain (the resource header records the conversion). */
   lazy val MultiLabelSuffixes: Seq[String] = {
     import scala.jdk.CollectionConverters._
     graft.functions.PslSuffixImpl.twoLabelExact.asScala.toSeq.sorted

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * nothing ships in the plan.
   *
   * Round 14 completes the RULE SET (VERDICT r13 next #6): the resource
-  * now carries the PSL ICANN section's COMPLETE rules — 7,807 exact
+  * carries the PSL ICANN section's COMPLETE rules — 7,354 exact
   * rules of 1–4 labels (round 13 shipped only the 3,614 two-label
   * ASCII ones; `example.k12.ak.us`-style municipal-registry hosts
   * minted wrong domains), 18 wildcard rules (`*.ck`: ANY single label
@@ -35,11 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[PslRegistrableDomain]]. Per row: one backward scan for the last
   * ≤5 dots plus at most ~8 hash probes on suffix substrings — cheaper
   * than the two `substring_index` byte scans + predicate it replaces.
-  * IDN rules (453) ship in BOTH spellings — the PSL's own Unicode form
-  * and its IDNA2008/UTS46 punycode (`xn--`) form — because crawl
-  * corpora carry hosts in either: `shop.example.公司.cn` and
-  * `shop.example.xn--55qx5d.cn` both resolve to the registrable
-  * `example.<suffix>` instead of minting the SUFFIX itself as a
+  * IDN rules ship ONLY in their IDNA2008/UTS46 punycode (`xn--`) form
+  * (round 16 — round 14 shipped both spellings, round 15 made every
+  * probed host IDNA-normalize to punycode FIRST, so the PSL's own 453
+  * Unicode spellings were unreachable and `tools/SlimPsl` shed them
+  * after verifying each punycode twin with the runtime's own IDN
+  * call): `shop.example.公司.cn` and `shop.example.xn--55qx5d.cn`
+  * both resolve to the ONE canonical registrable
+  * `example.xn--55qx5d.cn` instead of minting the SUFFIX itself as a
   * "domain" (what the last-two-label default did). */
 object PslSuffixImpl {
 
@@ -104,10 +107,9 @@ object PslSuffixImpl {
     * ASCII hosts (the overwhelming majority of any crawl) take a
     * single-scan fast path; malformed labels keep their original
     * spelling (curation must never throw on crawl garbage — the
-    * default-rule path still yields a domain). The rule set's Unicode
-    * spellings stay in the resource for direct [[registrableOf]]
-    * callers, but the normalized probe only ever needs the punycode
-    * ones. */
+    * default-rule path still yields a domain). Since round 16 the
+    * resource carries ONLY punycode spellings — the normalization here
+    * is what made the Unicode twins unreachable (`tools/SlimPsl`). */
   private def toAsciiHost(host: String): String = {
     var i = 0
     while (i < host.length) {
