@@ -172,7 +172,8 @@ object AnnIndexStore {
                   fp: String, shape: Map[String, Long], files: Seq[String],
                   dist: Option[Double], cb: Pq.Codebooks,
                   centroids: Option[Seq[Seq[Double]]],
-                  census: Option[Seq[Long]] = None): String = {
+                  census: Option[Seq[Long]] = None,
+                  attrs: Seq[String] = Seq.empty): String = {
     // `dist` is OMITTED when unknown rather than written as 0.0: a 0.0
     // baseline makes driftExceeded (2·baseline + 0.02) trip on
     // essentially every future batch, forcing retrains forever (ADVICE
@@ -182,7 +183,13 @@ object AnnIndexStore {
       "kind" -> JString(kind), "fp" -> JString(fp),
       "shape" -> JObject(shape.toList.map { case (k, v) => k -> (JInt(v): JValue) })) ++
       dist.map(d => "dist" -> (JDouble(d): JValue)) ++
-      census.map(cs => "rebalance" -> (JBool(skewed(cs)): JValue))
+      census.map(cs => "rebalance" -> (JBool(skewed(cs)): JValue)) ++
+      // attribute (scalar-field) columns riding in the code table —
+      // part of the index's IDENTITY (a probe filtering on `label`
+      // needs the column in the codes), so the load path matches on it
+      // like the shape; names are O(1) inline metadata (round 16)
+      (if (attrs.isEmpty) Nil
+       else List("attrs" -> (JArray(attrs.toList.map(JString(_): JValue)): JValue)))
     val payload = List[(String, JValue)](
       "files" -> JArray(files.toList.map(JString(_): JValue)),
       "cb" -> cbJson(cb)) ++
@@ -263,6 +270,13 @@ object AnnIndexStore {
       case (k, JLong(v)) => k -> v
     }.toMap
     case _ => Map.empty
+  }
+
+  /** The stored attribute-column names — empty when the index carries
+    * none (or predates round 16). */
+  private[similarity] def attrsOf(j: JValue): Seq[String] = j \ "attrs" match {
+    case JArray(as) => as.collect { case JString(s) => s }
+    case _ => Seq.empty
   }
 
   /** The stored per-cell census, dense by cell id — empty when absent
@@ -370,11 +384,12 @@ object AnnIndexStore {
     * (O(batch) input by construction; the corpus frame is never
     * rescanned). */
   private def newRowsFrame(spark: SparkSession, like: DataFrame,
-                           newPaths: Seq[String]): DataFrame =
+                           newPaths: Seq[String],
+                           attrCols: Seq[String] = Seq.empty): DataFrame =
     spark.read.schema(org.apache.spark.sql.types.StructType(
         like.schema.fields.toSeq))
       .parquet(newPaths: _*)
-      .select(col("vec_id"), col("embedding"))
+      .select(("vec_id" +: "embedding" +: attrCols).map(col): _*)
 
   private def persist(codes: DataFrame, warehouse: String, name: String,
                       partitionCols: Seq[String],
@@ -506,16 +521,23 @@ object AnnIndexStore {
     * out in place). The tag additionally carries the per-cell row
     * census and a rebalance flag (see the class doc). */
   def ivfPqIndex(emb: DataFrame, warehouse: String, name: String,
-                 nCells: Int = 16, m: Int = 16, k: Int = 256, iters: Int = 3)
+                 nCells: Int = 16, m: Int = 16, k: Int = 256, iters: Int = 3,
+                 attrCols: Seq[String] = Seq.empty)
       : (IvfPq.IvfPqIndex, IndexOutcome) = {
     val spark = emb.sparkSession
     val sigs = Pq.fileSignatures(emb)
     val fp = Pq.fingerprintOf(sigs)
     val want = Map[String, Long](
       "nCells" -> nCells, "m" -> m, "k" -> k, "iters" -> iters)
+    // `attrCols` (round 16): attribute/scalar-field columns of `emb`
+    // stored alongside the codes, so [[IvfPq.probeFiltered]] runs
+    // against the PERSISTED index — the filter lands in the code scan
+    // of a catalog-loaded, incrementally-maintained index, not just a
+    // session build. Part of the index identity: a tag whose attrs
+    // differ retrains (the stored codes physically lack the column).
     def retrain(driftFallback: Boolean): (IvfPq.IvfPqIndex, IndexOutcome) = {
       val built = IvfPq.buildIndex(withSrc(emb), nCells, m, k, iters,
-        extraCols = Seq(SrcCol))
+        extraCols = SrcCol +: attrCols)
       val cents = built.centroids.sortBy(_._1).map(_._2)
       // drift baseline over RESIDUALS — the quantity the codebooks encode
       val dist = meanDistortion(
@@ -530,21 +552,23 @@ object AnnIndexStore {
       val census = cellCounts(codes, built.centroids.size)
       val loc = persist(codes, warehouse, name, Seq("cell"),
         _ => tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
-          fp, want, sigs, Some(dist), built.cb, Some(cents), Some(census)))
+          fp, want, sigs, Some(dist), built.cb, Some(cents), Some(census),
+          attrs = attrCols))
       (IvfPq.IvfPqIndex(built.cb, built.centroids, loc),
         IndexOutcome.Trained(driftFallback))
     }
     loadTag(spark, warehouse, name) match {
       case Some((loc, j)) if str(j, "kind") == "ivfpq" && str(j, "fp") == fp &&
-          shapeOf(j) == want =>
+          shapeOf(j) == want && attrsOf(j) == attrCols =>
         (IvfPq.IvfPqIndex(cbOf(j \ "cb"), centroidsOf(j \ "centroids"), loc),
           IndexOutcome.Loaded)
       case Some((loc, j)) if str(j, "kind") == "ivfpq" && shapeOf(j) == want &&
+          attrsOf(j) == attrCols &&
           filesOf(j).exists(st => diffFiles(st, sigs).isDefined) =>
         val (added, removed) = diffFiles(filesOf(j).get, sigs).get
         val idx = IvfPq.IvfPqIndex(cbOf(j \ "cb"), centroidsOf(j \ "centroids"), loc)
         val cents = idx.centroids.sortBy(_._1).map(_._2)
-        lazy val newRows = newRowsFrame(spark, emb, added)
+        lazy val newRows = newRowsFrame(spark, emb, added, attrCols)
         lazy val newDist = meanDistortion(
           sampleVectors(IvfPq.residualFrame(
             Ivf.assignExpr(Cosine.prepared(newRows), idx.centroids), cents)),
@@ -583,7 +607,8 @@ object AnnIndexStore {
           }
           val encoded =
             if (added.isEmpty) None
-            else Some(IvfPq.encodeNewRows(withSrc(newRows), idx, Seq(SrcCol)))
+            else Some(IvfPq.encodeNewRows(withSrc(newRows), idx,
+              SrcCol +: attrCols))
           val addedCounts = encoded.map(cellCounts(_, nActual))
             .getOrElse(Seq.fill(nActual)(0L))
           val base =
@@ -593,7 +618,7 @@ object AnnIndexStore {
             math.max(0L, base(c) - removedCounts(c) + addedCounts(c)))
           val mkTag = tag(spark, loc, "ivfpq", fp, want, sigs,
             dbl(j, "dist").orElse(if (added.nonEmpty) Some(newDist) else None),
-            idx.cb, Some(cents), Some(census))
+            idx.cb, Some(cents), Some(census), attrs = attrCols)
           encoded match {
             case Some(rows) =>
               TxLog.append(alignedToTable(spark, loc, rows), loc,
@@ -729,14 +754,19 @@ object AnnIndexStore {
     // the loop's derived plans are then tiny. Recompute-on-executor-loss
     // is not a concern: the commit happens only at the end, so a lost
     // block just fails the call and a retry re-runs it idempotently.
+    // attribute columns ride the loop end-to-end (round 16): the split
+    // re-encodes rows, and a re-encoded row that dropped its `label`
+    // would break every future filtered probe — carried exactly like
+    // the src_file provenance
+    val carried = SrcCol +: attrsOf(j)
     var assigned = {
       TxLog.read(spark, loc).filter(col("cell").isin(initialHots: _*))
         .withColumn("__cents", typedLit(cents0))
         .withColumn("__cb", typedLit(cb))
-        .select(col("vec_id"),
+        .select(col("vec_id") +:
           expr(s"transform(sequence(0, ${d - 1}), i -> __cents[cell][i] + " +
-            s"__cb[i div $subd][codes[i div $subd]][i % $subd])").as("v"),
-          col(SrcCol), col("cell"))
+            s"__cb[i div $subd][codes[i div $subd]][i % $subd])").as("v") +:
+          carried.map(col) :+ col("cell"): _*)
         .localCheckpoint() }
     val centsBuf = scala.collection.mutable.ArrayBuffer(cents0: _*)
     val censusBuf = scala.collection.mutable.ArrayBuffer(census0: _*)
@@ -756,7 +786,8 @@ object AnnIndexStore {
       else {
         val parts = hots.map { hot =>
           val sub = assigned.filter(col("cell") === hot)
-            .select(col("vec_id"), col("v").as("embedding"), col(SrcCol))
+            .select(col("vec_id") +: col("v").as("embedding") +:
+              carried.map(col): _*)
           val (_, subCents) = Ivf.train(sub, 2, iters)
           // assignExpr emits the centroid's OWN id as `cell`: handing it
           // globally-numbered centroids yields global assignments
@@ -766,8 +797,9 @@ object AnnIndexStore {
           centsBuf += globalSubs(1)._2
           working += globalSubs(1)._1
           splits += hot -> (splits.getOrElse(hot, 1) + 1)
-          Ivf.assignExpr(Cosine.prepared(sub, Seq(SrcCol)), globalSubs)
-            .select(col("vec_id"), col("v"), col(SrcCol), col("cell"))
+          Ivf.assignExpr(Cosine.prepared(sub, carried), globalSubs)
+            .select(col("vec_id") +: col("v") +: carried.map(col) :+
+              col("cell"): _*)
         }
         val next = (assigned.filter(!col("cell").isin(hots: _*))
           +: parts).reduce(_ unionByName _).localCheckpoint()
@@ -799,14 +831,14 @@ object AnnIndexStore {
     // stage write) would re-analyze and cache-compare it — measured 8 s
     // of plan time for an 850-row encode; checkpointed, 0.2 s.
     val newRows =
-      IvfPq.codeRows(IvfPq.residualFrame(assigned, cents, Seq(SrcCol)),
-        cb, cents, Seq(SrcCol)).localCheckpoint()
+      IvfPq.codeRows(IvfPq.residualFrame(assigned, cents, carried),
+        cb, cents, carried).localCheckpoint()
     val movedCounts = cellCounts(newRows, cents.size)
     val newCensus = (0 until cents.size).map(c =>
       if (working.contains(c)) movedCounts(c) else censusBuf(c))
     val mkTag = tag(spark, loc, "ivfpq", str(j, "fp"), shapeOf(j),
       filesOf(j).getOrElse(Seq.empty), dbl(j, "dist"), cb, Some(cents),
-      Some(newCensus))
+      Some(newCensus), attrs = attrsOf(j))
     import spark.implicits._
     val replaced = alignedToTable(spark, loc, newRows).select(col("cell"))
       .union(initialHots.toDF("cell")

@@ -342,13 +342,16 @@ class Round16Spec extends SparkSpec {
     // overwritePartitions, carrying the new tag — no window where the
     // data moved but the tag (centroids/census) lags
     // the Round15Spec fixture shape exactly (it provably clears the
-    // flag): base corpus + 400 separable skew rows in one cell
+    // flag): base corpus + 400 separable skew rows in one cell —
+    // built WITH an attribute column (round 16: the persisted index
+    // carries scalar fields for filtered search; the rebalance must
+    // carry them through the split re-encode)
     val wh = tmp("r16rbwh"); val corpus = tmp("r16rbcorp")
     val emb0 = Tables.embeddings(spark, sf)
     emb0.filter(col("vec_id") < 400).repartition(2)
       .write.mode("overwrite").parquet(corpus)
     AnnIndexStore.ivfPqIndex(spark.read.parquet(corpus), wh, "rb16",
-      nCells = 16, m = 16, k = 64)
+      nCells = 16, m = 16, k = 64, attrCols = Seq("label"))
     val v0 = emb0.filter(col("vec_id") === 0)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val nrm = math.sqrt(v0.map(x => x.toDouble * x).sum).toFloat
@@ -357,12 +360,13 @@ class Round16Spec extends SparkSpec {
       val v = v0.toArray.clone()
       v(g * 4) += 0.5f * nrm
       v(32 + g) += 0.02f * nrm * ((i / 4 % 7) - 3) / 3f
-      (100000L + i, v.toSeq)
+      (100000L + i, v.toSeq, i % 10)
     }
-    skewRows.toDF("vec_id", "embedding")
+    skewRows.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("append").parquet(corpus)
-    AnnIndexStore.ivfPqIndex(spark.read.parquet(corpus), wh, "rb16",
-      nCells = 16, m = 16, k = 64)
+    val (_, oExt) = AnnIndexStore.ivfPqIndex(spark.read.parquet(corpus),
+      wh, "rb16", nCells = 16, m = 16, k = 64, attrCols = Seq("label"))
+    assert(oExt == AnnIndexStore.IndexOutcome.Extended(1), oExt.toString)
     val loc = GraftCatalog.find(wh, "rb16").get.location
     val before = TxLog.currentVersion(spark, loc)
     val out = AnnIndexStore.rebalanceCells(spark, wh, "rb16")
@@ -374,6 +378,29 @@ class Round16Spec extends SparkSpec {
     // the tag landed IN that commit: census/centroids agree with data
     val (census, flag) = AnnIndexStore.cellHealth(spark, wh, "rb16").get
     assert(!flag && census.sum == TxLog.read(spark, loc).count())
+    // the attribute column survived the split re-encode on EVERY row —
+    // a dropped label would break all future filtered probes
+    assert(TxLog.read(spark, loc).filter(col("label").isNull).isEmpty,
+      "label lost through rebalance")
+    // the persisted, rebalanced index serves a filtered probe: a pure
+    // LOAD (no retrain), predicate pushed against the stored codes,
+    // every neighbor inside the predicate
+    val (idx3, oLoad) = AnnIndexStore.ivfPqIndex(spark.read.parquet(corpus),
+      wh, "rb16", nCells = 16, m = 16, k = 64, attrCols = Seq("label"))
+    assert(oLoad == AnnIndexStore.IndexOutcome.Loaded, oLoad.toString)
+    val emb2 = spark.read.parquet(corpus)
+    val filtered = graft.similarity.IvfPq.probeFiltered(emb2, idx3,
+      nQueries = 4, kNeighbors = 5, filter = col("label") < 5)
+    assert(filtered.join(
+        emb2.filter(col("label") >= 5)
+          .select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi").isEmpty,
+      "a neighbor escaped the filter on the persisted index")
+    // an attrs-mismatched request is a DIFFERENT index: retrains
+    val (_, oPlain) = AnnIndexStore.ivfPqIndex(spark.read.parquet(corpus),
+      wh, "rb16", nCells = 16, m = 16, k = 64)
+    assert(oPlain.isInstanceOf[AnnIndexStore.IndexOutcome.Trained],
+      oPlain.toString)
   }
 
   // ---------------------------------------------------- VACUUM DRY RUN
