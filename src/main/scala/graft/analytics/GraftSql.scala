@@ -700,6 +700,8 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(`[^`]+`|[\w./-]+)\s*$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val ShowViewsRe =
+    """(?is)^\s*SHOW\s+VIEWS\s*$""".r
   // round-15 lifecycle verbs (VERDICT r14 #3): the kernels existed
   // since round 10 as Scala APIs only — the SQL-only persona could not
   // roll back a bad reprocess, clone a table for a dev run, absorb
@@ -882,6 +884,12 @@ object GraftSql {
         Some(GraftCatalog.entries(warehouse)
           .map(e => (e.name, e.location)).sortBy(_._1)
           .toDF("name", "location"))
+      case ShowViewsRe() =>
+        // the view catalog's entries, symmetric with SHOW TABLES
+        // (round 16): name + the stored query text, driver metadata
+        Some(GraftCatalog.viewEntries(warehouse)
+          .map(e => (e.name, e.sql)).sortBy(_._1)
+          .toDF("name", "text"))
       case DescribeHistoryRe(name) =>
         val loc = resolveName(spark, warehouse, name)
         Some(TxLog.historyFull(spark, loc)

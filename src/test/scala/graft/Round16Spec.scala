@@ -235,6 +235,9 @@ class Round16Spec extends SparkSpec {
       GraftSql.execute(spark, wh, "CREATE VIEW broken AS SELEKT 1")
     }
     assert(GraftCatalog.findView(wh, "broken").isEmpty)
+    // SHOW VIEWS lists the catalog's views (name + stored text)
+    val shown = GraftSql.execute(spark, wh, "SHOW VIEWS").collect()
+    assert(shown.map(_.getString(0)).sorted.toSeq == Seq("g_big", "g_tot"))
   }
 
   // ---------------------------------- subquery conditions in UPDATE/DELETE
