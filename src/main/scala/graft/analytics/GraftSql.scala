@@ -125,6 +125,9 @@ object GraftSql {
       case u: UpdateTable =>
         val loc = resolveTable(spark, warehouse, u.table)
         u.condition.foreach(rejectSubqueryCondition("UPDATE", _))
+        // assignment VALUES can carry subqueries too (`SET v = (SELECT
+        // max(x) ...)`) and would die just as deep in the kernel
+        u.assignments.foreach(a => rejectSubqueryCondition("UPDATE", a.value))
         val cols = TxLog.read(spark, loc).columns.toSeq
         val set = u.assignments.map(a =>
           canonical(cols, nameOf(a.key)) -> expr(a.value.sql)).toMap
@@ -678,7 +681,7 @@ object GraftSql {
   private def rejectSubqueryCondition(verb: String, cond: Expression): Unit =
     require(!cond.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-      s"GRAFT_SUBQUERY_CONDITION_UNSUPPORTED: $verb WHERE carries a " +
+      s"GRAFT_SUBQUERY_CONDITION_UNSUPPORTED: $verb carries a " +
         s"subquery (${cond.sql}) — rewrite as MERGE INTO <table> t USING " +
         "(<subquery projected to the table's full column width>) s ON " +
         "t.<key> = s.<key> WHEN MATCHED THEN " +

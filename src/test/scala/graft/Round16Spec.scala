@@ -263,6 +263,13 @@ class Round16Spec extends SparkSpec {
     }
     assert(e2.getMessage.contains("GRAFT_SUBQUERY_CONDITION_UNSUPPORTED"),
       e2.getMessage)
+    // assignment VALUES are guarded too, not just WHERE
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, wh,
+        "UPDATE sq16 SET v = (SELECT max(k) FROM r16_sq_ids)")
+    }
+    assert(e3.getMessage.contains("GRAFT_SUBQUERY_CONDITION_UNSUPPORTED"),
+      e3.getMessage)
     // the named rewrite WORKS: MERGE USING the subquery (projected to
     // the table's full width — the kernel's source contract) deletes
     GraftSql.execute(spark, wh,
