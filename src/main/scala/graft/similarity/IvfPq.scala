@@ -223,7 +223,13 @@ object IvfPq {
     val spark = emb.sparkSession
     val codes = Pq.codesFrame(spark, idx.codesPath)
     val total = codes.count() // footer metadata, no column read
-    val kept = codes.filter(filter).count() // filter columns only
+    val kept =
+      try codes.filter(filter).count() // filter columns only
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"ANN filter references columns the index does not carry " +
+            s"(stored: ${codes.columns.mkString(", ")}) — build the index " +
+            "with extraCols/attrCols including every filter column", e) }
     require(kept > 0, s"ANN filter matches no indexed row: $filter")
     val sel = kept.toDouble / math.max(1L, total)
     val widened = math.min(

@@ -64,6 +64,11 @@ class Round16Spec extends SparkSpec {
       IvfPq.probeFiltered(emb, idx, 4, 5, filter = col("label") > 99)
     }
     assert(e.getMessage.contains("matches no indexed row"), e.getMessage)
+    // a filter on a column the index never stored names the contract
+    val e4 = intercept[IllegalArgumentException] {
+      IvfPq.probeFiltered(emb, idx, 4, 5, filter = col("quality") > 0.5)
+    }
+    assert(e4.getMessage.contains("does not carry"), e4.getMessage)
   }
 
   // ------------------------------------- temporal SQL symmetry (CDF/RESTORE)
