@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, count, lit, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** One live data file of a txlog table: table-root-relative path, parsed
@@ -554,7 +554,8 @@ object TxLog {
   private def stage(df: DataFrame, table: String, partitionCols: Seq[String],
                     rearrange: Boolean = true,
                     bloomCols: Seq[String] = Seq.empty,
-                    columnMap: Map[String, String] = Map.empty): Seq[AddFile] = {
+                    columnMap: Map[String, String] = Map.empty,
+                    optimizeLayout: Boolean = false): Seq[AddFile] = {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"data-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
@@ -565,8 +566,31 @@ object TxLog {
       else df.select(df.columns.toSeq.map(c =>
         col(c).as(columnMap.getOrElse(c, c))): _*)
     val physBloomCols = bloomCols.map(c => columnMap.getOrElse(c, c))
+    // Optimized write (optimization r16, guide §2.5/§6). Two layout
+    // decisions the engine owns:
+    //  - partitioned staging REBALANCEs by the partition columns
+    //    instead of hash-repartitioning on them: identical one-file-
+    //    per-partition result for small partitions (AQE coalesces),
+    //    but a partition above the advisory size SPLITS into
+    //    advisory-sized files instead of becoming one giant file
+    //    written by one task — a low-cardinality partition key made
+    //    every partitioned write an N-task serial bottleneck at any
+    //    cluster size (hash-by-partition-cols is definitionally
+    //    skewed, guide §2.5);
+    //  - engine-made rewrite frames (merge/update/delete copy-on-write
+    //    unions — `optimizeLayout`) REBALANCE before writing: they
+    //    otherwise inherit the shuffle partitioning of whatever
+    //    computed them and spray each commit into dozens of tiny
+    //    files, which bloats the snapshot, the commit-time footer
+    //    pass, and every later scan/list of the table (the measured
+    //    sf0.1 merge commit wrote 33 files for a few-MB rewrite and
+    //    pushed feed reads over the parallel-listing job threshold).
+    // Caller-shaped frames (overwrite/append without partitioning)
+    // keep their layout: range-clustering for data skipping is the
+    // caller's contract (deltaDataSkipping, optimize ZORDER).
     val writer = (if (partitionCols.nonEmpty && rearrange)
-      physDf.repartition(partitionCols.map(col): _*) // one file per partition
+      physDf.hint("rebalance", partitionCols.map(col): _*)
+    else if (optimizeLayout) physDf.hint("rebalance")
     else physDf).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
@@ -613,7 +637,12 @@ object TxLog {
     val (hfs, root) = fs(df.sparkSession, table)
     val stagingName = s"cdc-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, stagingName)
-    df.write.mode("overwrite").parquet(staging.toString)
+    // cdc frames are engine-made unions (pre/post images + deletes +
+    // inserts) carrying the merge join's partitioning — REBALANCE so a
+    // commit's change files are few and advisory-sized, not one tiny
+    // file per upstream task (optimization r16; same rationale as
+    // stage's optimizeLayout)
+    df.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
     val qualified = hfs.makeQualified(staging).toString
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val it = hfs.listFiles(staging, true)
@@ -832,13 +861,16 @@ object TxLog {
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, table)
     val qroot = hfs.makeQualified(root).toString
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(keyCols.map(col): _*).take(3)
-    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
-      s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
-      s"e.g. ${dupKeys.mkString("; ")}. Collapse the source to one row per key " +
-      "(StreamMerge does this per micro-batch) before merging.")
+    // the duplicate-key gate rides the SAME action as the touched-file
+    // probe below (one fused collect per attempt): each was a separate
+    // full action, and for incremental commits the per-action fixed
+    // cost (analyze -> optimize -> AQE stage loop -> schedule) is the
+    // dominant term, not the data (optimization r16)
+    val dupProbe = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(3)
+      .select(lit("dup").as("__kind"),
+        concat_ws(" | ", keyCols.map(c => col(c).cast("string")): _*).as("__val"))
+    var dupsChecked = false
     var attempts = 0
     while (attempts < 10) {
       val snap = snapshot(spark, table, None).getOrElse(throw new IllegalStateException(
@@ -869,12 +901,22 @@ object TxLog {
       val src = source.select(
         cols.map(col) :+ coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
-      // file-granular match: which live files hold a matched key
-      val touchedPaths = relationFor(spark, table, meta2, snap.files)._1
+      // file-granular match: which live files hold a matched key —
+      // fused with the duplicate-key gate on the first attempt
+      val pathProbe = relationFor(spark, table, meta2, snap.files)._1
         .withColumn("__path", col("_metadata.file_path"))
         .join(srcKeys, keyCols, "left_semi")
-        .select("__path").distinct().collect()
-        .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
+        .select(lit("path").as("__kind"), col("__path").as("__val")).distinct()
+      val probeRows =
+        (if (dupsChecked) pathProbe else pathProbe.unionAll(dupProbe)).collect()
+      val dups = probeRows.filter(_.getString(0) == "dup").map(_.getString(1))
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
+        s"e.g. ${dups.mkString("; ")}. Collapse the source to one row per key " +
+        "(StreamMerge does this per micro-batch) before merging.")
+      dupsChecked = true
+      val touchedPaths = probeRows.filter(_.getString(0) == "path")
+        .map(_.getString(1).stripPrefix(qroot).stripPrefix("/")).toSet
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
       // widened meta: rewritten files materialize the new columns; the
       // old rows they carry surface typed NULLs through the parquet read
@@ -909,7 +951,8 @@ object TxLog {
         val staged = updated.unionByName(inserts)
         requireConstraintsSatisfied(staged, snap.meta.constraints, table)
         val adds = stage(staged, table, snap.meta.partitionCols,
-          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+          optimizeLayout = true)
         // change feed (Delta CDF): pre/post images of genuinely matched
         // rows + deletes + inserts, written as cdc files the snapshot
         // never sees
@@ -982,13 +1025,13 @@ object TxLog {
       s"merge clause must not update key column(s) " +
         s"${setOf(c).keySet.intersect(keyCols.toSet).mkString(", ")} — " +
         "re-keying rows mid-merge would change which rows the clauses match"))
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(keyCols.map(col): _*).take(3)
-    if (dupKeys.nonEmpty) throw new IllegalArgumentException(
-      s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
-      s"e.g. ${dupKeys.mkString("; ")}. Collapse the source to one row per key " +
-      "before merging.")
+    // duplicate-key gate fused into the touched-file probe action, as
+    // in [[merge]] (optimization r16)
+    val dupProbe = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(3)
+      .select(lit("dup").as("__kind"),
+        concat_ws(" | ", keyCols.map(c => col(c).cast("string")): _*).as("__val"))
+    var dupsChecked = false
     // SQL MERGE three-valued logic: a NULL condition is "not satisfied"
     def condExpr(c: Option[String]): org.apache.spark.sql.Column =
       coalesce(c.map(org.apache.spark.sql.functions.expr)
@@ -1011,22 +1054,31 @@ object TxLog {
       val srcKeys = source.select(keyCols.map(col): _*).distinct()
       // file-granular candidates: matched keys always; by-source clauses
       // add files holding an UNMATCHED row satisfying some condition
-      // (their conditions reference t only, so they evaluate target-side)
-      val matchedPaths = relationFor(spark, table, snap.meta, snap.files)._1
+      // (their conditions reference t only, so they evaluate target-side).
+      // Both probes AND the duplicate-key gate ride one fused action.
+      val matchedProbe = relationFor(spark, table, snap.meta, snap.files)._1
         .withColumn("__path", col("_metadata.file_path"))
         .join(srcKeys, keyCols, "left_semi")
-        .select("__path").distinct().collect()
-        .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
-      val bySrcPaths =
-        if (bySrcCl.isEmpty) Set.empty[String]
-        else relationFor(spark, table, snap.meta, snap.files)._1
+        .select(lit("path").as("__kind"), col("__path").as("__val")).distinct()
+      val bySrcProbe =
+        if (bySrcCl.isEmpty) None
+        else Some(relationFor(spark, table, snap.meta, snap.files)._1
           .withColumn("__path", col("_metadata.file_path"))
           .alias("t") // metadata cols resolve pre-alias; t.* post-alias
           .join(srcKeys, keyCols, "left_anti")
           .filter(bySrcCl.map(c => condExpr(bySrcCond(c))).reduce(_ || _))
-          .select("__path").distinct().collect()
-          .map(_.getString(0).stripPrefix(qroot).stripPrefix("/")).toSet
-      val touchedPaths = matchedPaths ++ bySrcPaths
+          .select(lit("path").as("__kind"), col("__path").as("__val")).distinct())
+      val fused = (Seq(matchedProbe) ++ bySrcProbe.toSeq ++
+        (if (dupsChecked) Nil else Seq(dupProbe))).reduce(_ unionAll _)
+      val probeRows = fused.collect()
+      val dups = probeRows.filter(_.getString(0) == "dup").map(_.getString(1))
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"merge source has duplicate rows for key (${keyCols.mkString(", ")}) — " +
+        s"e.g. ${dups.mkString("; ")}. Collapse the source to one row per key " +
+        "before merging.")
+      dupsChecked = true
+      val touchedPaths = probeRows.filter(_.getString(0) == "path")
+        .map(_.getString(1).stripPrefix(qroot).stripPrefix("/")).toSet
       val touched = snap.files.filter(f => touchedPaths.contains(f.path))
       val touchedRows = relationFor(spark, table, snap.meta, touched)._1
       val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -1093,7 +1145,8 @@ object TxLog {
         val staged = survivors.unionByName(inserts)
         requireConstraintsSatisfied(staged, snap.meta.constraints, table)
         val adds = stage(staged, table, snap.meta.partitionCols,
-          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+          optimizeLayout = true)
         val updatedRows = acted.filter(
           (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
           (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
@@ -1357,7 +1410,8 @@ object TxLog {
         post.foreach(p =>
           requireConstraintsSatisfied(p, snap.meta.constraints, table))
         val newAdds = post.map(p => stage(p, table, snap.meta.partitionCols,
-            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap))
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+            optimizeLayout = true))
           .getOrElse(Seq.empty)
         val cdcFiles = stageCdc(cdcOf(rows, fullRel), table)
         val lines = commitInfoJson(op) +:
@@ -1419,7 +1473,8 @@ object TxLog {
       val rewritten = transform(rows, condition)
       requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
       val adds = stage(rewritten, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap)
+        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+        optimizeLayout = true)
       val cdcFiles = stageCdc(cdcOf(rows, condition), table)
       val lines = commitInfoJson(op) +:
         (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
@@ -2188,7 +2243,7 @@ object TxLog {
       else
         // one file per partition dir, z-sorted inside it: partition
         // values stay the outer pruning level, z row-groups the inner
-        overwriteImpl(current.withColumn("__z", ZOrder.zvalue(current, zorderBy))
+        overwriteImpl(ZOrder.withZValue(current, zorderBy)
             .repartition(pcols.map(col): _*)
             .sortWithinPartitions((pcols :+ "__z").map(col): _*).drop("__z"),
           table, pcols, overwriteSchema = false, rearrange = false, op = "optimize")
@@ -2245,7 +2300,7 @@ object TxLog {
         if (zorderBy.nonEmpty)
           // same layout contract as table-wide optimize: one file per
           // partition dir, Morton-ordered rows inside it
-          rows.withColumn("__z", ZOrder.zvalue(rows, zorderBy))
+          ZOrder.withZValue(rows, zorderBy)
             .repartition(pcols.map(col): _*)
             .sortWithinPartitions((pcols :+ "__z").map(col): _*).drop("__z")
         else rows.repartition(pcols.map(col): _*)

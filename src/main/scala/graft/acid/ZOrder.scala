@@ -52,21 +52,41 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_)).cast("long")
   }
 
-  /** The z-value column for `cols` over `df`'s current distribution.
-    * Costs exactly one pass over `df` (the shared quantile sketch). */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+  /** `df` with a `__z` z-value column for `cols` over `df`'s current
+    * distribution. Costs exactly one pass over `df` (the shared
+    * quantile sketch).
+    *
+    * Plan-size discipline (optimization r16): the bucket CASE chains
+    * (2^bits-1 WHEN branches per column) land in their OWN projection
+    * and the interleave references them as plain attributes. Composing
+    * the interleave directly over the bucket Columns re-embedded each
+    * chain once per z bit — `bits × cols` textual copies, an ~8k-node
+    * expression tree for the default 2-column/8-bit call whose
+    * analysis/optimization alone cost seconds of driver time per
+    * OPTIMIZE (measured: delta_zorder driver gap 3.7 s of 5.8 s wall).
+    * Catalyst's CollapseProject keeps the split (it refuses to inline
+    * non-cheap expressions referenced more than once — the exact case
+    * here), so the optimizer sees ~500 nodes instead. Per-row work is
+    * unchanged: codegen already evaluated each chain once via
+    * subexpression elimination; this fixes the DRIVER cost. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "zorder needs >= 2 columns (use clusterBy for 1)")
     val bs = cols.zip(boundaries(df, cols, 1 << bits)).map { case (c, b) =>
       bucketCol(c, b.map(v => if (v.isNaN) 0.0 else v))
     }
-    interleave(bs, bits)
+    val bucketed = df.select(df.columns.map(col) ++
+      bs.zipWithIndex.map { case (bc, i) => bc.as(s"__zb$i") }: _*)
+    bucketed
+      .withColumn("__z",
+        interleave(bs.indices.map(i => col(s"__zb$i")), bits))
+      .drop(bs.indices.map(i => s"__zb$i"): _*)
   }
 
   /** `df` rewritten in z-order: range-partitioned into ~`nFiles` splits
     * of the z-curve, z-sorted inside each, helper column dropped. */
   def cluster(df: DataFrame, cols: Seq[String], nFiles: Int,
               bits: Int = 8): DataFrame =
-    df.withColumn("__z", zvalue(df, cols, bits))
+    withZValue(df, cols, bits)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

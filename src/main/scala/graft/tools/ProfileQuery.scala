@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.concurrent.TrieMap
@@ -45,6 +45,7 @@ object ProfileQuery {
 
     val starts = TrieMap.empty[Int, (Long, String)]
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[JobRec]()
+    val stageAgg = scala.collection.mutable.Map.empty[String, (Int, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -58,6 +59,16 @@ object ProfileQuery {
         starts.remove(je.jobId).foreach { case (t0, d) =>
           jobs.add(JobRec(je.jobId, d, t0, je.time))
         }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val key = si.name.takeWhile(_ != '+').trim // "collect at X.scala:42"
+        val dur = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(0L)
+        stageAgg.synchronized {
+          val (n, t, tk) = stageAgg.getOrElse(key, (0, 0L, 0L))
+          stageAgg(key) = (n + 1, t + dur, tk + si.numTasks)
+        }
+      }
     })
 
     val missing = names.filterNot(graft.SparkEntry.queries.contains)
@@ -68,6 +79,7 @@ object ProfileQuery {
       // one warmup pass (codegen/JIT), then the measured pass
       (0 until 2).foreach { round =>
         jobs.clear()
+        stageAgg.synchronized(stageAgg.clear())
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -97,11 +109,11 @@ object ProfileQuery {
           println(f"== $name: wall ${wallMs / 1000}%.2fs (build ${buildMs / 1000}%.2f + probe ${probeMs / 1000}%.2f), " +
             f"jobs ${recs.size}, job-covered ${covered / 1000.0}%.2fs, job-sum ${jobSum / 1000.0}%.2fs, " +
             f"DRIVER GAP ${(wallMs - covered) / 1000.0}%.2fs")
-          val top = recs.sortBy(-_.durMs).take(15)
-          top.foreach(r => println(f"   ${r.durMs / 1000.0}%6.2fs  job ${r.id}%4d  ${r.desc.take(140)}"))
-          // histogram of tiny jobs: many sub-100ms jobs = per-action overhead
-          val tiny = recs.count(_.durMs < 100)
-          println(s"   jobs <100ms: $tiny of ${recs.size}")
+          // stage-name aggregation: where the executed time comes from
+          val byStage = stageAgg.synchronized(stageAgg.toSeq).sortBy(-_._2._2)
+          byStage.take(20).foreach { case (name, (n, t, tk)) =>
+            println(f"   ${t / 1000.0}%6.2fs  x$n%-3d tasks=$tk%-5d $name")
+          }
         }
       }
     }
