@@ -2635,7 +2635,14 @@ object SparkEntry {
     graft.acid.TxLog.merge(
       corrections.unionByName(arrivals), path, Seq("event_id"))  // v2
     val name = s"graft_gstbl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    def run(): Long = {
+    // StateSizing like the stateful runners in graft.streaming
+    // (optimization r16): the complete-mode aggregate commits every
+    // state partition on every micro-batch; the aggregate content and
+    // both probe booleans (row counts, checkpoint batch ids) are
+    // independent of the shuffle partition count. Both runs share one
+    // checkpoint, so both wrap identically (the restored run re-reads
+    // the pinned count from the offset log either way).
+    def run(): Long = graft.streaming.StateSizing.withStatePartitions(s, 10000L) {
       val q = s.readStream.format("graft-table")
         .option("path", path).option("startVersion", "2")
         .option("maxCommitsPerTrigger", "1").load()

@@ -223,7 +223,7 @@ object TxLog {
   private[graft] def commitTags(spark: SparkSession, table: String): Seq[(Long, String)] = {
     val (hfs, root) = fs(spark, table)
     listVersions(hfs, root).flatMap { case (v, p) =>
-      parseCommit(readText(hfs, p)).tag.map(v -> _)
+      parsedCommit(hfs, p).tag.map(v -> _)
     }
   }
 
@@ -256,7 +256,7 @@ object TxLog {
       .filter { case (v, _) => v >= lo && v <= hi }
       .sortBy(_._1)
       .map { case (v, p) =>
-        val c = parseCommit(readText(hfs, p))
+        val c = parsedCommit(hfs, p)
         val op = c.op.getOrElse("")
         val (rows, bytes) =
           if (c.cdcRows > 0) (c.cdcRows, c.cdcBytes)
@@ -281,6 +281,42 @@ object TxLog {
                                   removes: Seq[String], cdcs: Seq[String],
                                   op: Option[String], tag: Option[String] = None,
                                   cdcRows: Long = 0L, cdcBytes: Long = 0L)
+
+  /** Parsed-commit cache (optimization r16). Commit and checkpoint
+    * files are IMMUTABLE once written (tryCommit's atomic no-overwrite
+    * claim is the whole protocol), so a parse keyed by (path, mtime,
+    * length) can never go stale — the identity triple also defends
+    * against a table directory being deleted and re-created at the
+    * same path (tests do this; a same-ms same-length re-write of the
+    * same version number is the residual risk and cannot arise from
+    * this engine, which never writes the same version twice). Every
+    * TxLog operation re-reads the log tail (snapshot per action,
+    * change-feed reads per polled version, tag scans per watermark
+    * probe); at ~10 driver file reads + JSON parses per call the log
+    * replay was a measurable slice of every scenario's driver gap.
+    * Bounded LRU — entries are a few KB (plus bloom payloads where
+    * configured). */
+  private val MaxParsedCache = 1024
+  private val parsedCache =
+    new java.util.LinkedHashMap[(String, Long, Long), ParsedCommit](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), ParsedCommit]): Boolean =
+        size() > MaxParsedCache
+    }
+
+  /** Parse the commit file at `p`, through the immutable-file cache. */
+  private def parsedCommit(fs: FileSystem, p: Path): ParsedCommit = {
+    val st = fs.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    parsedCache.synchronized {
+      val hit = parsedCache.get(key)
+      if (hit != null) return hit
+    }
+    val parsed = parseCommit(readText(fs, p))
+    parsedCache.synchronized(parsedCache.put(key, parsed))
+    parsed
+  }
 
   private def parseCommit(text: String): ParsedCommit = {
     var meta: Option[Meta] = None
@@ -410,7 +446,7 @@ object TxLog {
     // v0 because commit files are never deleted
     val seedV = checkpoints.filter(_._1 <= versions.last._1).lastOption match {
       case Some((cv, cp)) =>
-        val c = parseCommit(readText(hfs, cp))
+        val c = parsedCommit(hfs, cp)
         meta = c.meta
         c.adds.foreach(a => live(a.path) = a)
         cv
@@ -419,7 +455,7 @@ object TxLog {
     val tail = versions.filter(_._1 > seedV)
     lastReplayCommits = tail.size
     tail.foreach { case (_, p) =>
-      val c = parseCommit(readText(hfs, p))
+      val c = parsedCommit(hfs, p)
       c.meta.foreach(mm => meta = Some(mm))
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live(a.path) = a)
@@ -2011,7 +2047,7 @@ object TxLog {
       }
 
     val frames: Seq[DataFrame] = versions.flatMap { case (v, p) =>
-      val c = parseCommit(readText(hfs, p))
+      val c = parsedCommit(hfs, p)
       if (c.cdcs.nonEmpty) {
         // cdc files were staged with THAT commit's logical schema plus
         // `_change_type` — declare it (from the as-of-version meta, a
@@ -2076,7 +2112,7 @@ object TxLog {
     val (hfs, root) = fs(spark, table)
     listVersions(hfs, root).map { case (v, p) =>
       val st = hfs.getFileStatus(p)
-      val c = parseCommit(readText(hfs, p))
+      val c = parsedCommit(hfs, p)
       (v, st.getModificationTime, c.op.getOrElse(""),
         c.adds.size, c.removes.size, c.meta.isDefined)
     }
@@ -2196,7 +2232,7 @@ object TxLog {
       .toSet ++
       // cdc files of retained commits stay readable via the change feed
       versions.filter(_._1 >= retainVersion)
-        .flatMap { case (_, p) => parseCommit(readText(hfs, p)).cdcs }
+        .flatMap { case (_, p) => parsedCommit(hfs, p).cdcs }
     snapshotAllPaths(hfs, root).filterNot(referenced.contains).sorted
   }
 

@@ -437,15 +437,24 @@ object EventsStream {
       lit(sentinelTs).as("ts"), lit(0.0).as("value")), "b4_sentinel", t0)
     val schema = spark.read.parquet(src).schema
     val name = s"graft_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).as("tv"))
-      .select(unix_micros(col("window.start")).as("ws"), col("n"), col("tv"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // StateSizing like every other stateful runner here (optimization
+    // r16 — this one predated the helper): the windowed aggregate
+    // commits every state partition on every micro-batch, and neither
+    // the kept aggregate nor the drop counter depends on the shuffle
+    // partition count (partials are per input SPLIT — the single-split
+    // staging assertion above — not per shuffle partition)
+    val q = StateSizing.withStatePartitions(spark, 10000L) {
+      val query = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("tv"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n"), col("tv"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      query
+    }
     val dropped = q.recentProgress
       .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
       .map(_.numRowsDroppedByWatermark).sum

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * unaffected: at cluster scale the session/default parallelism IS the
   * right number, and this helper never raises it.
   */
-private[streaming] object StateSizing {
+private[graft] object StateSizing {
 
   def withStatePartitions[T](spark: SparkSession, inputRows: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
