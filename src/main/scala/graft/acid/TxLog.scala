@@ -2509,6 +2509,23 @@ object TxLog {
   private[graft] def livePaths(spark: SparkSession, table: String): Set[String] =
     snapshot(spark, table, None).toSeq.flatMap(_.files.map(_.path)).toSet
 
+  /** Per-partition-value LIVE row counts from log metadata alone — the
+    * commit-time footer stats (AddFile.numRecords) summed by one
+    * partition column; zero data I/O, zero Spark jobs (optimization
+    * r16). None when the log cannot answer exactly: a legacy add
+    * without a row count, a file missing the partition value, or any
+    * outstanding deletion vector (physical footer counts overcount
+    * DV-erased rows). Callers fall back to a distributed count. */
+  private[graft] def partitionRowCounts(spark: SparkSession, table: String,
+      pcol: String): Option[Map[String, Long]] =
+    snapshot(spark, table, None).flatMap { snap =>
+      val fs = snap.files
+      if (fs.exists(f => f.numRecords < 0 || f.dvPath.isDefined ||
+          !f.partitionValues.contains(pcol))) None
+      else Some(fs.groupBy(_.partitionValues(pcol))
+        .view.mapValues(_.map(_.numRecords).sum).toMap)
+    }
+
   /** Write a checkpoint of the CURRENT snapshot (Delta's
     * `<v>.checkpoint.parquet` design, JSON-lines here like the rest of
     * this log): the full live state — meta + every add with its stats

@@ -513,6 +513,18 @@ object AnnIndexStore {
     (0 until nCells).map(c => got.getOrElse(c, 0L))
   }
 
+  /** Per-cell live row census from the code table's LOG metadata
+    * (stage-time footer counts per cell partition) — zero Spark jobs;
+    * falls back to the distributed count when the log cannot answer
+    * exactly (legacy adds, outstanding DVs — see
+    * [[TxLog.partitionRowCounts]]). */
+  private def cellCensusFromLog(spark: SparkSession, loc: String,
+                                nCells: Int): Seq[Long] =
+    TxLog.partitionRowCounts(spark, loc, "cell") match {
+      case Some(byCell) => (0 until nCells).map(c => byCell.getOrElse(c.toString, 0L))
+      case None => cellCounts(TxLog.read(spark, loc), nCells)
+    }
+
   /** The persisted IVF×PQ index for `(warehouse, name)` — same contract
     * as [[pqIndex]]; the code table keeps its cell partitioning, so a
     * loaded OR maintained index probes with directory-level pruning
@@ -545,14 +557,21 @@ object AnnIndexStore {
           Ivf.assignExpr(Cosine.prepared(emb), built.centroids), cents)),
         built.cb)
       val codes = spark.read.parquet(built.codesPath)
-      // sized to the ACTUAL centroid list, not the shape parameter: a
-      // degenerate corpus (fewer distinct rows than nCells) trains
-      // fewer centroids, and a 16-entry census over 2 centroids made
-      // every later census/centroid alignment check throw (round 16)
-      val census = cellCounts(codes, built.centroids.size)
-      val loc = persist(codes, warehouse, name, Seq("cell"),
-        _ => tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
-          fp, want, sigs, Some(dist), built.cb, Some(cents), Some(census),
+      // census sized to the ACTUAL centroid list, not the shape
+      // parameter: a degenerate corpus (fewer distinct rows than
+      // nCells) trains fewer centroids, and a 16-entry census over 2
+      // centroids made every later census/centroid alignment check
+      // throw (round 16). Computed from LOG METADATA after the
+      // overwrite lands (the stage-time footer counts summed per cell
+      // partition) — the dedicated groupBy-count job this replaces
+      // re-scanned the code table the engine had just written and
+      // statted (optimization r16); freshly overwritten tables carry
+      // no DVs, so the metadata answer is exact (the helper returns
+      // None otherwise and the distributed count runs).
+      val loc = persist(codes, warehouse, name, Seq("cell"), loc =>
+        tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
+          fp, want, sigs, Some(dist), built.cb, Some(cents),
+          Some(cellCensusFromLog(spark, loc, built.centroids.size)),
           attrs = attrCols))
       (IvfPq.IvfPqIndex(built.cb, built.centroids, loc),
         IndexOutcome.Trained(driftFallback))
@@ -605,10 +624,14 @@ object AnnIndexStore {
             val dropped = dropRemovedRows(spark, loc, removed)
             assert(dropped, s"src_file column vanished from $loc mid-call")
           }
+          // materialized: the encode feeds BOTH the census count and
+          // the append's staging write — one evaluation of the batch
+          // encode instead of two (optimization r16)
           val encoded =
             if (added.isEmpty) None
-            else Some(IvfPq.encodeNewRows(withSrc(newRows), idx,
-              SrcCol +: attrCols))
+            else Some(graft.Caching.materialize(
+              IvfPq.encodeNewRows(withSrc(newRows), idx,
+                SrcCol +: attrCols)))
           val addedCounts = encoded.map(cellCounts(_, nActual))
             .getOrElse(Seq.fill(nActual)(0L))
           val base =
@@ -619,14 +642,14 @@ object AnnIndexStore {
           val mkTag = tag(spark, loc, "ivfpq", fp, want, sigs,
             dbl(j, "dist").orElse(if (added.nonEmpty) Some(newDist) else None),
             idx.cb, Some(cents), Some(census), attrs = attrCols)
-          encoded match {
+          try encoded match {
             case Some(rows) =>
               TxLog.append(alignedToTable(spark, loc, rows), loc,
                 commitTag = Some(mkTag))
             case None =>
               TxLog.append(TxLog.read(spark, loc).limit(0), loc,
                 commitTag = Some(mkTag))
-          }
+          } finally encoded.foreach(_.unpersist())
           val outcome =
             if (removed.isEmpty) IndexOutcome.Extended(added.size)
             else if (added.isEmpty) IndexOutcome.Shrunk(removed.size)

@@ -59,9 +59,6 @@ object Pq {
     val p = graft.Caching.materialize(
       sample.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v")))
-    val d = p.select(size(col("v"))).first().getInt(0)
-    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    val subd = d / m
     // deterministic seeds: the k sample vectors of smallest
     // xxhash64(vec_id) — a distributed top-k (TakeOrdered), k rows of
     // driver metadata; every subspace seeds from the same vectors'
@@ -69,6 +66,13 @@ object Pq {
     // whose hash order never depended on j)
     val seedRows = p.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("v")).collect()
+    require(seedRows.nonEmpty, "PQ training sample is empty")
+    // dimensionality from the already-collected seeds — the dedicated
+    // `first()` this replaces was a whole extra Spark action per train
+    // (optimization r16)
+    val d = seedRows.head.getSeq[Double](0).size
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val subd = d / m
     var cb: Codebooks = (0 until m).map { j =>
       seedRows.toSeq.map(_.getSeq[Double](0).slice(j * subd, (j + 1) * subd))
     }
