@@ -695,6 +695,32 @@ object TxLog {
     files.toSeq
   }
 
+  /** Dedicated daemon pool for overlapping a commit's two independent
+    * staging writes (data rewrite + cdc) — cached so concurrent writers
+    * never queue behind each other; staged tasks never submit back to
+    * the pool, so no deadlock is possible. */
+  private lazy val stagingPool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "txlog-staging"); t.setDaemon(true); t
+      }))
+
+  /** Run the data-file staging and the cdc staging as OVERLAPPING Spark
+    * jobs (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially). Both writes derive from the same cached
+    * working set, so running the cdc write after the data write idles
+    * the cluster through the first write's task tail twice per commit —
+    * for incremental commits the two fixed job costs were simply
+    * additive. Failures propagate; both are awaited so no staging task
+    * outlives the commit attempt. */
+  private def stageBoth[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)(stagingPool)
+    val fb = Future(b)(stagingPool)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** Commits per automatic checkpoint (Delta's
     * `delta.checkpointInterval`, default 10); 0 disables. */
   private def checkpointInterval(spark: SparkSession): Int =
@@ -986,9 +1012,6 @@ object TxLog {
           }: _*)
         val staged = updated.unionByName(inserts)
         requireConstraintsSatisfied(staged, snap.meta.constraints, table)
-        val adds = stage(staged, table, snap.meta.partitionCols,
-          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
-          optimizeLayout = true)
         // change feed (Delta CDF): pre/post images of genuinely matched
         // rows + deletes + inserts, written as cdc files the snapshot
         // never sees
@@ -1004,7 +1027,12 @@ object TxLog {
             .select(cols.map(c => col(s"t.$c").as(c)): _*)
             .withColumn("_change_type", lit("delete")))
           .unionByName(inserts.withColumn("_change_type", lit("insert")))
-        val cdcFiles = stageCdc(cdcFrame, table)
+        // both writes read the cached working set — overlapped (§2.6)
+        val (adds, cdcFiles) = stageBoth(
+          stage(staged, table, snap.meta.partitionCols,
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+            optimizeLayout = true),
+          stageCdc(cdcFrame, table))
         val metaLine = if (meta2 eq snap.meta) Seq.empty else Seq(metaJson(meta2))
         val lines = commitInfoJson("merge", commitTag) +: (metaLine ++
           touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
@@ -1180,9 +1208,6 @@ object TxLog {
       try {
         val staged = survivors.unionByName(inserts)
         requireConstraintsSatisfied(staged, snap.meta.constraints, table)
-        val adds = stage(staged, table, snap.meta.partitionCols,
-          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
-          optimizeLayout = true)
         val updatedRows = acted.filter(
           (col("__isM") && inIdx(col("__mact"), mUpdIdx)) ||
           (!col("__isM") && inIdx(col("__bact"), bUpdIdx)))
@@ -1195,7 +1220,12 @@ object TxLog {
           .unionByName(deletedRows.select(cols.map(c => col(s"t.$c").as(c)): _*)
             .withColumn("_change_type", lit("delete")))
           .unionByName(inserts.withColumn("_change_type", lit("insert")))
-        val cdcFiles = stageCdc(cdcFrame, table)
+        // both writes read the cached working set — overlapped (§2.6)
+        val (adds, cdcFiles) = stageBoth(
+          stage(staged, table, snap.meta.partitionCols,
+            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+            optimizeLayout = true),
+          stageCdc(cdcFrame, table))
         val lines = commitInfoJson("merge") +:
           (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
             cdcFiles.map((cdcJson _).tupled))
@@ -1445,11 +1475,13 @@ object TxLog {
         val post = postImagesOf(rows, fullRel)
         post.foreach(p =>
           requireConstraintsSatisfied(p, snap.meta.constraints, table))
-        val newAdds = post.map(p => stage(p, table, snap.meta.partitionCols,
-            bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
-            optimizeLayout = true))
-          .getOrElse(Seq.empty)
-        val cdcFiles = stageCdc(cdcOf(rows, fullRel), table)
+        // post-image write + cdc stage overlapped (§2.6)
+        val (newAdds, cdcFiles) = stageBoth(
+          post.map(p => stage(p, table, snap.meta.partitionCols,
+              bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+              optimizeLayout = true))
+            .getOrElse(Seq.empty),
+          stageCdc(cdcOf(rows, fullRel), table))
         val lines = commitInfoJson(op) +:
           (gone.map(actionJson("remove", _)) ++
             (adds ++ newAdds).map(actionJson("add", _)) ++
@@ -1508,10 +1540,13 @@ object TxLog {
       val rows = relationFor(spark, table, snap.meta, touched)._1
       val rewritten = transform(rows, condition)
       requireConstraintsSatisfied(rewritten, snap.meta.constraints, table)
-      val adds = stage(rewritten, table, snap.meta.partitionCols,
-        bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
-        optimizeLayout = true)
-      val cdcFiles = stageCdc(cdcOf(rows, condition), table)
+      // rewrite + cdc both derive from the candidate-file rows —
+      // overlapped (§2.6)
+      val (adds, cdcFiles) = stageBoth(
+        stage(rewritten, table, snap.meta.partitionCols,
+          bloomCols = snap.meta.bloomCols, columnMap = snap.meta.columnMap,
+          optimizeLayout = true),
+        stageCdc(cdcOf(rows, condition), table))
       val lines = commitInfoJson(op) +:
         (touched.map(actionJson("remove", _)) ++ adds.map(actionJson("add", _)) ++
           cdcFiles.map((cdcJson _).tupled))
