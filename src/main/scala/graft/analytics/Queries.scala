@@ -530,10 +530,17 @@ object Queries {
         )).as("h"))
         .distinct())
     val sizes = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    // pair counts from ONE per-span aggregation (optimization r17,
+    // guide §2.4): the hash-keyed self-join shuffled the distinct span
+    // set twice and paid a per-span blowup; collecting the (bounded)
+    // source set per span and expanding pairs from it yields the same
+    // (source_a < source_b) rows with one Exchange and no join.
     val pairs = spans
-      .join(spans.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
+      .groupBy("h").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(sizes.select(col("source").as("source_a"), col("n_spans").as("n_a")),
@@ -575,16 +582,28 @@ object Queries {
           s"transform(sequence(0, n - $k), i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"
         )).as("h"))
         .distinct())
-    val docFreq = docSpans.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("n_docs"))
-    val srcSpans = docSpans.select("source", "h").distinct()
-    val shared = srcSpans
-      .join(srcSpans.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source") < col("source_b"))
-      .select(col("source").as("source_a"), col("source_b"), col("h"))
+    // ONE aggregation keyed on the span hash produces BOTH facts the
+    // triage needs — the distinct source set AND the corpus-wide doc
+    // frequency (optimization r17, guide §2.4): the old shape ran a
+    // per-span groupBy for n_docs, a second (source, h) distinct, a
+    // hash-keyed SELF-JOIN of the source-span sets, and a join back to
+    // the doc-frequency aggregate — three extra Exchanges of O(distinct
+    // spans) rows, plus the self-join's hot-span blowup. The source
+    // pairs now expand from the per-span source SET (bounded by the
+    // source count, never the corpus) — same (source_a < source_b, h,
+    // n_docs) rows, so the rank window and output are identical.
+    val perSpan = docSpans.groupBy("h")
+      .agg(collect_set(col("source")).as("srcs"),
+           count_distinct(col("doc_id")).as("n_docs"))
+    val shared = perSpan
+      .select(col("h"), col("n_docs"), explode(col("srcs")).as("source_a"),
+        col("srcs"))
+      .select(col("h"), col("n_docs"), col("source_a"),
+        explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
     val w = Window.partitionBy("source_a", "source_b")
       .orderBy(col("n_docs").desc, col("h").asc)
-    shared.join(docFreq, Seq("h"))
+    shared
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("source_a"), col("source_b"), col("rank"),

@@ -356,6 +356,12 @@ object AnnIndexStore {
     total / vs.size
   }
 
+  /** Probe hook (tools/ProbeTrain): the retrain path's drift-baseline
+    * computation, exposed for phase timing. */
+  private[graft] def meanDistortionProbe(spark: SparkSession,
+      resid: org.apache.spark.sql.DataFrame, cb: Pq.Codebooks): Double =
+    meanDistortion(sampleVectors(resid), cb)
+
   /** Deterministic hash-sample of a frame's vectors as driver doubles:
     * the [[DriftSample]] rows of smallest `xxhash64(vec_id)` — a
     * distributed top-k (TakeOrdered) over the WHOLE frame, so the
@@ -397,8 +403,13 @@ object AnnIndexStore {
     val loc = new java.io.File(warehouse, name).toString
     TxLog.overwrite(codes, loc, partitionCols, overwriteSchema = true)
     // the tag rides an empty tagged append: metadata commits atomically
-    // into the SAME log as the code table it describes
-    TxLog.append(codes.limit(0), loc, commitTag = Some(mkTag(loc)))
+    // into the SAME log as the code table it describes. The empty frame
+    // derives from the just-written TABLE, not `codes.limit(0)` — the
+    // code frame may be the literal-heavy encode plan (nCells×m×k ADC
+    // tables), and planning it a second time for zero rows was pure
+    // driver cost (optimization r17)
+    TxLog.append(TxLog.read(codes.sparkSession, loc).limit(0), loc,
+      commitTag = Some(mkTag(loc)))
     GraftCatalog.register(warehouse, name, loc)
     loc
   }
@@ -548,15 +559,22 @@ object AnnIndexStore {
     // session build. Part of the index identity: a tag whose attrs
     // differ retrains (the stored codes physically lack the column).
     def retrain(driftFallback: Boolean): (IvfPq.IvfPqIndex, IndexOutcome) = {
-      val built = IvfPq.buildIndex(withSrc(emb), nCells, m, k, iters,
-        extraCols = SrcCol +: attrCols)
-      val cents = built.centroids.sortBy(_._1).map(_._2)
-      // drift baseline over RESIDUALS — the quantity the codebooks encode
-      val dist = meanDistortion(
-        sampleVectors(IvfPq.residualFrame(
-          Ivf.assignExpr(Cosine.prepared(emb), built.centroids), cents)),
-        built.cb)
-      val codes = spark.read.parquet(built.codesPath)
+      // train WITHOUT the scratch write (optimization r17): the code-row
+      // frame stages directly into the table's own commit — the old path
+      // wrote the full encode to a scratch dir, read it back, and wrote
+      // it again through TxLog.overwrite (2 writes + 1 read of the whole
+      // code table per retrain, pure I/O at corpus scale)
+      val (cb, centroids, resid, codeFrame) =
+        IvfPq.trainArtifacts(withSrc(emb), nCells, m, k, iters,
+          SrcCol +: attrCols)
+      val cents = centroids.map(_._2) // dense 0..n-1 (trainArtifacts guards)
+      // drift baseline over RESIDUALS — the quantity the codebooks
+      // encode. Sampled from the CACHED residual frame training just
+      // used (bit-identical values: the residual projection is
+      // deterministic and the sample keys on vec_id) — the dedicated
+      // re-assign + corpus re-scan this replaces was a whole extra pass
+      // (optimization r17)
+      val dist = meanDistortion(sampleVectors(resid), cb)
       // census sized to the ACTUAL centroid list, not the shape
       // parameter: a degenerate corpus (fewer distinct rows than
       // nCells) trains fewer centroids, and a 16-entry census over 2
@@ -568,12 +586,13 @@ object AnnIndexStore {
       // statted (optimization r16); freshly overwritten tables carry
       // no DVs, so the metadata answer is exact (the helper returns
       // None otherwise and the distributed count runs).
-      val loc = persist(codes, warehouse, name, Seq("cell"), loc =>
+      val loc = persist(codeFrame, warehouse, name, Seq("cell"), loc =>
         tag(spark, new java.io.File(warehouse, name).toString, "ivfpq",
-          fp, want, sigs, Some(dist), built.cb, Some(cents),
-          Some(cellCensusFromLog(spark, loc, built.centroids.size)),
+          fp, want, sigs, Some(dist), cb, Some(cents),
+          Some(cellCensusFromLog(spark, loc, centroids.size)),
           attrs = attrCols))
-      (IvfPq.IvfPqIndex(built.cb, built.centroids, loc),
+      resid.unpersist()
+      (IvfPq.IvfPqIndex(cb, centroids, loc),
         IndexOutcome.Trained(driftFallback))
     }
     loadTag(spark, warehouse, name) match {
@@ -624,14 +643,22 @@ object AnnIndexStore {
             val dropped = dropRemovedRows(spark, loc, removed)
             assert(dropped, s"src_file column vanished from $loc mid-call")
           }
-          // materialized: the encode feeds BOTH the census count and
-          // the append's staging write — one evaluation of the batch
-          // encode instead of two (optimization r16)
+          // localCheckpoint, not persist (optimization r17 — the same
+          // rationale as rebalanceCells): the encode plan carries the
+          // nCells×m×k ADC literal tables, and a persisted frame's
+          // LOGICAL plan still hauls them through analysis + cache-
+          // lookup comparison on every downstream action (census count,
+          // alignedToTable select, append staging — measured ~5 s of
+          // driver plan time per extend at sf0.1). Checkpointing
+          // truncates the plan to an opaque RDD scan; the batch is
+          // O(new files), bounded, so executor-local materialization is
+          // safe at any corpus size. One evaluation feeds BOTH the
+          // census count and the append staging (r16), now with cheap
+          // plans per action.
           val encoded =
             if (added.isEmpty) None
-            else Some(graft.Caching.materialize(
-              IvfPq.encodeNewRows(withSrc(newRows), idx,
-                SrcCol +: attrCols)))
+            else Some(IvfPq.encodeNewRows(withSrc(newRows), idx,
+              SrcCol +: attrCols).localCheckpoint())
           val addedCounts = encoded.map(cellCounts(_, nActual))
             .getOrElse(Seq.fill(nActual)(0L))
           val base =

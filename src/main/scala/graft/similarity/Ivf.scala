@@ -45,9 +45,16 @@ object Ivf {
   }
 
   /** Train `iters` Lloyd rounds; returns the (vec_id, v, norm, cell)
-    * assignment and the centroid metadata. */
-  def train(emb: DataFrame, k: Int = 16, iters: Int = 3): (DataFrame, Seq[(Int, Seq[Double])]) =
-    trainPrepared(graft.Caching.materialize(Cosine.prepared(emb)), k, iters)
+    * assignment and the centroid metadata. `extraCols` ride the ONE
+    * materialized prepared frame end to end (optimization r17): the
+    * returned assignment carries them via [[assignExpr]]'s generic
+    * passthrough, so callers that need provenance/attribute columns no
+    * longer re-scan the corpus for a second assignment pass — the extra
+    * columns never enter the Lloyd aggregation, so centroids are
+    * bit-identical with or without them. */
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 3,
+            extraCols: Seq[String] = Seq.empty): (DataFrame, Seq[(Int, Seq[Double])]) =
+    trainPrepared(graft.Caching.materialize(Cosine.prepared(emb, extraCols)), k, iters)
 
   /** [[train]] over an ALREADY prepared-and-cached frame — callers that
     * also probe ([[topK]]) reuse one materialization for seeding, every

@@ -55,6 +55,37 @@ object IvfPq {
   private val indexStore =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
 
+  /** Train both halves WITHOUT writing anything (optimization r17):
+    * returns (codebooks, centroids, cached residual frame, code-row
+    * frame). Callers that persist the code table through their own
+    * commit machinery ([[AnnIndexStore.ivfPqIndex]]) stage the code-row
+    * frame DIRECTLY instead of writing a scratch parquet dir and
+    * re-reading it — the old retrain path wrote the full encode twice
+    * (scratch + table) and read it back once in between, pure I/O at
+    * corpus scale. The residual frame is Caching-materialized (it feeds
+    * PQ training, the drift sample, and the code-row evaluation);
+    * callers unpersist it once the code rows are materialized. */
+  private[similarity] def trainArtifacts(emb: DataFrame, nCells: Int, m: Int,
+      k: Int, iters: Int, extraCols: Seq[String] = Seq.empty)
+      : (Pq.Codebooks, Seq[(Int, Seq[Double])], DataFrame, DataFrame) = {
+    // extra (provenance) columns ride Ivf.train's one materialized
+    // prepared frame end to end — the second full-corpus assignment
+    // pass this replaces was a whole extra scan (optimization r17)
+    val (assigned, centroids) = Ivf.train(emb, nCells, iters, extraCols)
+    // the literals below index positionally (`__cents[cell]`, `__cn2[cell]`,
+    // `__d2[cell]`) — guard the density contract Ivf.train now guarantees
+    // (empty Lloyd cells keep their previous centroid, never drop)
+    require(centroids.map(_._1) == centroids.indices,
+      s"IVF centroids must be dense 0..${centroids.size - 1}: " +
+      centroids.map(_._1).mkString(","))
+    val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
+    // residual corpus — assigned already carries the double vector `v`
+    val resid = graft.Caching.materialize(
+      residualFrame(assigned, cents, extraCols))
+    val cb = Pq.train(resid, m, k, iters)
+    (cb, centroids, resid, codeRows(resid, cb, cents, extraCols))
+  }
+
   /** Train both halves and write the cell-partitioned code table:
     * `(vec_id, codes, rnorm)` under `cell=<c>/` directories. Codes
     * quantize the RESIDUAL `x − centroid(cell)`; `rnorm = |c_cell + r̂|`
@@ -64,36 +95,20 @@ object IvfPq {
   def buildIndex(emb: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 256,
                  iters: Int = 3, sessionLifetime: Boolean = false,
                  extraCols: Seq[String] = Seq.empty): IvfPqIndex = {
-    val (assigned0, centroids) = Ivf.train(emb, nCells, iters)
-    // the literals below index positionally (`__cents[cell]`, `__cn2[cell]`,
-    // `__d2[cell]`) — guard the density contract Ivf.train now guarantees
-    // (empty Lloyd cells keep their previous centroid, never drop)
-    require(centroids.map(_._1) == centroids.indices,
-      s"IVF centroids must be dense 0..${centroids.size - 1}: " +
-      centroids.map(_._1).mkString(","))
-    val cents = centroids.map(_._2) // cell ids are 0..nCells-1, in order
-    // extra (provenance) columns: training's internal prepared frame
-    // drops them, so re-run the assignment projection keeping them — one
-    // extra map-only pass over the corpus, paid only when asked for
-    val assigned =
-      if (extraCols.isEmpty) assigned0
-      else Ivf.assignExpr(Cosine.prepared(emb, extraCols), centroids)
-    // residual corpus — assigned already carries the double vector `v`
-    val resid = graft.Caching.materialize(
-      residualFrame(assigned, cents, extraCols))
-    val cb = Pq.train(resid, m, k, iters)
+    val (cb, centroids, resid, rows) =
+      trainArtifacts(emb, nCells, m, k, iters, extraCols)
     val dir =
       if (sessionLifetime) graft.TempDirs.createSessionLifetime("ivfpqindex_keep")
       else graft.TempDirs.create("ivfpqindex")
-    codeRows(resid, cb, cents, extraCols)
-      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    resid.unpersist()
     IvfPqIndex(cb, centroids, dir)
   }
 
   /** Residuals `x − centroid(cell)` of a cell-assigned prepared frame
     * (columns `vec_id, v, cell`), shaped as the `embedding` column
     * [[Pq]] consumes. */
-  private[similarity] def residualFrame(assigned: DataFrame,
+  private[graft] def residualFrame(assigned: DataFrame,
                                         cents: Seq[Seq[Double]],
                                         extraCols: Seq[String] = Seq.empty): DataFrame =
     assigned.withColumn("__cents", typedLit(cents))
@@ -107,7 +122,7 @@ object IvfPq {
     * ([[AnnIndexStore]]): `rnorm = |c_cell + r̂|` expands to
     * `|c|² + 2·(c·r̂) + |r̂|²`, all three terms m-lookup sums into
     * driver-literal tables, paid once at encode time. */
-  private[similarity] def codeRows(resid: DataFrame, cb: Pq.Codebooks,
+  private[graft] def codeRows(resid: DataFrame, cb: Pq.Codebooks,
                                    cents: Seq[Seq[Double]],
                                    extraCols: Seq[String] = Seq.empty): DataFrame = {
     val m = cb.size
@@ -120,14 +135,14 @@ object IvfPq {
       }
     }
     val rn2: Seq[Seq[Double]] = cb.map(_.map(r => r.map(x => x * x).sum))
-    val crossDot = (0 until m).map(j => s"__d2[cell][$j][codes[$j]]").mkString(" + ")
-    val residN2 = (0 until m).map(j => s"__rn2[$j][codes[$j]]").mkString(" + ")
+    // rnorm through the native lookup expression — the three ADC tables
+    // are expression metadata (one plan node), not array literals the
+    // optimizer inlines into every reference; arithmetic order is
+    // bit-identical to the old SQL chain (optimization r17, see
+    // [[graft.functions.PqRnorm]])
     Pq.encode(resid, cb, extraCols = "cell" +: extraCols)
-      .withColumn("__cn2", typedLit(cn2))
-      .withColumn("__d2", typedLit(d2))
-      .withColumn("__rn2", typedLit(rn2))
-      .withColumn("rnorm",
-        expr(s"sqrt(__cn2[cell] + 2 * ($crossDot) + ($residN2))"))
+      .withColumn("rnorm", graft.functions.PqRnormFunction.pq_rnorm(
+        resid.sparkSession, col("codes"), col("cell"), cn2, d2, rn2))
       .select(("vec_id" +: "codes" +: "rnorm" +: "cell" +: extraCols)
         .map(col): _*)
   }

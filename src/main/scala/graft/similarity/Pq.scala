@@ -56,9 +56,17 @@ object Pq {
     val sample =
       if (stride == 1L) emb
       else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-    val p = graft.Caching.materialize(
-      sample.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v")))
+    // localCheckpoint, not persist (optimization r17): the sample is
+    // BOUNDED (~TrainTarget rows) so executor-local materialization is
+    // safe at any corpus size, and it truncates the caller's lineage —
+    // IVF×PQ hands in a residual frame whose plan carries the centroid
+    // literals, and every Lloyd round's action was re-analyzing and
+    // cache-comparing that plan (the rebalanceCells lesson, applied to
+    // training). Values are identical: the checkpoint materializes the
+    // same deterministic projection the persisted frame computed.
+    val p = sample.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .localCheckpoint()
     // deterministic seeds: the k sample vectors of smallest
     // xxhash64(vec_id) — a distributed top-k (TakeOrdered), k rows of
     // driver metadata; every subspace seeds from the same vectors'
@@ -146,14 +154,14 @@ object Pq {
     * (m lookups into the squared-norm literal, query-independent so it
     * is paid once at encode time). */
   private[similarity] def encodeWithNorm(emb: DataFrame, cb: Codebooks,
-      extraCols: Seq[String] = Seq.empty): DataFrame = {
-    val m = cb.size
-    val rnorm = (0 until m).map(j => s"__n2[$j][codes[$j]]").mkString(" + ")
+      extraCols: Seq[String] = Seq.empty): DataFrame =
+    // native lookup expression: the norm table is expression metadata,
+    // not an array literal inlined into every reference; arithmetic
+    // order bit-identical (optimization r17 — [[graft.functions.PqNorm]])
     encode(emb, cb, extraCols)
-      .withColumn("__n2", typedLit(centroidNorm2(cb)))
-      .withColumn("rnorm", expr(s"sqrt($rnorm)"))
+      .withColumn("rnorm", graft.functions.PqRnormFunction.pq_norm(
+        emb.sparkSession, col("codes"), centroidNorm2(cb)))
       .select(("vec_id" +: "codes" +: "rnorm" +: extraCols).map(col): _*)
-  }
 
   /** Per-query ADC lookup table: lut[j][c] = q_subvector_j ·
     * centroid_{j,c} — k·d driver multiplies per query. */

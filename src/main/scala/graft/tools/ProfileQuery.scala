@@ -80,6 +80,7 @@ object ProfileQuery {
       (0 until 2).foreach { round =>
         jobs.clear()
         stageAgg.synchronized(stageAgg.clear())
+        val (pcHits0, pcMiss0) = graft.acid.TxLog.parsedCacheStats
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -106,9 +107,11 @@ object ProfileQuery {
           }
           if (curE >= 0) covered += curE - curS
           val jobSum = recs.map(_.durMs).sum
+          val (pcHits1, pcMiss1) = graft.acid.TxLog.parsedCacheStats
           println(f"== $name: wall ${wallMs / 1000}%.2fs (build ${buildMs / 1000}%.2f + probe ${probeMs / 1000}%.2f), " +
             f"jobs ${recs.size}, job-covered ${covered / 1000.0}%.2fs, job-sum ${jobSum / 1000.0}%.2fs, " +
-            f"DRIVER GAP ${(wallMs - covered) / 1000.0}%.2fs")
+            f"DRIVER GAP ${(wallMs - covered) / 1000.0}%.2fs, " +
+            s"txlog-parse hits ${pcHits1 - pcHits0} / misses ${pcMiss1 - pcMiss0}")
           // stage-name aggregation: where the executed time comes from
           val byStage = stageAgg.synchronized(stageAgg.toSeq).sortBy(-_._2._2)
           byStage.take(20).foreach { case (name, (n, t, tk)) =>
