@@ -2712,7 +2712,7 @@ object SparkEntry {
     Tables.events(s, dir).select("event_id", "event_type", "value")
       .repartition(4).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
-    def run(): Unit = {
+    def run(): Unit = graft.streaming.StateSizing.withScratchCheckpoint(s) {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream.format("graft-table").option("path", tbl)

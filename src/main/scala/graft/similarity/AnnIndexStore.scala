@@ -834,11 +834,22 @@ object AnnIndexStore {
           working.contains(c) && censusBuf(c) >= 2L)
       if (hots.isEmpty || !skewed(censusBuf.toSeq)) done = true
       else {
-        val parts = hots.map { hot =>
+        // per-hot-cell 2-means runs are INDEPENDENT (each reads only its
+        // cell's rows of the checkpointed working set) — train them as
+        // overlapping Spark jobs (guide §2.6, optimization r17); results
+        // are bit-identical (Ivf.train is deterministic) and the
+        // id-assigning mutation below stays sequential in `hots` order,
+        // so global sub-cell numbering is unchanged.
+        val trained = hots.map { hot =>
           val sub = assigned.filter(col("cell") === hot)
             .select(col("vec_id") +: col("v").as("embedding") +:
               carried.map(col): _*)
-          val (_, subCents) = Ivf.train(sub, 2, iters)
+          (hot, sub, scala.concurrent.Future(Ivf.train(sub, 2, iters))(
+            scala.concurrent.ExecutionContext.global))
+        }
+        val parts = trained.map { case (hot, sub, fut) =>
+          val (_, subCents) = scala.concurrent.Await.result(
+            fut, scala.concurrent.duration.Duration.Inf)
           // assignExpr emits the centroid's OWN id as `cell`: handing it
           // globally-numbered centroids yields global assignments
           val globalSubs = Seq((hot, subCents(0)._2),

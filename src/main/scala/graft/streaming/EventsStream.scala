@@ -107,12 +107,13 @@ object EventsStream {
     val base = graft.TempDirs.create("ss2")
     val ev = graft.Tables.normalizeTs(
       events.select("user_id", "ts", "event_type", "value"), "ts")
-    ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .write.mode("overwrite").parquet(s"$base/clicks")
-    ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
-      .write.mode("overwrite").parquet(s"$base/purch")
+    stagePair(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .write.mode("overwrite").parquet(s"$base/clicks"),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+        .write.mode("overwrite").parquet(s"$base/purch"))
     val cSchema = spark.read.parquet(s"$base/clicks").schema
     val pSchema = spark.read.parquet(s"$base/purch").schema
     StateSizing.withStatePartitions(spark, 10000L) {
@@ -168,17 +169,47 @@ object EventsStream {
   def runStreamStreamFullOuterJoin(spark: SparkSession, events: DataFrame): DataFrame =
     runStreamStreamOuterTyped(spark, events, "full_outer")
 
+  /** Run two independent staging writes as overlapping Spark jobs
+    * (guide §2.6 — the TxLog.stageBoth discipline): each feed's staging
+    * is a full events scan + filtered write; sequentially the cluster
+    * idles through each write's task tail twice. */
+  private def stagePair(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a); val fb = Future(b)
+    Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+  }
+
+  /** Write 1-row sentinel frames to scratch dirs FIRST, then MOVE every
+    * parquet into its watched source dir with back-to-back same-fs
+    * renames — one file-source discovery poll almost always picks up
+    * the whole round, so it costs one micro-batch instead of one per
+    * feed. Semantics do not depend on it (the joint watermark is the
+    * min across inputs, so a split round advances nothing until all
+    * files process) — this is purely a fixed-cost trim. */
+  private def stageSentinels(frames: Seq[(DataFrame, String, String)]): Unit = {
+    val moves = frames.map { case (df, scratch, dstDir) =>
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      (part.toPath, java.nio.file.Paths.get(dstDir, part.getName))
+    }
+    moves.foreach { case (from, to) => java.nio.file.Files.move(from, to) }
+  }
+
   private def runStreamStreamOuterTyped(spark: SparkSession, events: DataFrame,
                                         joinType: String): DataFrame = {
     val base = graft.TempDirs.create("ss2o")
     val ev = graft.Tables.normalizeTs(
       events.select("user_id", "ts", "event_type", "value"), "ts")
-    ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .write.mode("overwrite").parquet(s"$base/clicks")
-    ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
-      .write.mode("overwrite").parquet(s"$base/purch")
+    stagePair(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .write.mode("overwrite").parquet(s"$base/clicks"),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+        .write.mode("overwrite").parquet(s"$base/purch"))
     val clicksStaged = spark.read.parquet(s"$base/clicks")
     val cSchema = clicksStaged.schema
     val pSchema = spark.read.parquet(s"$base/purch").schema
@@ -202,10 +233,14 @@ object EventsStream {
         assertSingleIngestBatch(q, s"stream_stream_$joinType")
         Seq(30, 60).foreach { days =>
           val ts = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
-          Seq((Long.MinValue, ts)).toDF("user_id", "click_ts")
-            .write.mode("append").parquet(s"$base/clicks")
-          Seq((Long.MinValue, ts, 0.0)).toDF("p_user", "purchase_ts", "value")
-            .write.mode("append").parquet(s"$base/purch")
+          // both feeds' sentinel files land via back-to-back renames so
+          // the round usually ingests as ONE micro-batch (see
+          // stageSentinels — output is identical either way)
+          stageSentinels(Seq(
+            (Seq((Long.MinValue, ts)).toDF("user_id", "click_ts"),
+              s"$base/sc_$days", s"$base/clicks"),
+            (Seq((Long.MinValue, ts, 0.0)).toDF("p_user", "purchase_ts", "value"),
+              s"$base/sp_$days", s"$base/purch")))
           q.processAllAvailable()
         }
       } finally q.stop()

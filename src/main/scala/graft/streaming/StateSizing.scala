@@ -2,26 +2,66 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
-/** Shuffle-partition sizing for the self-contained stream RUNNERS in
-  * this package (stage input → run stream → return result).
+/** Scoped session tuning for the self-contained stream RUNNERS in this
+  * package (stage input → run stream → aggregate → return result).
   *
-  * Stateful operators commit every state-store partition on every
-  * micro-batch (delta file create + rename each); at small input volumes
-  * that fixed O(partitions × batches) cost dominates the actual work —
-  * measured on sessionize at sf0.1: 10.6 s with 32 partitions vs 3.2 s
-  * with 4, identical output. So the runners size state partitions to the
-  * DATA (one per ~100k input rows), floored at 4 for parallelism and
-  * capped at the session setting. Production `writeStream` pipelines are
-  * unaffected: at cluster scale the session/default parallelism IS the
-  * right number, and this helper never raises it.
+  * Two scoped settings, both restored on exit:
+  *
+  *  - **State-partition sizing.** Stateful operators commit every
+  *    state-store partition on every micro-batch (delta file create +
+  *    rename each); at small input volumes that fixed
+  *    O(partitions × batches) cost dominates the actual work — measured
+  *    on sessionize at sf0.1: 10.6 s with 32 partitions vs 3.2 s with 4,
+  *    identical output. The runners size state partitions to the DATA
+  *    (one per ~100k input rows), floored at 4 for parallelism and
+  *    capped at the session setting. Production `writeStream` pipelines
+  *    are unaffected: at cluster scale the session/default parallelism
+  *    IS the right number, and this helper never raises it.
+  *
+  *  - **Checkpoint file checksums off (optimization r17).** Spark 4.1
+  *    writes an integrity-checksum sidecar for every checkpoint file —
+  *    per micro-batch that is one extra create+rename per state-store
+  *    delta (4 stores × partitions for a stream-stream join), offset
+  *    log, and commit log entry. Measured on stream_stream_outer at
+  *    sf0.1: ~2.0 s/batch → ~0.86 s/batch, a fixed per-FILE cost that
+  *    every micro-batch pays at any scale. These runners' checkpoints
+  *    are per-invocation SCRATCH (TempDirs — written once, never
+  *    restored, deleted with the scenario), so corruption-detection
+  *    sidecars buy nothing; a production pipeline with a durable
+  *    checkpoint keeps its own session's default.
   */
 private[graft] object StateSizing {
 
-  def withStatePartitions[T](spark: SparkSession, inputRows: Long)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val cur = spark.conf.get(key).toInt
-    val sized = math.max(4, math.min(cur, (inputRows / 100000L).toInt + 1))
-    spark.conf.set(key, sized)
-    try body finally spark.conf.set(key, cur.toString)
+  private val PartitionsKey = "spark.sql.shuffle.partitions"
+  private val ChecksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+  /** Scratch-stream scope: optional data-sized state partitions plus
+    * checkpoint checksum sidecars off; both restored afterwards. */
+  def withScratchStreamConfs[T](spark: SparkSession, inputRows: Option[Long])
+                               (body: => T): T = {
+    val curP = spark.conf.get(PartitionsKey).toInt
+    val curC = spark.conf.getOption(ChecksumKey)
+    inputRows.foreach { rows =>
+      val sized = math.max(4, math.min(curP, (rows / 100000L).toInt + 1))
+      spark.conf.set(PartitionsKey, sized)
+    }
+    spark.conf.set(ChecksumKey, "false")
+    try body finally {
+      spark.conf.set(PartitionsKey, curP.toString)
+      curC match {
+        case Some(v) => spark.conf.set(ChecksumKey, v)
+        case None => spark.conf.unset(ChecksumKey)
+      }
+    }
   }
+
+  /** Data-sized state partitions + scratch-checkpoint confs. */
+  def withStatePartitions[T](spark: SparkSession, inputRows: Long)(body: => T): T =
+    withScratchStreamConfs(spark, Some(inputRows))(body)
+
+  /** Scratch-checkpoint confs only — for foreachBatch runners whose
+    * batch work does its own (TxLog) commits and needs the session's
+    * shuffle parallelism untouched. */
+  def withScratchCheckpoint[T](spark: SparkSession)(body: => T): T =
+    withScratchStreamConfs(spark, None)(body)
 }

@@ -46,21 +46,24 @@ object StreamAudio {
     // the sink exists with the feature schema even if no drop arrives
     graft.multimodal.BinaryColumns.audioMeta(empty).toDF()
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/batch=-1")
-    val q = spark.readStream.schema(schema).parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.multimodal.BinaryColumns.audioMeta(batch).toDF()
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      }
-      .start()
-    try {
-      batches.foreach { b =>
-        b.write.mode("append").parquet(srcDir)
-        q.processAllAvailable() // one staged drop = one micro-batch
-      }
-    } finally q.stop()
+    // scratch checkpoint (never restored): checksum sidecars off
+    StateSizing.withScratchCheckpoint(spark) {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.multimodal.BinaryColumns.audioMeta(batch).toDF()
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .start()
+      try {
+        batches.foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q.processAllAvailable() // one staged drop = one micro-batch
+        }
+      } finally q.stop()
+    }
     spark.read.parquet(outDir)
       .select("doc_id", "sample_rate", "n_samples", "duration_ms",
         "rms", "peak", "zcr", "header_ok")

@@ -59,6 +59,8 @@ object StreamIncrementalDedup {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$outDir/batch=-1")
     val corpusSlim = corpusText.select(col("doc_id"), col(textCol))
+    // scratch checkpoint (never restored): checksum sidecars off
+    StateSizing.withScratchCheckpoint(spark) {
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -89,6 +91,7 @@ object StreamIncrementalDedup {
         q.processAllAvailable() // one staged drop = one micro-batch
       }
     } finally q.stop()
+    }
     // partition discovery adds the batch key; drop it — callers see the
     // pure (new_doc, matched_doc, jaccard) pair set
     spark.read.parquet(outDir)

@@ -53,26 +53,31 @@ object StreamMerge {
     val dir = s"$base/src"
     cdcBatches.head.write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val q = spark.readStream.schema(schema).parquet(dir)
-      .writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val collapsed = seqCol match {
-            case Some(sc) => collapseLatest(batch, keyCols, sc)
-            case None => batch.dropDuplicates(keyCols)
+    // scratch checkpoint: per-invocation, never restored — skip the
+    // per-file checksum sidecars (StateSizing doc; the merge itself
+    // keeps the session's shuffle parallelism, hence no state sizing)
+    StateSizing.withScratchCheckpoint(spark) {
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val collapsed = seqCol match {
+              case Some(sc) => collapseLatest(batch, keyCols, sc)
+              case None => batch.dropDuplicates(keyCols)
+            }
+            graft.acid.TxLog.merge(collapsed, table, keyCols)
+            ()
           }
-          graft.acid.TxLog.merge(collapsed, table, keyCols)
-          ()
         }
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-      cdcBatches.tail.foreach { b =>
-        b.write.mode("append").parquet(dir)
+        .start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
+        cdcBatches.tail.foreach { b =>
+          b.write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
   }
 }

@@ -12,7 +12,12 @@ object ProbeStreamJoin {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val joinType = if (args.length > 1) args(1) else "left_outer"
-    val spark = graft.GraftSession.builder("probe-ssj", "local[32]", 32)
+    // optional conf overrides: PROBE_CONF="k=v;k=v"
+    val spark = sys.env.get("PROBE_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).filter(_.length == 2)
+      .foldLeft(graft.GraftSession.builder("probe-ssj", "local[32]", 32)) {
+        case (b, Array(k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
