@@ -593,6 +593,29 @@ object TxLog {
   private def fileName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
+  /** AQE coalescing aimed at FILE SIZING for the duration of a staging
+    * write (optimization r17). The REBALANCE hints below ask AQE to
+    * pack output to `advisoryPartitionSizeInBytes`, but with the
+    * default `coalescePartitions.parallelismFirst=true` AQE only
+    * coalesces down to ~minPartitionSize (1 MB) to preserve
+    * parallelism — measured at sf10: a merge commit's cdc stage wrote
+    * 32 × 0.6 MB files while the hint promised advisory-sized ones.
+    * For a write, file sizing IS the goal (Spark's own docs recommend
+    * parallelismFirst=false for efficient sizing; guide §2.2/§6), so
+    * staging scopes it off and restores after. Session conf is global,
+    * not thread-local: the only concurrent writers inside one commit
+    * are stageBoth's two STAGING futures, which both want the same
+    * value and captured the same prior, so the restore race is benign. */
+  private def withFileSizedCoalescing[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stage `df` as immutable parquet files under a fresh per-commit dir;
     * returns add actions with table-root-relative paths and parsed
     * partition values. `rearrange=false` keeps the caller's physical
@@ -636,12 +659,16 @@ object TxLog {
     // Caller-shaped frames (overwrite/append without partitioning)
     // keep their layout: range-clustering for data skipping is the
     // caller's contract (deltaDataSkipping, optimize ZORDER).
+    val rebalanced = partitionCols.nonEmpty && rearrange || optimizeLayout
     val writer = (if (partitionCols.nonEmpty && rearrange)
       physDf.hint("rebalance", partitionCols.map(col): _*)
     else if (optimizeLayout) physDf.hint("rebalance")
     else physDf).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging.toString)
+    def runWrite(): Unit =
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging.toString)
+    if (rebalanced) withFileSizedCoalescing(df.sparkSession)(runWrite())
+    else runWrite()
     val qualified = hfs.makeQualified(staging).toString
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val it = hfs.listFiles(staging, true)
@@ -690,7 +717,9 @@ object TxLog {
     // commit's change files are few and advisory-sized, not one tiny
     // file per upstream task (optimization r16; same rationale as
     // stage's optimizeLayout)
-    df.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
+    withFileSizedCoalescing(df.sparkSession) {
+      df.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
+    }
     val qualified = hfs.makeQualified(staging).toString
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val it = hfs.listFiles(staging, true)
